@@ -1,0 +1,64 @@
+"""SparkSession factory.
+
+Defaults are chosen for the dual target: correctness tests on ``local[N]``
+and a plan shape that survives a 1000-executor / 100 TB deployment:
+
+* AQE on (runtime coalesce, skew-join splitting, broadcast demotion) — the
+  reference delegates all physical planning to DuckDB; here Catalyst + AQE
+  play that role.
+* ``spark.sql.shuffle.partitions`` sized to the local core count; on a real
+  cluster this is overridden by AQE's coalescing so the value only sets the
+  pre-AQE upper bound.
+* UTC session timezone — the reference normalizes every user timestamp to
+  UTC (reference internal/app/timestamp.go:30-48).
+* Arrow enabled — every Python-side operator in this engine is a Pandas UDF
+  / mapInPandas (never row-at-a-time Python UDFs).
+* ``nanosAsLong`` — the events fixture carries parquet TIMESTAMP(NANOS)
+  which the vectorized reader does not support natively; sources/tables.py
+  converts the raw nanos to timestamp_ntz losslessly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "basin_cli_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if unset)
+    so tests and bench share one code path; on a cluster, spark-submit's
+    ``--master`` wins because we only set it when constructing a new session.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    master = master or f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

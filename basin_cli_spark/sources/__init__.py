@@ -1,0 +1,1 @@
+from basin_cli_spark.sources.tables import TABLES, load_table, register_views  # noqa: F401

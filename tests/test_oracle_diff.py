@@ -1,0 +1,34 @@
+"""Differential tests: every oracle-backed query in the registry must match
+DuckDB exactly (the driver's t2 gate, run here at sf0.001 for speed)."""
+
+import pytest
+
+from basin_cli_spark.oracle import compare, duckdb_connect
+from basin_cli_spark.queries import load_all
+
+QUERIES = load_all()
+ORACLE_BACKED = [name for name, spec in QUERIES.items() if spec.oracle]
+NO_ORACLE = [name for name, spec in QUERIES.items() if spec.oracle is None]
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, sf_dir)
+    opdf = oracle_con.execute(spec.oracle).df()
+    ok, msg = compare(sdf, opdf)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, sf_dir)
+    assert sdf.count() >= 0
