@@ -1,1 +1,242 @@
-"""(stub — filled in as operators land)"""
+"""Aggregation operators (SURVEY.md §2.B "Aggregations").
+
+The reference's only direct aggregate is the empty-table guard
+``select count(1) ... LIMIT 1`` (reference internal/app/db.go:155-166);
+the rest is its delegated DuckDB surface, re-expressed with hash
+aggregation (partial+final automatic — map-side combine is free at scale).
+
+Variance/stddev are computed from exact decimal moments (sum, sum of
+squares) so the value is order-independent — a raw float stddev would
+drift with partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from basin_cli_spark.queries import register
+from basin_cli_spark.queries._helpers import dec, dec_sum
+from basin_cli_spark.sources import load_table
+
+
+@register(
+    "q_agg_stats",
+    """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(l_shipdate) AS first_ship,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_stats(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dec_sum(dec("l_extendedprice"), "sum_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+_VAR_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       s1 / n AS mean_value,
+       (s2 - s1 * s1 / n) / (n - 1) AS var_value,
+       SQRT((s2 - s1 * s1 / n) / (n - 1)) AS stddev_value
+FROM m
+"""
+
+
+@register("q_stddev_var", _VAR_ORACLE)
+def q_stddev_var(spark, sf_dir):
+    """Sample variance/stddev from exact decimal moments (see module doc)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = dec("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("s1"),
+        F.sum(v * v).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return m.select(
+        "event_type",
+        "n",
+        (s1 / n).alias("mean_value"),
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+    )
+
+
+@register(
+    "q_grouping_rollup",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def q_grouping_rollup(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        gid.alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(dec("l_quantity"), "sum_qty"),
+    )
+
+
+@register(
+    "q_grouping_cube",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+""",
+)
+def q_grouping_cube(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    gid = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).cast("int")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        gid.alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(dec("o_totalprice"), "total"),
+    )
+
+
+@register(
+    "q_maxby_minby",
+    """
+SELECT c_nationkey,
+       ARG_MAX(c_name, c_custkey) AS newest_customer,
+       ARG_MIN(c_name, c_custkey) AS oldest_customer,
+       MAX(c_acctbal) AS max_bal
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def q_maxby_minby(spark, sf_dir):
+    """max_by/min_by keyed on the unique customer key (deterministic)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", "c_custkey").alias("newest_customer"),
+        F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@register(
+    "q_collect_list_sorted",
+    """
+SELECT r_name, ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), ',') AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def q_collect_list_sorted(spark, sf_dir):
+    """collect_list is order-nondeterministic — always sort before compare;
+    surfaced as a joined string so engines' array containers don't matter."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
+@register(
+    "q_median_percentile",
+    """
+SELECT l_returnflag,
+       MEDIAN(l_quantity) AS med_qty,
+       QUANTILE_CONT(l_quantity, 0.25) AS p25_qty,
+       QUANTILE_CONT(l_quantity, 0.75) AS p75_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_median_percentile(spark, sf_dir):
+    """Exact median / interpolated percentiles (both engines use linear
+    interpolation over the sorted values — deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", 0.25).alias("p25_qty"),
+        F.percentile("l_quantity", 0.75).alias("p75_qty"),
+    )
+
+
+@register(
+    "q_count_distinct_multi",
+    """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderstatus) AS n_statuses,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_count_distinct_multi(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register("q_approx_count_distinct", None)
+def q_approx_count_distinct(spark, sf_dir):
+    """HLL++ sketch — estimator differs from DuckDB's, so rows-only check;
+    exactness is covered by q_count_distinct_multi."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    )
+
+
+@register(
+    "q_pivot",
+    """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_pivot(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+    )
+    return p.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )

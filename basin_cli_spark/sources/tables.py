@@ -50,11 +50,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            # `div` = integer division: double division would lose the low
+            # microseconds at ~1.7e18 nanos (observed as ±1us oracle drift).
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros(
-                    (F.col("ts") / F.lit(1000)).cast("long")
-                ).cast("timestamp_ntz"),
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
     return df
 
