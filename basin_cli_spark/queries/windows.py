@@ -1,1 +1,258 @@
-"""(stub — filled in as operators land)"""
+"""Window-function and event-time-window operators
+(SURVEY.md §2.B "Window functions", "Streaming-only operators" batch-mode
+equivalents).
+
+Every window sits on a total order (unique-key tie-break) so ranks and
+frames are deterministic.  The batch event-time windows (tumbling / sliding
+/ session) are the same F.window / F.session_window operators used by the
+streaming layer (basin_cli_spark/streaming), checked here against explicit
+epoch-arithmetic SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from basin_cli_spark.queries import register
+from basin_cli_spark.queries._helpers import dec
+from basin_cli_spark.sources import load_table
+
+
+@register(
+    "q_window_rank",
+    """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       ROW_NUMBER()  OVER w AS rn,
+       RANK()        OVER w AS rnk,
+       DENSE_RANK()  OVER w AS drnk,
+       NTILE(4)      OVER w AS quartile
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q_window_rank(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "q_window_lag_lead",
+    """
+SELECT user_id, event_id, value,
+       LAG(value)  OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       FIRST_VALUE(event_id) OVER w AS first_event
+FROM events
+WHERE user_id < 40
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_lag_lead(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_id").over(wf).alias("first_event"),
+    )
+
+
+@register(
+    "q_window_running",
+    """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+FROM events
+WHERE user_id < 40
+""",
+)
+def q_window_running(spark, sf_dir):
+    """Cumulative frame; decimal sum keeps the prefix-sums exact."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(dec("value")).over(w).cast("double").alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@register(
+    "q_window_moving_avg",
+    """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
+FROM events
+WHERE user_id < 40
+""",
+)
+def q_window_moving_avg(spark, sf_dir):
+    """Bounded sliding frame (3-row moving average, exact arithmetic)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum(dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "moving_avg"
+        ),
+    )
+
+
+@register(
+    "q_topk_per_group",
+    """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+)
+def q_topk_per_group(spark, sf_dir):
+    """Latest-3 events per user — generalizes the reference's ``--latest N``
+    paging (reference cmd/vaults/commands.go:524-532) to per-key top-k.
+    Catalyst rewrites rn<=3 into a per-partition top-k (WindowGroupLimit) —
+    no full sort of each partition at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.select("user_id", "event_id", "ts", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_window_tumbling",
+    """
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_window_tumbling(spark, sf_dir):
+    """Event-time tumbling window (batch mode of the streaming operator —
+    the reference's windowing is processing-time only, reference
+    internal/app/db.go:83-101; event-time is the EXT generalization)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_window_sliding",
+    """
+WITH slides AS (
+  SELECT e.*, MAKE_TIMESTAMP((EPOCH_US(ts) // 1800000000 - s.k) * 1800000000) AS window_start
+  FROM events e, (SELECT UNNEST([0, 1]) AS k) s
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end, COUNT(*) AS n
+FROM slides
+WHERE ts < window_start + INTERVAL 1 HOUR
+GROUP BY window_start
+""",
+)
+def q_window_sliding(spark, sf_dir):
+    """Sliding window (1h / 30m): every event lands in 2 windows.  Oracle
+    replays Spark's epoch-aligned window assignment with integer epoch
+    arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+@register(
+    "q_session_window",
+    """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE user_id < 100
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def q_session_window(spark, sf_dir):
+    """Session window (30 min gap).  Spark's native session_window merges
+    events closer than the gap; the oracle reconstructs sessions with the
+    classic lag/cumsum idiom."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
