@@ -1,0 +1,175 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure Catalyst expressions (no Python UDFs in the hot
+path), so they keep whole-stage codegen and scale to 100 TB:
+
+* exact:   one hash-groupBy — shuffle keyed on the content hash.
+* minhash: shingle -> per-seed min-hash signature -> banded LSH
+           bucket-join.  Only docs sharing a band collide, so the
+           candidate-pair join is |bucket|^2 per bucket instead of |docs|^2.
+* simhash: 16-bit sign-of-weighted-bits fingerprint; near-dups share the
+           exact fingerprint (bucket count stays bounded).
+* n-gram Jaccard: exact pairwise verification over a candidate prefix (at
+  scale this runs AFTER LSH pruning, never all-pairs).
+
+Determinism notes for the DuckDB oracle: min-hashes compare md5 hex strings
+lexicographically (fixed-length lowercase hex == numeric order on the
+128-bit value) so no hex->int conversion is needed in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of lowercased text, empties dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), " "), lambda t: F.length(t) > 0)
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Word k-gram shingles (space-joined). Docs shorter than k words get
+    no shingles."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+    return F.when(F.size(toks) >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content hash: keep the smallest id per hash.
+    One shuffle on the hash; at scale the hash-groupBy partial-aggregates
+    map-side so only (hash, min_id, count) rows move."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_hashes: int = 8
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}): per-seed minimum of md5('<seed>:<shingle>').
+
+    Explodes shingles once and takes n_hashes mins in a single hash-agg —
+    no per-seed pass over the data.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(tokens(text_col))).alias("shingle")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded minhash-LSH.
+
+    bands = n_hashes / band_size; two docs become a candidate pair iff all
+    minhashes of at least one band agree (collision prob ~ J^band_size per
+    band).  The self-join is keyed on (band_id, signature) so only docs in
+    the same bucket ever meet — the scale path for dedup at 100 TB.
+    """
+    assert n_hashes % band_size == 0
+    sig = minhash_signatures(df, text_col, id_col, n_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat(
+                *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
+            ).alias("sig"),
+        )
+        for b in range(n_hashes // band_size)
+    ]
+    bands = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per token take `bits` bits of md5, sum +1/-1
+    votes per bit position over the doc, sign -> fingerprint bit.
+
+    Pure integer expressions (nibble lookup via strpos on the hex alphabet)
+    so the same formula runs on the DuckDB oracle.
+    """
+    assert bits % 4 == 0
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.md5(F.col("tok"))
+    vote_sums = []
+    for i in range(bits):
+        nibble = F.substring(h, i // 4 + 1, 1)
+        v = F.instr(F.lit("0123456789abcdef"), nibble) - 1
+        bit = F.shiftright(v, i % 4).bitwiseAND(F.lit(1))
+        vote_sums.append(F.sum(bit * 2 - 1).alias(f"s_{i}"))
+    votes = tok.groupBy(id_col).agg(*vote_sums)
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over distinct word k-gram sets, emitted for pairs over
+    the threshold.  Pairs are generated through the shared-shingle join (an
+    inverted index), never a cross join."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(tokens(text_col), k)).alias("shingle")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,72 @@
+"""Vault / event listing surface (reference A10/A11/A15).
+
+The reference pushes event filters to its provider as HTTP query params
+(reference pkg/vaultsprovider/provider.go:92-121) with CLI semantics:
+
+* ``--at T``      => ``before = after = T`` (reference cmd/vaults/commands.go:519,
+  787-803), i.e. an inclusive point lookup;
+* ``--latest N``  => ``limit = N, offset = 0`` ordered newest-first
+  (reference cmd/vaults/commands.go:524-532);
+* vault names match ``namespace.relation`` (reference internal/app/models.go:10).
+
+Here the same semantics are pure DataFrame ops over an events table; filters
+and limits sit directly on the scan so Catalyst pushes them into the source
+(never fetch-then-filter — the same pushdown discipline the reference applies
+to its provider).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Reference vault-name regex (reference cmd/vaults/commands.go:32).
+VAULT_NAME_RE = re.compile(r"^([a-zA-Z_][a-zA-Z0-9_]*)[.]([a-zA-Z_][a-zA-Z0-9_]*$)")
+
+
+def parse_vault_name(name: str) -> tuple[str, str]:
+    """Split ``namespace.relation``, rejecting invalid names the way the
+    reference does (reference cmd/vaults/commands.go:185-189)."""
+    m = VAULT_NAME_RE.match(name)
+    if not m:
+        raise ValueError(
+            f"invalid vault name {name!r}: expected `namespace.relation`"
+        )
+    return m.group(1), m.group(2)
+
+
+def list_events(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_id",
+    before: str | None = None,
+    after: str | None = None,
+    at: str | None = None,
+    latest: int | None = None,
+    limit: int = 10,
+    offset: int = 0,
+) -> DataFrame:
+    """Reference ``vaults events`` semantics as one DataFrame pipeline.
+
+    Bounds are inclusive (``--at`` must return the event at exactly that
+    timestamp).  ``latest`` overrides limit/offset.  Ordering is newest-first
+    with the unique key as tie-break so paging is deterministic.
+    """
+    if at is not None:
+        if before is not None or after is not None:
+            raise ValueError("`at` cannot be combined with before/after")
+        before = after = at
+    df = events
+    ts: Column = F.col(ts_col)
+    if after is not None:
+        df = df.where(ts >= F.lit(after).cast("timestamp_ntz"))
+    if before is not None:
+        df = df.where(ts <= F.lit(before).cast("timestamp_ntz"))
+    if latest is not None:
+        limit, offset = latest, 0
+    df = df.orderBy(ts.desc(), F.col(key_col).desc())
+    if offset:
+        df = df.offset(offset)
+    return df.limit(limit)

@@ -1,0 +1,96 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline: a broadcast of the
+query vector + one pass over the candidates (no shuffle until the final
+top-k, which Spark plans as TakeOrderedAndProject — per-partition heaps,
+only k rows move).
+
+The scale path is sign-LSH bucketing: a 16-bit signature from the signs of
+the leading dimensions partitions the corpus; a query probes only its own
+bucket (1/2^16 of the data in expectation).  Both are pure Catalyst
+expressions — the dot product is a sequential fold (F.aggregate over
+zip_with) that DuckDB's list_reduce replays addition-for-addition, so
+scores match the oracle bit-for-bit before the final rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic order)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_sq(a: Column) -> Column:
+    return dot(a, a)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k against one stored vector.
+
+    The score is rounded before ordering so rank order is identical across
+    engines (raw doubles are already bit-equal here, but ordering on the
+    rounded value makes ties explicit and keyed on id).
+    """
+    q = df.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q_emb")
+    )
+    cand = df.where(F.col(id_col) != query_vec_id)
+    score = F.round(cosine(F.col(vec_col), F.col("_q_emb")), round_to)
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def sign_lsh_signature(vec: Column, bits: int = 16) -> Column:
+    """Sign-random-projection LSH with axis-aligned planes: bit i is the
+    sign of dimension i.  Cheap, deterministic, and oracle-replayable."""
+    sig = None
+    for i in range(bits):
+        term = F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sig.cast("bigint")
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN via sign-LSH bucket probe: exact cosine, but only inside the
+    query's bucket.  At 100 TB the bucket column is a partition key, so the
+    probe is a partition-pruned scan instead of a full pass."""
+    with_sig = df.withColumn("_sig", sign_lsh_signature(F.col(vec_col), bits))
+    q = with_sig.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q_emb"), F.col("_sig").alias("_q_sig")
+    )
+    cand = with_sig.where(F.col(id_col) != query_vec_id)
+    score = F.round(cosine(F.col(vec_col), F.col("_q_emb")), round_to)
+    return (
+        cand.join(F.broadcast(q), cand["_sig"] == q["_q_sig"])
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

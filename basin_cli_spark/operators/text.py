@@ -1,0 +1,89 @@
+"""Text-analysis operators: quality stats, language ID, token counting,
+document fingerprinting.  All pure Catalyst expressions (JVM-side, inside
+whole-stage codegen) — no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from basin_cli_spark.operators.dedup import tokens
+
+# Tiny per-language stopword sets for the n-gram/stopword-hit heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "de", "los"],
+}
+_PUNCT = "[.,!?;:]"
+
+
+def _hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+
+def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features: length, token count, punctuation
+    ratio, stopword ratio, mean token length."""
+    toks = tokens(text_col)
+    n_chars = F.length(text_col)
+    n_punct = n_chars - F.length(F.regexp_replace(text_col, _PUNCT, ""))
+    n_tokens = F.size(toks)
+    n_stop = _hits(toks, STOPWORDS["en"])
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ).cast("double") / n_tokens
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-hit language heuristic: score each language's stopword list
+    against the token multiset, predict the argmax (ties broken by fixed
+    language order, 'und' for no hits at all)."""
+    toks = tokens(text_col)
+    scores = {lang: _hits(toks, words) for lang, words in STOPWORDS.items()}
+    pred = F.lit("und")
+    best = F.lit(0)
+    for lang in sorted(STOPWORDS):  # fixed order => deterministic ties
+        s = scores[lang]
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.when(s > best, s).otherwise(best)
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace tokens plus a BPE-ish segmentation count (alpha runs,
+    digit runs, and single symbol chars each count as one piece)."""
+    ws = F.size(tokens(text_col))
+    bpe = F.regexp_count(F.lower(text_col), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Polynomial rolling hash (h = h*31 + code mod 1e9+7) over the ASCII
+    letters/spaces of the text — an order-sensitive document fingerprint
+    (the composition analogue of the reference's streaming content hash,
+    reference pkg/signing/signing.go:77-100, as a relational expression).
+    Non-[a-z ] chars are stripped first so the fold sees identical
+    codepoints in every engine.  The cleaned text is materialized as a
+    column so the per-char lambda doesn't re-run the regexp."""
+    cleaned = df.withColumn(
+        "_clean", F.regexp_replace(F.lower(F.col(text_col)), "[^a-z ]", "")
+    )
+    fp = F.expr(
+        "aggregate(transform(sequence(1, length(_clean)), i -> ascii(substring(_clean, i, 1))), "
+        "0L, (h, c) -> (h * 31 + c) % 1000000007)"
+    )
+    return cleaned.select(F.col(id_col), fp.alias("fingerprint"))

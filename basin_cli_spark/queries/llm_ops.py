@@ -1,1 +1,338 @@
-"""(stub — filled in as operators land)"""
+"""LLM-data-pipeline operators (SURVEY.md §2.B extensions, north star):
+dedup (exact / minhash-LSH / simhash / n-gram Jaccard), similarity search
+(brute-force + sign-LSH ANN), text analysis, multimodal plumbing.
+
+Oracle SQL is generated from the same formulas the Spark operators use —
+minhashes compare md5 hex strings, folds replay in identical order — so
+results match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from basin_cli_spark.operators import dedup as D
+from basin_cli_spark.operators import similarity as S
+from basin_cli_spark.operators import text as TX
+from basin_cli_spark.queries import register
+from basin_cli_spark.sources import load_table
+
+# Shared SQL fragments mirroring operators/dedup.py
+_SQL_TOKENS = "LIST_FILTER(STRING_SPLIT(LOWER({c}), ' '), t -> LENGTH(t) > 0)"
+_SQL_SHINGLES = (
+    "CASE WHEN LEN(tokens) >= 3 THEN "
+    "LIST_TRANSFORM(RANGE(1, LEN(tokens) - 1), "
+    "i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) "
+    "ELSE [] END"
+)
+
+
+def _shingle_cte(where: str = "TRUE") -> str:
+    return f"""
+toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS tokens
+  FROM documents WHERE {where}
+),
+sh AS (
+  SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle FROM toks
+)
+"""
+
+
+@register(
+    "q_dedup_exact",
+    """
+SELECT MD5(text) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY MD5(text)
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "text", "doc_id")
+
+
+@register(
+    "q_dedup_exact_events",
+    """
+SELECT user_id, event_type, MIN(event_id) AS keep_event, COUNT(*) AS n_dups
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def q_dedup_exact_events(spark, sf_dir):
+    """Key-based exact dedup keeping the first (min-id) row per key — the
+    deterministic form of dropDuplicates."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("keep_event"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+_MINHASH_MINS = ",\n       ".join(
+    f"MIN(MD5('{j}:' || shingle)) AS mh_{j}" for j in range(8)
+)
+_MINHASH_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, mh_{2 * b} || mh_{2 * b + 1} AS sig FROM mh"
+    for b in range(4)
+)
+
+_MINHASH_ORACLE = f"""
+WITH {_shingle_cte()},
+mh AS (
+  SELECT doc_id, {_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+@register("q_dedup_minhash", _MINHASH_ORACLE)
+def q_dedup_minhash(spark, sf_dir):
+    """Banded MinHash-LSH candidate pairs (8 hashes, 4 bands x 2 rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "text", "doc_id", n_hashes=8, band_size=2)
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    vote_cols = []
+    for i in range(bits):
+        nib = f"(STRPOS('0123456789abcdef', SUBSTRING(MD5(tok), {i // 4 + 1}, 1)) - 1)"
+        bit = f"(({nib} >> {i % 4}) & 1)"
+        vote_cols.append(f"CAST(SUM({bit} * 2 - 1) AS BIGINT) AS s_{i}")
+    fp = " + ".join(
+        f"CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS tokens FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(tokens) AS tok FROM toks),
+votes AS (
+  SELECT doc_id, {', '.join(vote_cols)}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@register("q_dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash(d, "text", "doc_id")
+
+
+_JACCARD_ORACLE = f"""
+WITH {_shingle_cte('doc_id < 200')},
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+"""
+
+
+@register("q_dedup_ngram_jaccard", _JACCARD_ORACLE)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard verification (inverted-index join, threshold
+    0.5) over a doc_id prefix — the verify stage that follows LSH."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+_DOT_SQL = (
+    "LIST_REDUCE(LIST_TRANSFORM(RANGE(1, LEN({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"SQRT({_DOT_SQL.format(a=a, b=a)} * {_DOT_SQL.format(a=b, b=b)})"
+    )
+
+
+_BRUTE_ORACLE = f"""
+SELECT e.vec_id, ROUND({_cosine_sql('e.embedding', 'q.embedding')}, 6) AS score
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("q_similarity_bruteforce", _BRUTE_ORACLE)
+def q_similarity_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-10 for vec_id=0 (correctness baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, query_vec_id=0, k=10)
+
+
+_SIG_SQL = " + ".join(
+    f"CASE WHEN {{v}}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(16)
+)
+
+_LSH_ANN_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, CAST({_SIG_SQL.format(v='embedding')} AS BIGINT) AS sig
+  FROM embeddings
+)
+SELECT e.vec_id, ROUND({_cosine_sql('e.embedding', 'q.embedding')}, 6) AS score
+FROM sigs e JOIN (SELECT embedding, sig FROM sigs WHERE vec_id = 0) q ON e.sig = q.sig
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id
+LIMIT 5
+"""
+
+
+@register("q_similarity_ann_lsh", _LSH_ANN_ORACLE)
+def q_similarity_ann_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN: probe only the query's bucket (scale path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(e, query_vec_id=0, k=5)
+
+
+_STOP_EN = "['the', 'and', 'of', 'to', 'a']"
+
+_QUALITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_SQL_TOKENS.format(c='text')} AS tokens FROM documents
+)
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       LEN(tokens) AS n_tokens,
+       CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         / LENGTH(text) AS punct_ratio,
+       CAST(LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({_STOP_EN}, t))) AS DOUBLE)
+         / LEN(tokens) AS stopword_ratio,
+       CAST(LIST_REDUCE(LIST_PREPEND(0, LIST_TRANSFORM(tokens, t -> LENGTH(t))), (a, b) -> a + b) AS DOUBLE)
+         / LEN(tokens) AS mean_token_len
+FROM toks
+"""
+
+
+@register("q_text_quality_stats", _QUALITY_ORACLE)
+def q_text_quality_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return TX.quality_stats(d, "text", "doc_id")
+
+
+def _langid_oracle() -> str:
+    hit = (
+        "LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({words}, t)))"
+    )
+    langs = {
+        "en": "['the', 'and', 'of', 'to', 'a']",
+        "de": "['der', 'die', 'und', 'das', 'ist']",
+        "fr": "['le', 'la', 'et', 'les', 'des']",
+        "es": "['el', 'la', 'que', 'de', 'los']",
+    }
+    score_cols = ", ".join(
+        f"{hit.format(words=w)} AS s_{lang}" for lang, w in langs.items()
+    )
+    pred, best = "'und'", "0"
+    for lang in sorted(langs):
+        pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_SQL_TOKENS.format(c='text')} AS tokens FROM documents
+),
+scored AS (SELECT doc_id, lang, {score_cols} FROM toks),
+pred AS (SELECT doc_id, lang, {pred} AS pred_lang FROM scored)
+SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY lang, pred_lang
+"""
+
+
+@register("q_text_language_id", _langid_oracle())
+def q_text_language_id(spark, sf_dir):
+    """Stopword-heuristic language ID, reported as a lang x predicted
+    confusion table."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = TX.language_id(d, "text", "doc_id")
+    return (
+        d.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_TOKCOUNT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_SQL_TOKENS.format(c='text')} AS tokens FROM documents
+)
+SELECT doc_id,
+       LEN(tokens) AS ws_tokens,
+       LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+FROM toks
+"""
+
+
+@register("q_text_token_count", _TOKCOUNT_ORACLE)
+def q_text_token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return TX.token_count(d, "text", "doc_id")
+
+
+_FP_ORACLE = """
+WITH cleaned AS (
+  SELECT doc_id, REGEXP_REPLACE(LOWER(text), '[^a-z ]', '', 'g') AS c
+  FROM documents WHERE lang = 'en'
+)
+SELECT doc_id,
+       LIST_REDUCE(
+         LIST_PREPEND(CAST(0 AS BIGINT),
+           LIST_TRANSFORM(RANGE(1, LENGTH(c) + 1),
+                          i -> CAST(ASCII(SUBSTRING(c, CAST(i AS INT), 1)) AS BIGINT))),
+         (h, ch) -> (h * 31 + ch) % 1000000007) AS fingerprint
+FROM cleaned
+"""
+
+
+@register("q_text_fingerprint", _FP_ORACLE)
+def q_text_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    return TX.fingerprint(d, "text", "doc_id")
+
+
+@register(
+    "q_multimodal_meta",
+    """
+SELECT doc_id,
+       OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+       UPPER(HEX(ENCODE(SUBSTRING(text, 1, 4)))) AS magic_hex,
+       MD5(text) AS content_hash
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Opaque-binary metadata plumbing: the text column stands in for an
+    image/audio blob (the container has no media libs — decode itself is
+    stubbed in operators/multimodal.py); byte length, magic bytes, and
+    content hash are the real Spark-side schema/partitioning path."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    blob = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.upper(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("magic_hex"),
+        F.md5("text").alias("content_hash"),
+    )
