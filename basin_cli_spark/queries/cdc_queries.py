@@ -1,1 +1,95 @@
-"""(stub — filled in as operators land)"""
+"""CDC replay as oracle-checkable batch queries over the wal2json fixture
+(fixtures/wal.jsonl, shaped after reference internal/app/testdata/wal.input
+with U/D records included per pkg/pgrepl/replicator_test.go:51-62)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from basin_cli_spark.queries import register
+from basin_cli_spark.sources.cdc import materialize_table, read_wal_batch
+
+_FIXTURE = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "fixtures", "wal.jsonl")
+
+_T_ORACLE = f"""
+WITH lines AS (
+  SELECT * FROM read_json('{_FIXTURE}', format='newline_delimited',
+                          columns={{commit_lsn: 'BIGINT', records: 'JSON[]'}})
+),
+rec AS (SELECT commit_lsn, UNNEST(records) AS r FROM lines)
+SELECT CAST((r->>'$.columns[0].value') AS INTEGER) AS id,
+       (r->>'$.columns[1].value') AS name
+FROM rec
+WHERE (r->>'$.action') = 'I' AND (r->>'$.table') = 't'
+"""
+
+
+@register("q_cdc_replay_t", _T_ORACLE)
+def q_cdc_replay_t(spark, sf_dir):
+    """Replay table `t` from the WAL fixture: only inserts materialize
+    (append-only vaults, reference README.md:146)."""
+    rec = read_wal_batch(spark, _FIXTURE)
+    return materialize_table(rec, "t", [("id", "integer"), ("name", "text")])
+
+
+_M_ORACLE = f"""
+WITH lines AS (
+  SELECT * FROM read_json('{_FIXTURE}', format='newline_delimited',
+                          columns={{commit_lsn: 'BIGINT', records: 'JSON[]'}})
+),
+rec AS (SELECT commit_lsn, UNNEST(records) AS r FROM lines)
+SELECT CAST((r->>'$.columns[0].value') AS INTEGER) AS id,
+       CAST((r->>'$.columns[1].value') AS DOUBLE) AS price,
+       CAST((r->>'$.columns[2].value') AS BOOLEAN) AS active,
+       CAST((r->>'$.columns[3].value') AS TIMESTAMP) AS created
+FROM rec
+WHERE (r->>'$.action') = 'I' AND (r->>'$.table') = 'm'
+"""
+
+
+@register("q_cdc_replay_m", _M_ORACLE)
+def q_cdc_replay_m(spark, sf_dir):
+    """Replay table `m`: numeric->double, boolean, timestamp_ntz, with JSON
+    nulls passing through every transform (reference
+    internal/app/type_converter.go:30-33)."""
+    rec = read_wal_batch(spark, _FIXTURE)
+    return materialize_table(
+        rec,
+        "m",
+        [
+            ("id", "integer"),
+            ("price", "numeric"),
+            ("active", "boolean"),
+            ("created", "timestamp without time zone"),
+        ],
+    )
+
+
+_ORDER_ORACLE = f"""
+WITH lines AS (
+  SELECT * FROM read_json('{_FIXTURE}', format='newline_delimited',
+                          columns={{commit_lsn: 'BIGINT', records: 'JSON[]'}})
+),
+rec AS (
+  SELECT commit_lsn,
+         UNNEST(LIST_ZIP(records, RANGE(0, LEN(records)))) AS z
+  FROM lines
+)
+SELECT commit_lsn AS _commit_lsn,
+       CAST(z[2] AS INT) AS _tx_pos,
+       (z[1]->>'$.action') AS _action,
+       CAST((z[1]->>'$.xid') AS BIGINT) AS _xid,
+       (z[1]->>'$.table') AS _table
+FROM rec
+"""
+
+
+@register("q_cdc_record_stream", _ORDER_ORACLE)
+def q_cdc_record_stream(spark, sf_dir):
+    """The raw record stream with intra-tx ordering metadata — all actions
+    visible (I/U/D), ordering key (_commit_lsn, _tx_pos) intact."""
+    rec = read_wal_batch(spark, _FIXTURE)
+    return rec.select("_commit_lsn", "_tx_pos", "_action", "_xid", "_table")

@@ -1,0 +1,76 @@
+"""PG literal parsers for values arriving through the CDC boundary.
+
+wal2json delivers every column value as a JSON scalar; two PG shapes need
+real parsing before they can be cast to Spark types (SURVEY.md §4 item 4):
+
+* 1-D array literals: '{42,-42,NULL}', '{a,Z,NULL}'
+  (reference internal/app/test_util.go:193-212);
+* mixed interval strings: '1 year 2 mons 21 days 05:00:00', '-17 days'
+  (reference internal/app/db_test.go:379-390).
+
+Both are pure Catalyst expressions — no UDFs — so they run JVM-side.
+Quoted array elements containing commas are out of scope (the reference's
+own test vectors never exercise them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def parse_pg_array(col: Column, element_type: T.DataType) -> Column:
+    """'{a,b,NULL}' -> array<element_type> with NULL elements preserved
+    (the reference keeps NULL array elements, type_converter.go:52)."""
+    inner = F.regexp_replace(col, r"^\{|\}$", "")
+    parts = F.when(inner == "", F.array().cast("array<string>")).otherwise(
+        F.split(inner, ",")
+    )
+    return F.transform(
+        parts,
+        lambda p: F.when(p == "NULL", F.lit(None)).otherwise(
+            F.regexp_replace(p, '^"|"$', "")
+        ).try_cast(element_type),
+    )
+
+
+def parse_pg_interval(col: Column) -> Column:
+    """PG interval text -> struct(months, days, micros).
+
+    Handles the reference's test vectors: unit words (year/mons/days) in any
+    combination plus an optional trailing [-]HH:MM:SS[.ffffff] clock part.
+    """
+    years = F.coalesce(
+        F.regexp_extract(col, r"(-?\d+)\s+year", 1).try_cast("int"), F.lit(0)
+    )
+    months = F.coalesce(
+        F.regexp_extract(col, r"(-?\d+)\s+mon", 1).try_cast("int"), F.lit(0)
+    )
+    days = F.coalesce(
+        F.regexp_extract(col, r"(-?\d+)\s+day", 1).try_cast("int"), F.lit(0)
+    )
+    clock = F.regexp_extract(col, r"(-?)(\d+):(\d{2}):(\d{2})(\.(\d+))?\s*$", 0)
+    sign = F.when(clock.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    hh = F.coalesce(
+        F.regexp_extract(col, r"(-?)(\d+):(\d{2}):(\d{2})", 2).try_cast("long"), F.lit(0)
+    )
+    mm = F.coalesce(
+        F.regexp_extract(col, r"(-?)(\d+):(\d{2}):(\d{2})", 3).try_cast("long"), F.lit(0)
+    )
+    ss = F.coalesce(
+        F.regexp_extract(col, r"(-?)(\d+):(\d{2}):(\d{2})", 4).try_cast("long"), F.lit(0)
+    )
+    frac = F.regexp_extract(col, r"\d+:\d{2}:\d{2}\.(\d+)", 1)
+    micros_frac = F.coalesce(
+        F.rpad(frac, 6, "0").try_cast("long"), F.lit(0)
+    )
+    total_micros = sign * (
+        (hh * 3600 + mm * 60 + ss) * F.lit(1000000) + micros_frac
+    )
+    # empty regexp_extract returns '' -> cast NULL -> coalesce 0 handled above
+    return F.struct(
+        (years * 12 + months).cast("int").alias("months"),
+        days.cast("int").alias("days"),
+        total_micros.cast("long").alias("micros"),
+    )
