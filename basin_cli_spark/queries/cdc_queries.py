@@ -93,3 +93,16 @@ def q_cdc_record_stream(spark, sf_dir):
     visible (I/U/D), ordering key (_commit_lsn, _tx_pos) intact."""
     rec = read_wal_batch(spark, _FIXTURE)
     return rec.select("_commit_lsn", "_tx_pos", "_action", "_xid", "_table")
+
+
+@register("q_ecmh_digest", None)
+def q_ecmh_digest(spark, sf_dir):
+    """ECMH multiset digest of documents.text (reference pkg/ecmh/ecmh.go) —
+    not SQL-expressible (EC point arithmetic), so rows-only check; algebraic
+    properties are covered in tests/test_ecmh.py."""
+    from basin_cli_spark.functions.ecmh import ecmh_digest
+    from basin_cli_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    digest = ecmh_digest(d, "text")
+    return spark.createDataFrame([(digest,)], ["ecmh_digest"])

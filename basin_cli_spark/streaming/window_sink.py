@@ -1,0 +1,149 @@
+"""Windowed signed-Parquet sink — the Spark face of the reference's core
+pipeline (reference internal/app/db.go:83-101, 128-212, 291-322):
+
+reference                                   this engine
+---------                                   -----------
+per-window embedded DuckDB file             micro-batch DataFrame
+ticker fires every windowInterval           trigger(processingTime=...)
+export: COPY t TO '<t>-<ns>.db.parquet'     batch.write.parquet(<t>-<batch>)
+empty-table guard (count(1) LIMIT 1)        df.isEmpty()
+sign (keccak256 + secp256k1)                functions/signing.sign_file
+upload + EventInfo row                      manifest JSONL row (cid-style
+                                            content hash, ts, signature)
+LSN ack / crash recovery (UploadAll)        checkpointLocation + batch-id
+                                            idempotence + startup sweep
+
+Delivery is at-least-once with idempotent re-publish, the same boundary the
+reference has (duplicate upload possible between upload and cleanup,
+reference internal/app/db.go:303-314) — re-running a batch id is a no-op
+because the manifest is keyed on it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+
+from basin_cli_spark.functions.hashing import keccak256_file
+from basin_cli_spark.functions.signing import sign_file
+from basin_cli_spark.sources.cdc import materialize_table
+
+
+class WindowedVaultSink:
+    """foreachBatch target: per table, export the batch's inserts to a
+    parquet window file, sign it, and append a manifest event row."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        schemas: dict[str, list[tuple[str, str]]],
+        vault: str = "ns.relation",
+        private_key_hex: str | None = None,
+    ) -> None:
+        self.out_dir = out_dir
+        self.schemas = schemas
+        self.vault = vault
+        self.private_key_hex = private_key_hex
+        self.manifest_path = os.path.join(out_dir, "manifest.jsonl")
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+
+    def _published_batches(self) -> set[int]:
+        done = set()
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                for line in f:
+                    done.add(json.loads(line)["batch_id"])
+        return done
+
+    def _append_manifest(self, rows: list[dict]) -> None:
+        with open(self.manifest_path, "a") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+
+    # -- the sink ------------------------------------------------------------
+
+    def process_batch(self, records: DataFrame, batch_id: int) -> None:
+        """Export/sign/publish one micro-batch of parsed WAL records.
+        Idempotent on batch_id (at-least-once upstream => exactly-once
+        manifest)."""
+        if batch_id in self._published_batches():
+            return
+        rows: list[dict] = []
+        for table, columns in self.schemas.items():
+            tdf = materialize_table(records, table, columns)
+            if tdf.isEmpty():  # reference's empty-export guard (db.go:155-166)
+                continue
+            epoch_ns = time.time_ns()
+            path = os.path.join(self.out_dir, f"{table}-{epoch_ns}.parquet")
+            tdf.write.mode("overwrite").parquet(path)
+            rows.append(self._event_row(table, path, batch_id))
+        self._append_manifest(rows)  # empty list still marks nothing; see below
+        if not rows:
+            # record the empty batch so recovery does not replay it forever
+            self._append_manifest(
+                [{"batch_id": batch_id, "table": None, "path": None,
+                  "cid": None, "signature": None, "timestamp": int(time.time()),
+                  "is_archived": False}]
+            )
+
+    def _event_row(self, table: str, path: str, batch_id: int) -> dict:
+        # content id: keccak over the parquet part files (sorted for
+        # determinism); signature over the same bytes when a key is set.
+        parts = sorted(
+            os.path.join(path, p)
+            for p in os.listdir(path)
+            if p.endswith(".parquet")
+        )
+        cid = "0x" + b"".join(keccak256_file(p) for p in parts).hex()[:64]
+        signature = (
+            b"".join(sign_file(p, self.private_key_hex) for p in parts).hex()
+            if self.private_key_hex
+            else None
+        )
+        return {
+            "batch_id": batch_id,
+            "table": table,
+            "path": path,
+            "cid": cid,
+            "signature": signature,
+            "timestamp": int(time.time()),
+            "is_archived": False,
+        }
+
+    def events(self, spark) -> DataFrame:
+        """The vault-events metadata table (reference EventInfo,
+        internal/app/models.go:41-46) as a DataFrame."""
+        return spark.read.json(self.manifest_path)
+
+
+def run_stream(
+    spark,
+    wal_dir: str,
+    sink: WindowedVaultSink,
+    checkpoint_dir: str,
+    processing_time: str | None = None,
+):
+    """Wire the CDC stream into the sink.
+
+    ``processing_time=None`` runs one availableNow drain (used by tests and
+    recovery sweeps); otherwise the trigger cadence is the reference's
+    ``--window-size`` (default 3600 s, reference cmd/vaults/config.go:18).
+    """
+    from basin_cli_spark.sources.cdc import read_wal_stream
+
+    records = read_wal_stream(spark, wal_dir)
+    writer = (
+        records.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, bid: sink.process_batch(df, bid))
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

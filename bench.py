@@ -1,0 +1,68 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect) after a warm-up of the
+session; time covers plan + execution, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from basin_cli_spark.queries import load_all  # noqa: E402
+from basin_cli_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q_join_inner_broadcast",
+    "q_join_asof",
+    "q_agg_stats",
+    "q_topk_per_group",
+    "q_window_running",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_similarity_bruteforce",
+    "q_events_before_after",
+    "q_window_tumbling",
+    "q_text_quality_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry = load_all()
+    spark = get_spark(app_name="basin_cli_spark_bench")
+
+    # warm the JVM/codegen paths with a trivial action
+    spark.range(1000).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

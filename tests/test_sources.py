@@ -1,0 +1,58 @@
+"""Source/sink coverage beyond parquet: CSV/JSON scans, parquet round-trip,
+in-memory rows (SURVEY.md §2.B sources/sinks), vault-name validation."""
+
+import pytest
+from pyspark.sql import types as T
+
+from basin_cli_spark.operators.events import parse_vault_name
+from basin_cli_spark.sources import load_table
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_out.parquet")
+    df.write.parquet(out)
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_csv_scan_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "data.csv")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], ["id", "name", "score"]
+    )
+    df.write.option("header", True).csv(out)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_json_scan_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "data.json")
+    df = spark.createDataFrame([(1, {"k": "v"}), (2, None)], ["id", "props"])
+    df.write.json(out)
+    back = spark.read.json(out)
+    assert back.count() == 2
+
+
+def test_in_memory_rows_typed(spark):
+    """spark.createDataFrame replaces the reference's INSERT codegen
+    (reference internal/app/db.go:254-289) — typed rows, no literal
+    escaping."""
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("name", T.StringType(), True),
+    ])
+    df = spark.createDataFrame([(1, "o'brien"), (2, None)], schema)
+    got = {(r.id, r.name) for r in df.collect()}
+    assert got == {(1, "o'brien"), (2, None)}
+
+
+def test_vault_name_valid():
+    assert parse_vault_name("my_ns.my_table") == ("my_ns", "my_table")
+    assert parse_vault_name("a.b") == ("a", "b")
+
+
+@pytest.mark.parametrize("bad", ["nodot", "1ns.t", "ns.1t", "ns.t.extra", "ns.", ".t"])
+def test_vault_name_invalid(bad):
+    with pytest.raises(ValueError):
+        parse_vault_name(bad)

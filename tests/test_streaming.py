@@ -1,0 +1,137 @@
+"""Streaming window-sink tests — ports of the reference's streamer
+scenarios (reference internal/app/streamer_test.go:32-130, 134-201):
+txs arriving across window boundaries produce per-window parquet files in
+WAL order, U/D records never materialize, and recovery/replay is
+idempotent."""
+
+import json
+import os
+
+import pytest
+
+from basin_cli_spark.streaming.window_sink import WindowedVaultSink, run_stream
+
+TX1 = {
+    "commit_lsn": 957398296,
+    "records": [
+        {"action": "I", "xid": 1058, "lsn": "0/3910B898", "nextlsn": "",
+         "timestamp": "2023-08-22 14:44:02.043586-03", "schema": "public",
+         "table": "t",
+         "columns": [{"name": "id", "type": "integer", "value": 200232},
+                     {"name": "name", "type": "text", "value": "100"}],
+         "pk": [{"name": "id", "type": "integer"}]},
+        {"action": "I", "xid": 1058, "lsn": "0/3910B8D8", "nextlsn": "",
+         "timestamp": "2023-08-22 14:44:02.043586-03", "schema": "public",
+         "table": "t",
+         "columns": [{"name": "id", "type": "integer", "value": 200242},
+                     {"name": "name", "type": "text", "value": "400"}],
+         "pk": [{"name": "id", "type": "integer"}]},
+    ],
+}
+TX2 = {
+    "commit_lsn": 957398300,
+    "records": [
+        {"action": "U", "xid": 1059, "lsn": "0/3910B918", "nextlsn": "",
+         "timestamp": "2023-08-22 14:44:10.000000-03", "schema": "public",
+         "table": "t",
+         "columns": [{"name": "id", "type": "integer", "value": 200242},
+                     {"name": "name", "type": "text", "value": "999"}],
+         "pk": [{"name": "id", "type": "integer"}]},
+        {"action": "I", "xid": 1059, "lsn": "0/3910B958", "nextlsn": "",
+         "timestamp": "2023-08-22 14:44:10.000000-03", "schema": "public",
+         "table": "t",
+         "columns": [{"name": "id", "type": "integer", "value": 200233},
+                     {"name": "name", "type": "text", "value": "200"}],
+         "pk": [{"name": "id", "type": "integer"}]},
+    ],
+}
+SCHEMAS = {"t": [("id", "integer"), ("name", "text")]}
+PRIV = "59c6995e998f97a5a0044966f0945389dc9e86dae88c7a8412f4603b6b78690d"
+
+
+def _write_tx(wal_dir, name, tx):
+    os.makedirs(wal_dir, exist_ok=True)
+    with open(os.path.join(wal_dir, name), "w") as f:
+        f.write(json.dumps(tx) + "\n")
+
+
+def _drain(spark, wal_dir, sink, ckpt):
+    q = run_stream(spark, wal_dir, sink, ckpt)
+    q.awaitTermination(120)
+
+
+def _manifest(sink):
+    with open(sink.manifest_path) as f:
+        return [json.loads(line) for line in f]
+
+
+def _window_rows(spark, path):
+    df = spark.read.parquet(path)
+    return [(r.id, r.name) for r in df.orderBy("id").collect()]
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    return str(tmp_path / "wal"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def test_tx_window_tx_close(spark, dirs):
+    """T1, W, T2, C: each window exports its own parquet file."""
+    wal_dir, out_dir, ckpt = dirs
+    sink = WindowedVaultSink(out_dir, SCHEMAS, private_key_hex=PRIV)
+
+    _write_tx(wal_dir, "tx1.jsonl", TX1)
+    _drain(spark, wal_dir, sink, ckpt)
+    _write_tx(wal_dir, "tx2.jsonl", TX2)
+    _drain(spark, wal_dir, sink, ckpt)
+
+    published = [m for m in _manifest(sink) if m["table"] == "t"]
+    assert len(published) == 2
+    w1, w2 = published
+    assert sorted(_window_rows(spark, w1["path"])) == [(200232, "100"), (200242, "400")]
+    # U record from tx2 is filtered — only the insert materializes
+    assert _window_rows(spark, w2["path"]) == [(200233, "200")]
+    for m in published:
+        assert m["cid"].startswith("0x") and len(m["signature"]) >= 130
+
+
+def test_txs_one_window(spark, dirs):
+    """T1, T2, W, C: both txs land in a single window file."""
+    wal_dir, out_dir, ckpt = dirs
+    sink = WindowedVaultSink(out_dir, SCHEMAS, private_key_hex=PRIV)
+    _write_tx(wal_dir, "tx1.jsonl", TX1)
+    _write_tx(wal_dir, "tx2.jsonl", TX2)
+    _drain(spark, wal_dir, sink, ckpt)
+
+    published = [m for m in _manifest(sink) if m["table"] == "t"]
+    assert len(published) == 1
+    assert sorted(_window_rows(spark, published[0]["path"])) == [
+        (200232, "100"), (200233, "200"), (200242, "400"),
+    ]
+
+
+def test_recovery_idempotent(spark, dirs):
+    """Re-draining with the same checkpoint publishes nothing new
+    (at-least-once upstream, exactly-once manifest)."""
+    wal_dir, out_dir, ckpt = dirs
+    sink = WindowedVaultSink(out_dir, SCHEMAS, private_key_hex=PRIV)
+    _write_tx(wal_dir, "tx1.jsonl", TX1)
+    _drain(spark, wal_dir, sink, ckpt)
+    before = _manifest(sink)
+    _drain(spark, wal_dir, sink, ckpt)  # no new data, same checkpoint
+    assert _manifest(sink) == before
+    # direct re-publish of an already-published batch id is a no-op
+    from basin_cli_spark.sources.cdc import read_wal_batch
+
+    sink.process_batch(read_wal_batch(spark, wal_dir), batch_id=0)
+    assert _manifest(sink) == before
+
+
+def test_events_metadata_surface(spark, dirs):
+    wal_dir, out_dir, ckpt = dirs
+    sink = WindowedVaultSink(out_dir, SCHEMAS, private_key_hex=PRIV)
+    _write_tx(wal_dir, "tx1.jsonl", TX1)
+    _drain(spark, wal_dir, sink, ckpt)
+    ev = sink.events(spark)
+    rows = ev.where(ev.table == "t").collect()
+    assert len(rows) == 1 and rows[0].cid.startswith("0x")
