@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def tokens(col: Column | str) -> Column:
@@ -30,13 +31,38 @@ def tokens(col: Column | str) -> Column:
 
 
 def shingles(toks: Column, k: int = 3) -> Column:
-    """Word k-gram shingles (space-joined). Docs shorter than k words get
-    no shingles."""
+    """Word k-gram shingles (space-joined) over a *materialized* token
+    array column. Docs shorter than k words get no shingles.
+
+    IMPORTANT: pass an attribute (already-projected column), not the
+    `tokens(...)` expression — Catalyst inlines expression arguments into
+    every `slice` call inside the lambda, re-tokenizing the document once
+    per shingle (O(tokens²) per doc; measured 3× slower at sf0.1)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    def gram(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
-    return F.when(F.size(toks) >= k, F.transform(idx, gram)).otherwise(
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.when(F.size(toks) >= k, grams).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded rows, scale-shaped:
+
+    * tokens are projected to a real column first so the shingle lambda
+      reads an attribute instead of re-running split/filter per element;
+    * the input is repartitioned to the session default parallelism before
+      the explode, so a low-split source (one small parquet file here; a
+      coalesced scan at 100 TB) still fans the CPU-heavy shingle+hash work
+      across all cores.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(par).select(
+        F.col(id_col), tokens(text_col).alias("__toks")
+    )
+    return toks.select(
+        F.col(id_col), F.explode(shingles(F.col("__toks"), k)).alias("shingle")
     )
 
 
@@ -58,9 +84,7 @@ def minhash_signatures(
     Explodes shingles once and takes n_hashes mins in a single hash-agg —
     no per-seed pass over the data.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(tokens(text_col))).alias("shingle")
-    )
+    sh = shingle_rows(df, text_col, id_col)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"mh_{j}")
         for j in range(n_hashes)
@@ -96,6 +120,11 @@ def minhash_lsh_pairs(
     bands = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
     ).select(id_col, "band.band_id", "band.sig")
+    # Persist: both sides of the self-join read `bands`; without it Spark
+    # recomputes the whole shingle->signature pipeline twice.  Signatures
+    # are ~bands rows per doc — tiny relative to the corpus, safe to cache
+    # even at 100 TB of input text.
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -120,7 +149,10 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     so the same formula runs on the DuckDB oracle.
     """
     assert bits % 4 == 0
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    tok = df.repartition(par).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     h = F.md5(F.col("tok"))
     vote_sums = []
     for i in range(bits):
@@ -146,9 +178,11 @@ def ngram_jaccard_pairs(
     """Exact Jaccard over distinct word k-gram sets, emitted for pairs over
     the threshold.  Pairs are generated through the shared-shingle join (an
     inverted index), never a cross join."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(tokens(text_col), k)).alias("shingle")
-    ).distinct()
+    # distinct shingle set per doc; persisted because it feeds three plans
+    # (both self-join sides + the per-doc set sizes).
+    sh = shingle_rows(df, text_col, id_col, k).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
