@@ -37,6 +37,11 @@ def canon_value(v):
     the values are equal."""
     if v is None:
         return "NULL"
+    if not isinstance(v, (list, tuple, dict, np.ndarray)) and pd.isna(v):
+        # None / float NaN / pd.NaT / pd.NA all mean SQL NULL; pandas maps a
+        # NULL in a float/timestamp column to NaN/NaT, so treat them alike
+        # on both sides.
+        return "NULL"
     if isinstance(v, (np.floating, float)):
         f = float(v)
         if math.isnan(f):

@@ -58,6 +58,8 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         scalar_funcs,
         setops,
+        sources_queries,
+        streaming_queries,
         windows,
     )
 

@@ -240,3 +240,63 @@ def q_pivot(spark, sf_dir):
     return p.select(
         "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
     )
+
+
+@register(
+    "q_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() disambiguation (SURVEY.md
+    §2.B aggregations) — subtotal rows computed in one shuffle, not one
+    pass per set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "q_agg_first_last",
+    """
+SELECT o_orderpriority,
+       FIRST(o_totalprice ORDER BY o_orderdate, o_orderkey) AS first_price,
+       LAST(o_totalprice ORDER BY o_orderdate, o_orderkey) AS last_price,
+       FIRST(o_orderkey ORDER BY o_orderdate, o_orderkey) AS first_key,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_first_last(spark, sf_dir):
+    """Deterministic first/last per group. Spark's F.first/F.last are
+    order-dependent on partitioning (unsafe at scale), so 'first by sort
+    key' is expressed as min/max over a struct whose leading fields are
+    the (unique) sort key — a plain hash-agg, no window, no sort."""
+    o = load_table(spark, sf_dir, "orders")
+    key = ("o_orderdate", "o_orderkey")
+    fst = F.min(F.struct(*key, "o_totalprice"))
+    lst = F.max(F.struct(*key, "o_totalprice"))
+    return o.groupBy("o_orderpriority").agg(
+        fst["o_totalprice"].alias("first_price"),
+        lst["o_totalprice"].alias("last_price"),
+        fst["o_orderkey"].alias("first_key"),
+        F.count(F.lit(1)).alias("n"),
+    )

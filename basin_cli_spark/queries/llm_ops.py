@@ -336,3 +336,118 @@ def q_multimodal_meta(spark, sf_dir):
         F.upper(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("magic_hex"),
         F.md5("text").alias("content_hash"),
     )
+
+
+_EMB_DEDUP_ORACLE = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, CAST({_SIG_SQL.format(v='embedding')} AS BIGINT) AS sig
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
+FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.90
+"""
+
+
+@register("q_dedup_embedding", _EMB_DEDUP_ORACLE)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join
+    (same bucket => candidate), exact cosine verification at >= 0.90.
+    At 100 TB the bucket column is the shuffle key, so candidate
+    generation is |bucket|^2 per bucket, never corpus^2."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        S.sign_lsh_signature(F.col("embedding"), 16).alias("sig"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    score = F.round(S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= 0.90)
+    )
+
+
+# -- multimodal plumbing (operators/multimodal.py): mapInPandas kernels with
+# deterministic stub decode, so even the Python path is oracle-replayable.
+
+_NIB = "(STRPOS('0123456789abcdef', SUBSTRING({h}, {i}, 1)) - 1)"
+
+
+def _hexpair_sql(h: str, pos: int) -> str:
+    """int value of hex chars [pos, pos+1] (1-based) of expression h."""
+    hi = _NIB.format(h=h, i=pos)
+    lo = _NIB.format(h=h, i=pos + 1)
+    return f"({hi} * 16 + {lo})"
+
+
+_MM_BASE = (
+    "SELECT doc_id AS media_id, text, doc_id % 5 + 1 AS n_frames "
+    "FROM documents WHERE doc_id < 200"
+)
+
+_MM_DECODE_ORACLE = f"""
+WITH media AS ({_MM_BASE}), d AS (SELECT *, sha256(text) AS sha FROM media)
+SELECT media_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+       sha AS content_sha,
+       CAST({_hexpair_sql('sha', 1)} AS INT) AS fake_width,
+       CAST({_hexpair_sql('sha', 3)} AS INT) AS fake_height
+FROM d
+"""
+
+
+@register("q_multimodal_decode", _MM_DECODE_ORACLE)
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode-metadata kernel (stub decoder)."""
+    from basin_cli_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return MM.decode_info(MM.synthesize_media(d, "text", "doc_id"))
+
+
+_MM_FRAMES_ORACLE = f"""
+WITH media AS ({_MM_BASE})
+SELECT media_id,
+       CAST(UNNEST(RANGE(0, n_frames, 2)) AS INT) AS frame_idx,
+       MD5(text || '#' || UNNEST(RANGE(0, n_frames, 2))) AS frame_hash
+FROM media
+"""
+
+
+@register("q_multimodal_frames", _MM_FRAMES_ORACLE)
+def q_multimodal_frames(spark, sf_dir):
+    """Row-multiplying frame-sampling kernel (1 video -> N frame rows)."""
+    from basin_cli_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return MM.sample_frames(MM.synthesize_media(d, "text", "doc_id"), every_k=2)
+
+
+_MM_FEATS_ORACLE = f"""
+WITH media AS ({_MM_BASE}), d AS (SELECT media_id, MD5(text) AS h FROM media)
+SELECT media_id,
+       [{', '.join(_hexpair_sql('h', 2 * i + 1) + ' / 255.0' for i in range(4))}]
+         AS features
+FROM d
+"""
+
+
+@register("q_multimodal_features", _MM_FEATS_ORACLE)
+def q_multimodal_features(spark, sf_dir):
+    """Fixed-dim feature vectors via scalar pandas_udf (stub featurizer)."""
+    from basin_cli_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return MM.extract_features(MM.synthesize_media(d, "text", "doc_id"))

@@ -288,3 +288,65 @@ def q_explode_posexplode(spark, sf_dir):
     return d.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
     )
+
+
+@register(
+    "q_map_funcs",
+    """
+WITH base AS (
+  SELECT n_nationkey,
+         MAP(['name', 'region'], [n_name, CAST(n_regionkey AS VARCHAR)]) AS m
+  FROM nation
+)
+SELECT n_nationkey,
+       ARRAY_TO_STRING(LIST_SORT(map_keys(m)), ',') AS keys_sorted,
+       m['name'][1] AS name_val,
+       CAST(CARDINALITY(m) AS INT) AS n_entries,
+       e.key AS entry_key,
+       e.value AS entry_value
+FROM (SELECT *, UNNEST(map_entries(m)) AS e FROM base)
+""",
+)
+def q_map_funcs(spark, sf_dir):
+    """Map family: create_map, map_keys, element_at, size, explode(map)
+    (SURVEY.md §2.B scalar functions / Map row)."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(m, F.lit("name")).alias("name_val"),
+        F.size(m).alias("n_entries"),
+        F.explode(m).alias("entry_key", "entry_value"),
+    )
+
+
+@register(
+    "q_interval_arith",
+    """
+SELECT event_id,
+       ts + INTERVAL '90 minutes' AS plus_90m,
+       ts - INTERVAL '1 day' AS minus_1d,
+       CAST(CAST(CAST(ts AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus_3mo,
+       ts + INTERVAL '2 hours 30 minutes' AS plus_dt
+FROM events WHERE event_id < 500
+""",
+)
+def q_interval_arith(spark, sf_dir):
+    """Interval arithmetic (SURVEY.md §1.2 interval notes): timestamp +/-
+    day-time intervals, month addition with end-of-month clamping (both
+    engines clamp Jan 31 + 1 month to Feb 28)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    return ev.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("plus_90m"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("minus_1d"),
+        F.add_months(F.col("ts").cast("date"), 3).cast("string").alias("plus_3mo"),
+        (
+            F.col("ts")
+            + F.make_dt_interval(F.lit(0), F.lit(2), F.lit(30), F.lit(0))
+        ).alias("plus_dt"),
+    )

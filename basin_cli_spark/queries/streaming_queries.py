@@ -1,0 +1,138 @@
+"""Structured-Streaming queries, oracle-checked.
+
+Each query runs a real ``readStream`` (file source over the events
+fixture) through streaming operators — event-time windows + watermark,
+streaming dedup, stream-static join — drained with
+``Trigger.AvailableNow`` into a memory sink, then returns the sink table.
+Because AvailableNow processes the full fixture, the batch-SQL oracle
+states exactly the same result, so streaming semantics sit under the same
+hash gate as the batch surface (SURVEY.md §2.B streaming-only operators).
+
+The events fixture stores TIMESTAMP(NANOS) (see sources/tables.py): the
+stream schema surfaces ``ts`` as a nanosecond long which we convert with
+the same integer division the batch loader uses.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from basin_cli_spark.queries import register
+from basin_cli_spark.queries._helpers import dec, dec_sum, sql_dec, sql_dec_sum
+from basin_cli_spark.sources import load_table
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File stream over the events fixture.  The source path must be a
+    directory, so sf_dir is the basePath with a glob keeping only the
+    events file.  ``ts`` is cast to TIMESTAMP (session tz is UTC, so values
+    equal the batch loader's ntz ones) because watermarks reject ntz."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _drain(df: DataFrame, mode: str) -> DataFrame:
+    """Run the streaming plan to completion into a memory sink and return
+    the sink table (one AvailableNow drain — the test/recovery trigger;
+    production would use a processing-time or continuous trigger)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "q_stream_tumbling_agg",
+    f"""
+SELECT CAST(DATE_TRUNC('day', ts) AS VARCHAR) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dec_sum(sql_dec('value'), 'sum_value')}
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling_agg(spark, sf_dir):
+    """Event-time tumbling window (1 day) + watermark over a file stream.
+    Watermark bounds state at scale; with AvailableNow it drops nothing,
+    so the batch oracle is exact."""
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum(dec("value"), "sum_value"),
+        )
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        F.col("w.start").cast("date").cast("string").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+@register(
+    "q_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dropDuplicates keyed on (user_id, event_type) with a
+    watermark bounding the dedup state window."""
+    ev = _read_events_stream(spark, sf_dir)
+    dd = ev.withWatermark("ts", "1 hour").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    out = _drain(dd.select("user_id", "event_type"), "append")
+    return out
+
+
+@register(
+    "q_stream_static_join",
+    f"""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_events,
+       {sql_dec_sum(sql_dec('e.value'), 'sum_value')}
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join (events stream x customer dim) +
+    windowless global agg.  The static side is broadcast — the stream
+    never shuffles for the join."""
+    ev = _read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(
+        F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum(dec("value"), "sum_value"),
+    )
+    return _drain(agg, "complete")

@@ -1,0 +1,61 @@
+"""Multimodal plumbing tests (operators/multimodal.py): the decode stub is
+honest about being a stub, and the Spark-side schema / batch / row-
+multiplication mechanics are real."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from basin_cli_spark.operators import multimodal as MM
+from basin_cli_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return MM.synthesize_media(docs, "text", "doc_id")
+
+
+def test_decode_refuses_real_decode(media):
+    with pytest.raises(NotImplementedError):
+        MM.decode_info(media, allow_stub=False)
+
+
+def test_decode_stub_schema_and_values(media):
+    out = MM.decode_info(media)
+    assert [f.name for f in out.schema.fields] == [
+        "media_id", "n_bytes", "content_sha", "fake_width", "fake_height",
+    ]
+    rows = {r["media_id"]: r for r in out.collect()}
+    src = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    assert rows.keys() == src.keys()
+    for mid, r in rows.items():
+        sha = hashlib.sha256(src[mid]).hexdigest()
+        assert r["content_sha"] == sha
+        assert r["n_bytes"] == len(src[mid])
+        assert r["fake_width"] == int(sha[:2], 16)
+
+
+def test_frame_sampling_row_multiplication(media):
+    out = MM.sample_frames(media, every_k=2).collect()
+    n_frames = {
+        r["media_id"]: r["n_frames"]
+        for r in media.select("media_id", "n_frames").collect()
+    }
+    expected = sum(math.ceil(n / 2) for n in n_frames.values())
+    assert len(out) == expected
+    for r in out:
+        assert 0 <= r["frame_idx"] < n_frames[r["media_id"]]
+        assert r["frame_idx"] % 2 == 0
+
+
+def test_feature_vectors_fixed_dim(media):
+    out = MM.extract_features(media, dim=4).collect()
+    assert len(out) == media.count()
+    for r in out:
+        assert len(r["features"]) == 4
+        assert all(0.0 <= v <= 1.0 for v in r["features"])

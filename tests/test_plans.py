@@ -1,0 +1,97 @@
+"""Physical-plan shape assertions — the 100 TB scale contract.
+
+Correctness is the oracle harness's job; these tests pin the *plan*
+properties that decide whether the same query survives a 1000-executor
+cluster: filters reaching the parquet scan, column pruning, dimension
+joins broadcasting instead of shuffling, top-k avoiding a global sort,
+and aggregations doing map-side partial aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from basin_cli_spark.queries import load_all
+from basin_cli_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= "1998-09-02"
+    )
+    plan = plan_of(li.select("l_quantity"))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = plan_of(li.select("l_orderkey", "l_quantity"))
+    # the scan must read only the projected columns, not all 16
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in scan_schema and "l_quantity" in scan_schema
+    assert "l_comment" not in scan_schema
+
+
+def test_dimension_join_broadcasts(spark, sf_dir, registry):
+    df = registry["q_join_inner_broadcast"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir, registry):
+    df = registry["q_events_latest_n"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_groupby_partial_aggregation(spark, sf_dir, registry):
+    df = registry["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # partial (map-side) + final aggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan.lower() or "Partial" in plan
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir, registry):
+    df = registry["q1_pricing_summary"].fn(spark, sf_dir)
+    # AQE finalizes the physical plan only on execution; codegen stage
+    # markers (*(n)) are visible on the executed plan.
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in plan, plan
+
+
+def test_stream_static_join_broadcasts(spark, sf_dir):
+    """The static dim side of the stream-static join must broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    plan = plan_of(joined)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_similarity_no_shuffle_before_topk(spark, sf_dir, registry):
+    """Brute-force cosine top-k: one scan + broadcast of the query vector +
+    TakeOrderedAndProject; no exchange of the candidate side."""
+    df = registry["q_similarity_bruteforce"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    body = plan.split("== Physical Plan ==")[1]
+    tree = body.split("(1) Scan")[0]
+    # the only exchange allowed is the broadcast of the 1-row query side
+    assert tree.count("Exchange") == tree.count("BroadcastExchange")
