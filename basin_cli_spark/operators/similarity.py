@@ -94,3 +94,78 @@ def cosine_topk_lsh(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 25,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization with a deterministic 'codebook': every
+    stride-th vector is a centroid (a real pipeline would k-means here —
+    the assignment/probe dataflow is identical and this keeps the oracle
+    replayable).  Returns (centroids, assignment).
+
+    Assignment is the standard IVF build: each vector scores against the
+    broadcast codebook and keeps its argmax-cosine centroid (ties to the
+    larger cent_id via struct-max, so every engine agrees).  One narrow
+    shuffle on id; the codebook never shuffles.
+    """
+    cents = df.where(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.struct(
+            cosine(F.col(vec_col), F.col("cvec")).alias("sim"),
+            F.col("cent_id").alias("cent_id"),
+        ).alias("sc"),
+    )
+    assign = scored.groupBy(id_col).agg(F.max("sc")["cent_id"].alias("cent_id"))
+    return cents, assign
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 25,
+    round_to: int = 6,
+) -> DataFrame:
+    """ANN via IVF probe: the query ranks the codebook, visits only its
+    nprobe nearest inverted lists, and scores exactly inside them.  At
+    100 TB the assignment's cent_id is the partition key, so a probe scans
+    nprobe/|codebook| of the corpus."""
+    cents, assign = ivf_assign(df, id_col, vec_col, stride)
+    q = df.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q_emb")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cent_id",
+            F.struct(
+                cosine(F.col("cvec"), F.col("_q_emb")).alias("sim"),
+                F.col("cent_id").alias("cent_id"),
+            ).alias("sc"),
+        )
+        .orderBy(F.col("sc").desc())
+        .limit(nprobe)
+        .select("cent_id")
+    )
+    cand = (
+        df.join(assign, id_col)
+        .join(F.broadcast(probe), "cent_id", "left_semi")
+        .where(F.col(id_col) != query_vec_id)
+    )
+    score = F.round(cosine(F.col(vec_col), F.col("_q_emb")), round_to)
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -451,3 +451,42 @@ def q_multimodal_features(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     return MM.extract_features(MM.synthesize_media(d, "text", "doc_id"))
+
+
+_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % 25 = 0
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cosine_sql('e.embedding', 'c.cvec')} DESC, c.cent_id DESC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cent_id FROM cents, q
+  ORDER BY {_cosine_sql('cvec', 'q_emb')} DESC, cent_id DESC
+  LIMIT 2
+)
+SELECT e.vec_id, ROUND({_cosine_sql('e.embedding', 'q_emb')}, 6) AS score
+FROM embeddings e
+JOIN assign a ON e.vec_id = a.vec_id
+JOIN probe p ON a.cent_id = p.cent_id
+CROSS JOIN q
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id
+LIMIT 5
+"""
+
+
+@register("q_similarity_ann_ivf", _IVF_ORACLE)
+def q_similarity_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN: deterministic codebook, argmax-cosine assignment,
+    nprobe=2 probe, exact rescoring inside the probed lists."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf(e, query_vec_id=0, k=5, nprobe=2)

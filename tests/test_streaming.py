@@ -135,3 +135,106 @@ def test_events_metadata_surface(spark, dirs):
     ev = sink.events(spark)
     rows = ev.where(ev.table == "t").collect()
     assert len(rows) == 1 and rows[0].cid.startswith("0x")
+
+
+def test_stateful_progress_across_restarts(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches AND
+    restarts (the reference's confirmed_flush_lsn durability,
+    reference pkg/pgrepl/conn.go:47-56): after tx1 the table's high-water
+    LSN is tx1's; after a restart consuming tx2 it advances, and the
+    insert count accumulates (3 = 2 from tx1 + 1 from tx2; the U record
+    never counts)."""
+    from basin_cli_spark.sources.cdc import read_wal_stream
+    from basin_cli_spark.streaming.stateful import cdc_progress
+
+    wal_dir = str(tmp_path / "wal")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(name):
+        # foreachBatch (not memory sink): the memory sink cannot resume
+        # from a checkpoint, and resumption is exactly what's under test.
+        got: dict[str, dict] = {}
+
+        def collect(df, _bid):
+            for r in df.collect():
+                got[r["table"]] = r
+
+        prog = cdc_progress(read_wal_stream(spark, wal_dir))
+        q = (
+            prog.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(collect)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    _write_tx(wal_dir, "b1.jsonl", TX1)
+    out1 = drain("stateful_b1")
+    assert out1["t"]["n_inserts"] == 2
+    assert out1["t"]["max_commit_lsn"] == TX1["commit_lsn"]
+
+    _write_tx(wal_dir, "b2.jsonl", TX2)
+    out2 = drain("stateful_b2")
+    assert out2["t"]["n_inserts"] == 3  # U record skipped
+    assert out2["t"]["max_commit_lsn"] == TX2["commit_lsn"]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Event-time watermark semantics (SURVEY.md §2.B streaming): in append
+    mode a 10-min watermark finalizes windows as event time advances; a
+    record arriving after its window's watermark has passed is dropped,
+    never re-opening the emitted window."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    emitted = []
+
+    def drain():
+        stream = (
+            spark.readStream.schema("ts timestamp, k string")
+            .json(str(src))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda df, _b: emitted.extend(
+                    (str(r["w"]["start"]), r["n"]) for r in df.collect()
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def write(name, *rows):
+        with open(src / name, "w") as f:
+            for ts, k in rows:
+                f.write(_json.dumps({"ts": ts, "k": k}) + "\n")
+
+    # batch 1: two rows in window [10:00, 10:10); one at 11:00 pushes the
+    # watermark to 10:50, finalizing the first window.
+    write("b1.jsonl",
+          ("2024-01-01 10:00:00", "a"),
+          ("2024-01-01 10:05:00", "b"),
+          ("2024-01-01 11:00:00", "c"))
+    drain()
+    assert ("2024-01-01 10:00:00", 2) in emitted
+
+    # batch 2: a late row for the finalized window (dropped) plus a row at
+    # 12:00 advancing the watermark past 11:10, finalizing [11:00, 11:10).
+    write("b2.jsonl",
+          ("2024-01-01 10:02:00", "late"),
+          ("2024-01-01 12:00:00", "d"))
+    drain()
+    assert ("2024-01-01 11:00:00", 1) in emitted  # late row NOT counted
+    assert sum(n for s, n in emitted if s == "2024-01-01 10:00:00") == 2
