@@ -70,3 +70,29 @@ def list_events(
     if offset:
         df = df.offset(offset)
     return df.limit(limit)
+
+
+def list_vaults(events: DataFrame, vault_col: str = "vault") -> DataFrame:
+    """Reference ``vaults list`` (A15, reference cmd/vaults/commands.go:351-425):
+    the distinct vaults present in the event log with event counts and the
+    newest publication time."""
+    return (
+        events.groupBy(vault_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("timestamp").alias("last_published"),
+        )
+        .orderBy(vault_col)
+    )
+
+
+def retrieve(spark, events: DataFrame, cid: str) -> DataFrame:
+    """Content-addressed retrieval (A13, reference
+    internal/app/retriever.go:26-233) modeled as resolve-then-scan: the
+    manifest maps cid -> path (the reference's warm cache GET); the cold
+    IPFS/Filecoin fallback is out of analytics scope and surfaces as
+    KeyError."""
+    rows = events.where(F.col("cid") == cid).select("path").limit(1).collect()
+    if not rows:
+        raise KeyError(f"cid not found in event manifest: {cid}")
+    return spark.read.parquet(rows[0]["path"])

@@ -1,0 +1,88 @@
+"""Postgres snapshot scan over JDBC (reference A2).
+
+The reference discovers table schemas from ``information_schema`` before
+streaming starts (reference cmd/vaults/commands.go:851-921) and relies on
+Postgres for the initial state.  Spark-first, the snapshot is
+``spark.read.jdbc`` with *partitioned* reads — a single-connection JDBC
+scan would bottleneck a 1000-executor cluster on one socket, so callers
+must supply (or let us derive) a numeric partition column + bounds, which
+Spark turns into one WHERE-range query per partition.
+
+No Postgres runs in this container: unit tests cover the discovery SQL
+and reader-option construction; the connection path is exercised only
+when a ``SPARK_GRAFT_PG_URL`` integration environment provides a server
+(mirroring the reference's docker-gated integration tests,
+reference pkg/pgrepl/replicator_test.go:37-94).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The reference's discovery query shape (reference cmd/vaults/commands.go:
+# 855-886): columns + PK membership + array element type resolution.
+SCHEMA_DISCOVERY_SQL = """
+SELECT c.column_name,
+       CASE WHEN c.data_type = 'ARRAY'
+            THEN e.data_type || '[]'
+            ELSE c.data_type END AS data_type,
+       c.is_nullable = 'YES' AS is_nullable,
+       tc.constraint_type = 'PRIMARY KEY' AS is_primary
+FROM information_schema.columns c
+LEFT JOIN information_schema.element_types e
+  ON c.table_catalog = e.object_catalog
+ AND c.table_schema = e.object_schema
+ AND c.table_name = e.object_name
+ AND c.dtd_identifier = e.collection_type_identifier
+LEFT JOIN information_schema.key_column_usage kcu
+  ON c.table_name = kcu.table_name
+ AND c.column_name = kcu.column_name
+LEFT JOIN information_schema.table_constraints tc
+  ON kcu.constraint_name = tc.constraint_name
+ AND tc.constraint_type = 'PRIMARY KEY'
+WHERE c.table_schema = '{schema}' AND c.table_name = '{table}'
+ORDER BY c.ordinal_position
+"""
+
+
+def discovery_query(schema: str, table: str) -> str:
+    """The information_schema query for one table's column spec."""
+    if not schema.isidentifier() or not table.isidentifier():
+        raise ValueError(f"invalid identifier: {schema}.{table}")
+    return SCHEMA_DISCOVERY_SQL.format(schema=schema, table=table)
+
+
+def snapshot_options(
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    fetch_size: int = 10_000,
+) -> dict[str, str]:
+    """JDBC reader options for a parallel snapshot.  With a partition
+    column Spark issues ``numPartitions`` range-bounded queries; without
+    one the scan is single-connection (only acceptable for dim tables)."""
+    opts = {
+        "url": url,
+        "dbtable": table,
+        "driver": "org.postgresql.Driver",
+        "fetchsize": str(fetch_size),
+    }
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned read needs lower/upper bounds")
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def postgres_snapshot(spark: SparkSession, **kwargs) -> DataFrame:
+    """Run the snapshot scan (integration environments only)."""
+    return spark.read.format("jdbc").options(**snapshot_options(**kwargs)).load()

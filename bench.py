@@ -28,7 +28,10 @@ HEADLINE = [
     "q_window_running",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_dedup_embedding",
     "q_similarity_bruteforce",
+    "q_similarity_ann_ivf",
+    "q_grouping_sets",
     "q_events_before_after",
     "q_window_tumbling",
     "q_text_quality_stats",

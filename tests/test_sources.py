@@ -56,3 +56,25 @@ def test_vault_name_valid():
 def test_vault_name_invalid(bad):
     with pytest.raises(ValueError):
         parse_vault_name(bad)
+
+
+def test_jdbc_snapshot_options():
+    """Parallel-snapshot option construction (no PG in this container; the
+    connection path is integration-gated, see sources/jdbc.py)."""
+    import pytest as _pytest
+
+    from basin_cli_spark.sources.jdbc import discovery_query, snapshot_options
+
+    opts = snapshot_options(
+        "jdbc:postgresql://h/db", "public.t",
+        partition_column="id", lower_bound=0, upper_bound=1000,
+        num_partitions=8,
+    )
+    assert opts["numPartitions"] == "8" and opts["partitionColumn"] == "id"
+    with _pytest.raises(ValueError):
+        snapshot_options("jdbc:postgresql://h/db", "t", partition_column="id")
+
+    q = discovery_query("public", "orders")
+    assert "information_schema.columns" in q and "'orders'" in q
+    with _pytest.raises(ValueError):
+        discovery_query("public", "bad-name; drop table x")

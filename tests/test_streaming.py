@@ -238,3 +238,26 @@ def test_watermark_drops_late_data(spark, tmp_path):
     drain()
     assert ("2024-01-01 11:00:00", 1) in emitted  # late row NOT counted
     assert sum(n for s, n in emitted if s == "2024-01-01 10:00:00") == 2
+
+
+def test_retrieve_by_cid_and_vault_listing(spark, dirs):
+    """A13/A15: manifest cid resolves back to the exact window rows; vault
+    listing aggregates the event log."""
+    from basin_cli_spark.operators.events import list_vaults, retrieve
+
+    wal_dir, out_dir, ckpt = dirs
+    sink = WindowedVaultSink(out_dir, SCHEMAS, private_key_hex=PRIV)
+    _write_tx(wal_dir, "tx1.jsonl", TX1)
+    _drain(spark, wal_dir, sink, ckpt)
+
+    ev = sink.events(spark).withColumnRenamed("table", "vault")
+    published = [m for m in _manifest(sink) if m["table"] == "t"]
+    got = retrieve(spark, ev, published[0]["cid"])
+    assert sorted((r.id, r.name) for r in got.collect()) == [
+        (200232, "100"), (200242, "400"),
+    ]
+    with pytest.raises(KeyError):
+        retrieve(spark, ev, "0xdeadbeef")
+
+    vaults = {r["vault"]: r["n_events"] for r in list_vaults(ev).collect()}
+    assert vaults["t"] == 1
