@@ -119,3 +119,30 @@ def ecmh_digest(df: DataFrame, col: str) -> str:
     for row in partials:
         total.union(MultisetHash((int(row.x, 16), int(row.y, 16))))
     return total.digest()
+
+
+def ecmh_digest_by_group(df: DataFrame, key_col: str, col: str) -> DataFrame:
+    """Per-group multiset digests: (key, digest) — e.g. one content digest
+    per vault/window, so two datasets can be diffed per key by point
+    subtraction (the reference's Difference, ecmh.go:45-48).
+
+    applyInPandas groups on the key (one shuffle); each group folds to a
+    single point executor-side — only |groups| digest rows return.
+    """
+    import pandas as pd
+
+    def _group_digest(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = MultisetHash()
+        for v in pdf[col]:
+            if v is not None:
+                acc.insert(str(v).encode())
+        return pd.DataFrame(
+            {key_col: [pdf[key_col].iloc[0]], "digest": [acc.digest()]}
+        )
+
+    out_schema = f"{key_col} string, digest string"
+    return (
+        df.select(F.col(key_col).cast("string").alias(key_col), col)
+        .groupBy(key_col)
+        .applyInPandas(_group_digest, schema=out_schema)
+    )

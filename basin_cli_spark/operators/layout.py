@@ -1,0 +1,63 @@
+"""Physical-layout operators: bucketing and skew salting.
+
+At 100 TB the dominant cost of a fact-fact join is the shuffle.  Two
+standing mitigations, both plain Spark:
+
+* **Bucketing** — persist both sides bucketed (and sorted) on the join
+  key; a later equi-join reads co-located buckets and sort-merges with
+  *no Exchange at all* (asserted in tests/test_layout.py).
+* **Salting** — when one side's key distribution is heavy-tailed, AQE's
+  skew-join split usually suffices (enabled in session.py); explicit
+  salting remains for the worst cases: spread the skewed side across
+  ``salt`` sub-keys, replicate the other side to every sub-key, join on
+  (key, salt).  Result is identical to the plain join; the hot partition
+  is ``salt``× smaller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed (+sorted) managed table keyed for co-located
+    joins.  Matching bucket counts on both join sides is what removes the
+    exchange."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    skewed_key: str,
+    other_key: str,
+    salt: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join with the skewed side salted across ``salt`` sub-keys.
+
+    The skewed side gets a uniform random sub-key; the other side is
+    replicated to all sub-keys (an explode of ``salt`` literals — cheap
+    when the other side is the smaller one).  Join condition is
+    (key, sub-key), so rows of one hot key land in ``salt`` tasks."""
+    skewed_s = skewed.withColumn(
+        "_salt", F.floor(F.rand(seed) * salt).cast("int")
+    )
+    other_r = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<int>"))
+    )
+    cond: Column = (skewed_s[skewed_key] == other_r[other_key]) & (
+        skewed_s["_salt"] == other_r["_salt"]
+    )
+    return skewed_s.join(other_r, cond, how).drop("_salt")

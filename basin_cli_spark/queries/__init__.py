@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
     registry."""
     from basin_cli_spark.queries import (  # noqa: F401
         aggregates,
+        analytics,
         cdc_queries,
         events_surface,
         joins,

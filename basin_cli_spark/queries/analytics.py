@@ -1,0 +1,171 @@
+"""Multi-join analytics queries (TPC-H Q3/Q5/Q10 shapes, adapted to the
+trimmed fixture schemas).
+
+These are the scale proving ground for join planning: the fact table
+(lineitem) joins selective dimensions, so the right 100 TB plan filters
+dimensions *before* the join, broadcasts the small sides (region/nation
+always; customer-after-filter when AQE sees it shrink), and aggregates
+with map-side partials.  All of that is Catalyst's job — the code only
+states the joins declaratively and hints the constant-size dims.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from basin_cli_spark.queries import register
+from basin_cli_spark.queries._helpers import dec, dec_sum, sql_dec, sql_dec_sum
+from basin_cli_spark.sources import load_table
+
+_REV = f"{sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})"
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+SELECT l_orderkey,
+       {sql_dec_sum(_REV, 'revenue')},
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '2024-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> two equi-joins -> agg ->
+    top-k.  Filters sit on each table before its join so the scans prune;
+    the final top-10 is TakeOrderedAndProject (no global sort)."""
+    cutoff = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(rev, "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+SELECT n_name, {sql_dec_sum(_REV, 'revenue')}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: five joins, one of them the customer-supplier
+    same-nation condition.  region/nation are constant-size — broadcast —
+    so only the fact-side equi-joins shuffle."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(dec_sum(rev, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "q10_returned_items",
+    f"""
+SELECT c_custkey, c_name, {sql_dec_sum(_REV, 'revenue')},
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '2024-03-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '2024-09-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue in a six-month
+    window.  The returnflag filter prunes the fact scan; nation broadcasts."""
+    lo = F.lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("2024-09-01 00:00:00").cast("timestamp_ntz")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dec_sum(rev, "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -106,3 +106,16 @@ def q_ecmh_digest(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     digest = ecmh_digest(d, "text")
     return spark.createDataFrame([(digest,)], ["ecmh_digest"])
+
+
+@register("q_ecmh_digest_by_group", None)
+def q_ecmh_digest_by_group(spark, sf_dir):
+    """Per-language ECMH digests of documents.text — the per-vault window
+    digest the reference's Union/Difference supports (reference
+    pkg/ecmh/ecmh.go:41-48).  Rows-only check (EC point arithmetic is not
+    SQL-expressible); partition-independence is proven in tests/test_ecmh.py."""
+    from basin_cli_spark.functions.ecmh import ecmh_digest_by_group
+    from basin_cli_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return ecmh_digest_by_group(d, "lang", "text").orderBy("lang")

@@ -21,6 +21,8 @@ from basin_cli_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "q_join_inner_broadcast",
     "q_join_asof",
     "q_agg_stats",

@@ -43,3 +43,20 @@ def test_distributed_digest_matches_local(spark):
     assert ecmh_digest(df, "v") == local
     # partitioning must not change the digest (commutative merge)
     assert ecmh_digest(df.repartition(7), "v") == local
+
+
+def test_group_digest_matches_per_group_local(spark, sf_dir):
+    """Per-group digests equal locally-computed ones regardless of
+    partitioning (commutativity distributes through the shuffle)."""
+    from basin_cli_spark.functions.ecmh import MultisetHash, ecmh_digest_by_group
+    from basin_cli_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").where("doc_id < 120")
+    got = {
+        r["lang"]: r["digest"]
+        for r in ecmh_digest_by_group(d.repartition(7), "lang", "text").collect()
+    }
+    local: dict[str, MultisetHash] = {}
+    for r in d.select("lang", "text").collect():
+        local.setdefault(r["lang"], MultisetHash()).insert(r["text"].encode())
+    assert got == {k: v.digest() for k, v in local.items()}

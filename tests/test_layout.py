@@ -1,0 +1,56 @@
+"""Layout-operator tests: bucketed joins drop the shuffle entirely;
+salted joins return exactly the plain join's rows."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from basin_cli_spark.operators.layout import salted_join, write_bucketed
+from basin_cli_spark.sources import load_table
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    write_bucketed(li, "li_bucketed", "l_orderkey", buckets=8)
+    write_bucketed(orders, "o_bucketed", "o_orderkey", buckets=8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("li_bucketed").join(
+                spark.table("o_bucketed"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = joined._sc._jvm.PythonSQLUtils.explainString(
+                joined._jdf.queryExecution(), "formatted"
+            )
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located buckets: no shuffle
+            # and the join still returns every lineitem row
+            assert joined.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    plain = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    salted = salted_join(li, orders, "l_orderkey", "o_orderkey", salt=4)
+    key = ["l_orderkey", "l_linenumber"]
+    assert sorted(map(tuple, plain.select(*key).collect())) == sorted(
+        map(tuple, salted.select(*key).collect())
+    )
+    assert "_salt" not in salted.columns

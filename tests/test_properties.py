@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) — the generative extension of the
+reference's hand-rolled algebraic checks (SURVEY.md §5).
+
+Strategy sizes are kept small because each Spark round-trip costs ~100 ms;
+the properties (round-trip fidelity, algebraic identities, parser/oracle
+agreement) are what matter, not example volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from basin_cli_spark.functions.ecmh import MultisetHash
+from basin_cli_spark.functions.hashing import keccak256
+from basin_cli_spark.functions.timestamps import parse_timestamp
+
+# ---------------------------------------------------------------------------
+# ECMH algebra (pure Python — generous example counts)
+
+items = st.lists(st.binary(min_size=0, max_size=32), min_size=0, max_size=12)
+
+
+@given(items)
+@settings(max_examples=50, deadline=None)
+def test_ecmh_insert_remove_roundtrip(xs):
+    acc = MultisetHash().insert_all(xs)
+    base = acc.digest()
+    acc.insert(b"probe").remove(b"probe")
+    assert acc.digest() == base
+
+
+@given(items, items)
+@settings(max_examples=50, deadline=None)
+def test_ecmh_order_and_union_consistency(a, b):
+    """digest(a ++ b) == digest(b ++ a) == union(digest(a), digest(b))."""
+    ab = MultisetHash().insert_all(a + b)
+    ba = MultisetHash().insert_all(b + a)
+    un = MultisetHash().insert_all(a).union(MultisetHash().insert_all(b))
+    assert ab.digest() == ba.digest() == un.digest()
+
+
+@given(items, items)
+@settings(max_examples=50, deadline=None)
+def test_ecmh_union_difference_identity(a, b):
+    other = MultisetHash().insert_all(b)
+    acc = MultisetHash().insert_all(a).union(other).difference(other)
+    assert acc.digest() == MultisetHash().insert_all(a).digest()
+
+
+# ---------------------------------------------------------------------------
+# keccak256 vs known-good streaming/chunking behavior
+
+
+@given(st.binary(min_size=0, max_size=600), st.integers(min_value=1, max_value=64))
+@settings(max_examples=50, deadline=None)
+def test_keccak_chunking_invariant(data, chunk):
+    """Hashing in arbitrary chunk sizes equals one-shot hashing (the
+    reference streams files in 4 KB chunks, signing.go:79)."""
+    from basin_cli_spark.functions.hashing import Keccak256
+
+    h = Keccak256()
+    for i in range(0, len(data), chunk):
+        h.update(data[i : i + chunk])
+    assert h.digest() == keccak256(data)
+
+
+# ---------------------------------------------------------------------------
+# Tri-format timestamps (reference internal/app/timestamp.go:30-48)
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=50, deadline=None)
+def test_unix_seconds_roundtrip(sec):
+    got = parse_timestamp(str(sec))
+    assert got == dt.datetime.fromtimestamp(sec, dt.timezone.utc)
+
+
+@given(st.datetimes(
+    min_value=dt.datetime(1970, 1, 1), max_value=dt.datetime(2100, 1, 1)
+))
+@settings(max_examples=50, deadline=None)
+def test_rfc3339_always_utc(ts):
+    got = parse_timestamp(ts.isoformat() + "Z")
+    assert got.tzinfo == dt.timezone.utc
+    assert got.replace(tzinfo=None) == ts
+
+
+# ---------------------------------------------------------------------------
+# PG array literal parser vs a DuckDB-style reference parse (Spark involved:
+# module-scoped examples to bound runtime)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(min_value=-10**6, max_value=10**6)),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_pg_array_literal_roundtrip(spark, xs):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from basin_cli_spark.types.literals import parse_pg_array
+
+    lit = "{" + ",".join("NULL" if x is None else str(x) for x in xs) + "}"
+    df = spark.createDataFrame([(lit,)], "s string").select(
+        parse_pg_array(F.col("s"), T.IntegerType()).alias("a")
+    )
+    assert df.collect()[0]["a"] == xs
