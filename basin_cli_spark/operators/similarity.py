@@ -50,7 +50,8 @@ def cosine_topk(
     q = df.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_q_emb")
     )
-    cand = df.where(F.col(id_col) != query_vec_id)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cand = df.where(F.col(id_col) != query_vec_id).repartition(par)
     score = F.round(cosine(F.col(vec_col), F.col("_q_emb")), round_to)
     return (
         cand.crossJoin(F.broadcast(q))
@@ -115,7 +116,11 @@ def ivf_assign(
     cents = df.where(F.col(id_col) % stride == 0).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
     )
-    scored = df.crossJoin(F.broadcast(cents)).select(
+    # The |corpus| x |codebook| scoring is the hot loop; repartition first so
+    # a low-split source (one small file here, a coalesced scan at 100 TB)
+    # fans it across every core.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    scored = df.repartition(par).crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         F.struct(
             cosine(F.col(vec_col), F.col("cvec")).alias("sim"),
