@@ -44,11 +44,9 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Stopword-hit language heuristic: score each language's stopword list
-    against the token multiset, predict the argmax (ties broken by fixed
-    language order, 'und' for no hits at all)."""
-    toks = tokens(text_col)
+def language_pred(toks: Column) -> Column:
+    """Argmax-stopword-hits language prediction over a token array column
+    (ties broken by fixed language order, 'und' for no hits at all)."""
     scores = {lang: _hits(toks, words) for lang, words in STOPWORDS.items()}
     pred = F.lit("und")
     best = F.lit(0)
@@ -56,7 +54,14 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         s = scores[lang]
         pred = F.when(s > best, F.lit(lang)).otherwise(pred)
         best = F.when(s > best, s).otherwise(best)
-    return df.select(F.col(id_col), pred.alias("pred_lang"))
+    return pred
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-hit language heuristic as a (id, pred_lang) table."""
+    return df.select(
+        F.col(id_col), language_pred(tokens(text_col)).alias("pred_lang")
+    )
 
 
 def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -490,3 +490,63 @@ def q_similarity_ann_ivf(spark, sf_dir):
     nprobe=2 probe, exact rescoring inside the probed lists."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_ivf(e, query_vec_id=0, k=5, nprobe=2)
+
+
+def _pipeline_oracle() -> str:
+    hit = "LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({words}, t)))"
+    langs = {
+        "en": "['the', 'and', 'of', 'to', 'a']",
+        "de": "['der', 'die', 'und', 'das', 'ist']",
+        "fr": "['le', 'la', 'et', 'les', 'des']",
+        "es": "['el', 'la', 'que', 'de', 'los']",
+    }
+    score_cols = ", ".join(
+        f"{hit.format(words=w)} AS s_{lang}" for lang, w in langs.items()
+    )
+    pred, best = "'und'", "0"
+    for lang in sorted(langs):
+        pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text, {_SQL_TOKENS.format(c='text')} AS tokens FROM documents
+),
+feat AS (
+  SELECT doc_id, text, LEN(tokens) AS n_tokens, {score_cols} FROM toks
+),
+kept AS (
+  SELECT doc_id, text, n_tokens FROM (
+    SELECT *, {pred} AS pred_lang FROM feat WHERE n_tokens >= 10
+  ) WHERE pred_lang = 'en'
+)
+SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens, COUNT(*) AS n_copies
+FROM kept
+GROUP BY MD5(text)
+"""
+
+
+@register("q_llm_prep_pipeline", _pipeline_oracle())
+def q_llm_prep_pipeline(spark, sf_dir):
+    """The composed training-data prep pipeline: tokenize once ->
+    quality gate (>=10 tokens) -> language gate (pred 'en') -> exact
+    dedup keeping the smallest doc_id.  Single projection for all
+    features (tokens materialized, no joins), then one hash-agg — two
+    narrow stages at any scale."""
+    from basin_cli_spark.operators.dedup import tokens as _tokens
+    from basin_cli_spark.operators.text import language_pred
+
+    d = load_table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id", "text", _tokens("text").alias("tk")
+    ).select(
+        "doc_id",
+        "text",
+        F.size("tk").alias("n_tokens"),
+        language_pred(F.col("tk")).alias("pred_lang"),
+    )
+    kept = feat.where((F.col("n_tokens") >= 10) & (F.col("pred_lang") == "en"))
+    return kept.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).drop("_h")

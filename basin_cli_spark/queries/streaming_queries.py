@@ -136,3 +136,35 @@ def q_stream_static_join(spark, sf_dir):
         dec_sum(dec("value"), "sum_value"),
     )
     return _drain(agg, "complete")
+
+
+def _session_oracle() -> str:
+    """Reuse the batch session-window oracle (same result by construction:
+    AvailableNow processes the whole fixture in one batch, so update-mode
+    emissions are the final merged sessions)."""
+    from basin_cli_spark.queries import QUERIES
+    from basin_cli_spark.queries import windows as _windows  # noqa: F401
+
+    return QUERIES["q_session_window"].oracle
+
+
+@register("q_stream_session_window", _session_oracle())
+def q_stream_session_window(spark, sf_dir):
+    """Streaming session windows (30-min gap) per user over the events
+    stream — the merging-window stateful operator.  Complete mode: the
+    sink reflects every session's final merged state after the drain."""
+    ev = _read_events_stream(spark, sf_dir).where(F.col("user_id") < 100)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
