@@ -169,3 +169,41 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+SELECT {sql_dec_sum(sql_dec('l_extendedprice'), 'total_price')},
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN (
+  SELECT l_partkey AS pk,
+         0.5 * SUM(CAST(l_quantity AS DECIMAL(18,2))) / COUNT(*) AS half_avg_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON l.l_partkey = a.pk
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) < a.half_avg_qty
+""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity orders): a correlated aggregate
+    subquery decorrelated into a self-join against the per-part average.
+    Both sides aggregate/join on l_partkey, so at scale this is one
+    shuffle reused (exchange reuse), never a per-row subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_half = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            (
+                F.lit(0.5) * F.sum(dec("l_quantity")) / F.count(F.lit(1))
+            ).alias("half_avg_qty")
+        )
+    )
+    return (
+        li.join(avg_half, li["l_partkey"] == avg_half["pk"])
+        .where(dec("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            dec_sum(dec("l_extendedprice"), "total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

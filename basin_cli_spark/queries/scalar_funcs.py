@@ -350,3 +350,39 @@ def q_interval_arith(spark, sf_dir):
             + F.make_dt_interval(F.lit(0), F.lit(2), F.lit(30), F.lit(0))
         ).alias("plus_dt"),
     )
+
+
+@register(
+    "q_uuid_canonical",
+    """
+WITH h AS (SELECT doc_id, MD5(text) AS hx FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+       SUBSTRING(hx, 1, 8) || '-' || SUBSTRING(hx, 9, 4) || '-' ||
+       SUBSTRING(hx, 13, 4) || '-' || SUBSTRING(hx, 17, 4) || '-' ||
+       SUBSTRING(hx, 21, 12) AS doc_uuid,
+       LENGTH(SUBSTRING(hx, 1, 8) || '-' || SUBSTRING(hx, 9, 4) || '-' ||
+              SUBSTRING(hx, 13, 4) || '-' || SUBSTRING(hx, 17, 4) || '-' ||
+              SUBSTRING(hx, 21, 12)) = 36 AS is_canonical_len
+FROM h
+""",
+)
+def q_uuid_canonical(spark, sf_dir):
+    """UUID canonical form (SURVEY.md §1.2: uuid -> lowercase-hex string).
+    Content-derived deterministic UUIDs (v4-shaped from md5) — the
+    generator `F.uuid()` itself is nondeterministic by definition, so the
+    oracle-checkable surface is the canonical 8-4-4-4-12 formatting."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    hx = F.md5("text")
+    uuid_col = F.concat_ws(
+        "-",
+        F.substring(hx, 1, 8),
+        F.substring(hx, 9, 4),
+        F.substring(hx, 13, 4),
+        F.substring(hx, 17, 4),
+        F.substring(hx, 21, 12),
+    )
+    return d.select(
+        "doc_id",
+        uuid_col.alias("doc_uuid"),
+        (F.length(uuid_col) == 36).alias("is_canonical_len"),
+    )

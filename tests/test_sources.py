@@ -78,3 +78,33 @@ def test_jdbc_snapshot_options():
     assert "information_schema.columns" in q and "'orders'" in q
     with _pytest.raises(ValueError):
         discovery_query("public", "bad-name; drop table x")
+
+
+def test_list_events_at_semantics(spark, sf_dir):
+    """--at T => before = after = T (inclusive), and at+before/after is
+    rejected (reference cmd/vaults/commands.go:787-803)."""
+    import pytest as _pytest
+
+    from basin_cli_spark.operators.events import list_events
+    from basin_cli_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    t = str(ev.where("event_id = 7").collect()[0]["ts"])
+    got = list_events(ev, at=t, limit=100).collect()
+    assert any(r["event_id"] == 7 for r in got)
+    assert all(str(r["ts"]) == t for r in got)
+    with _pytest.raises(ValueError):
+        list_events(ev, at=t, before=t)
+
+
+def test_list_events_latest_overrides_paging(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from basin_cli_spark.operators.events import list_events
+    from basin_cli_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = list_events(ev, latest=5, limit=50, offset=10).collect()
+    assert len(got) == 5
+    newest = ev.orderBy(F.col("ts").desc(), F.col("event_id").desc()).limit(5)
+    assert [r["event_id"] for r in got] == [r["event_id"] for r in newest.collect()]
