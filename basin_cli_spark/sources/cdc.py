@@ -23,11 +23,12 @@ The same parse runs in batch (oracle-checkable) and under readStream
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from basin_cli_spark.types import pg_to_spark
+from basin_cli_spark.types import normalize_pg_type, pg_to_spark
+from basin_cli_spark.types.literals import parse_pg_array, parse_pg_interval
 
 # wal2json v2 record shape (reference pkg/pgrepl/tx.go:16-39).  `value` is
 # heterogeneous JSON (number | string | bool | null); parsing it as string
@@ -106,6 +107,38 @@ def parse_wal_records(lines: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def _typed(raw: Column, pg_type: str) -> Column:
+    """Raw wal2json string literal -> typed column, per the PG type.
+
+    Most types are a plain cast; the three shapes a cast can't produce
+    (the reference handles them with per-type literal transforms,
+    reference internal/app/type_converter.go:13-211):
+
+    * 1-D arrays: '{a,b,NULL}' via parse_pg_array (NULL elements kept);
+    * interval: mixed '1 year 2 mons 21 days 05:00:00' -> struct
+      (months, days, micros);
+    * bytea: PG hex form '\\x6465...' -> binary.
+    """
+    norm = normalize_pg_type(pg_type.lower())
+    spark_type = pg_to_spark(pg_type)
+    if norm.endswith("[]"):
+        elem = norm[:-2]
+        if elem == "interval":
+            return parse_pg_array(raw, spark_type.elementType, parse_pg_interval)
+        if elem == "bytea":
+            return parse_pg_array(
+                raw,
+                spark_type.elementType,
+                lambda s: F.unhex(F.regexp_replace(s, r"^\\x", "")),
+            )
+        return parse_pg_array(raw, spark_type.elementType)
+    if norm == "interval":
+        return parse_pg_interval(raw)
+    if norm == "bytea":
+        return F.unhex(F.regexp_replace(raw, r"^\\x", ""))
+    return raw.cast(spark_type)
+
+
 def materialize_table(
     records: DataFrame,
     table: str,
@@ -127,8 +160,7 @@ def materialize_table(
     ).withColumn("_kv", kv)
     cols = []
     for name, pg_type in columns:
-        spark_type = pg_to_spark(pg_type)
-        cols.append(F.element_at("_kv", name).cast(spark_type).alias(name))
+        cols.append(_typed(F.element_at("_kv", name), pg_type).alias(name))
     meta = (
         [F.col(c) for c in ("_commit_lsn", "_tx_pos", "_xid", "_lsn", "_commit_ts")]
         if keep_metadata

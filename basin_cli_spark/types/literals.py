@@ -20,18 +20,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def parse_pg_array(col: Column, element_type: T.DataType) -> Column:
+def parse_pg_array(col: Column, element_type: T.DataType, elem_fn=None) -> Column:
     """'{a,b,NULL}' -> array<element_type> with NULL elements preserved
-    (the reference keeps NULL array elements, type_converter.go:52)."""
+    (the reference keeps NULL array elements, type_converter.go:52).
+
+    ``elem_fn`` overrides the per-element conversion for element types a
+    plain cast can't produce (interval structs, bytea hex)."""
     inner = F.regexp_replace(col, r"^\{|\}$", "")
     parts = F.when(inner == "", F.array().cast("array<string>")).otherwise(
         F.split(inner, ",")
     )
+    convert = elem_fn if elem_fn is not None else (
+        lambda s: s.try_cast(element_type)
+    )
     return F.transform(
         parts,
         lambda p: F.when(p == "NULL", F.lit(None)).otherwise(
-            F.regexp_replace(p, '^"|"$', "")
-        ).try_cast(element_type),
+            convert(F.regexp_replace(p, '^"|"$', ""))
+        ),
     )
 
 
