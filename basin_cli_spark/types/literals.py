@@ -80,3 +80,39 @@ def parse_pg_interval(col: Column) -> Column:
         days.cast("int").alias("days"),
         total_micros.cast("long").alias("micros"),
     )
+
+
+def format_pg_interval(col: Column) -> Column:
+    """struct(months, days, micros) -> PG-style interval text — the inverse
+    of parse_pg_interval for the reference's vectors ('1 year 2 mons 21
+    days 05:00:00', '-17 days', db_test.go:379-390).  Parts appear only
+    when nonzero; the clock part always appears when micros != 0 or when
+    everything is zero ('00:00:00')."""
+    months, days, micros = col["months"], col["days"], col["micros"]
+    years = (months / 12).cast("int")
+    mons = months - years * 12
+    amicros = F.abs(micros)
+    hh = (amicros / 3600000000).cast("long")
+    mm = ((amicros / 60000000) % 60).cast("long")
+    ss = ((amicros / 1000000) % 60).cast("long")
+    frac = (amicros % 1000000).cast("long")
+    clock = F.concat(
+        F.when(micros < 0, F.lit("-")).otherwise(F.lit("")),
+        # format_string, not lpad: lpad TRUNCATES values wider than the pad
+        # length (100 hours would become '10')
+        F.format_string("%02d:%02d:%02d", hh, mm, ss),
+        F.when(
+            frac > 0, F.format_string(".%06d", frac)
+        ).otherwise(F.lit("")),
+    )
+    unit = lambda v, word: F.when(  # noqa: E731
+        v != 0, F.concat(v.cast("string"), F.lit(" " + word))
+    )
+    show_clock = (micros != 0) | ((months == 0) & (days == 0))
+    return F.concat_ws(
+        " ",
+        unit(years, "year"),
+        unit(mons, "mons"),
+        unit(days, "days"),
+        F.when(show_clock, clock),
+    )

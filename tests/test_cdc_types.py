@@ -30,6 +30,9 @@ COLUMNS = [
     ("c_time", "time without time zone", "05:40:00.000001", "05:40:00.000001"),
     ("c_ts", "timestamp without time zone", "2024-01-02 03:04:05.123456",
      dt.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+    # PG offset form '-03' normalizes to UTC (session tz) through the cast
+    ("c_tstz", "timestamp with time zone", "2023-08-22 14:44:02.043586-03",
+     dt.datetime(2023, 8, 22, 17, 44, 2, 43586)),
     ("c_bytea", "bytea", "\\x6465616462656566", b"deadbeef"),
     ("c_int_arr", "integer[]", "{1,2,NULL}", [1, 2, None]),
     ("c_text_arr", "text[]", '{a,"Z",NULL}', ["a", "Z", None]),

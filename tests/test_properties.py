@@ -112,3 +112,33 @@ def test_pg_array_literal_roundtrip(spark, xs):
         parse_pg_array(F.col("s"), T.IntegerType()).alias("a")
     )
     assert df.collect()[0]["a"] == xs
+
+
+# ---------------------------------------------------------------------------
+# Interval parse/format inverse (reference db_test.go:379-390 vectors
+# generalize: any (months, days, micros) formats to text that parses back)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=500),   # months
+    st.integers(min_value=0, max_value=10000), # days
+    st.integers(min_value=-10**12, max_value=10**12),  # micros (± clock)
+)
+def test_interval_format_parse_roundtrip(spark, months, days, micros):
+    from pyspark.sql import functions as F
+
+    from basin_cli_spark.types.literals import (
+        format_pg_interval,
+        parse_pg_interval,
+    )
+
+    df = spark.createDataFrame(
+        [(months, days, micros)], "months int, days int, micros long"
+    ).select(F.struct("months", "days", "micros").alias("iv"))
+    back = df.select(
+        parse_pg_interval(format_pg_interval(F.col("iv"))).alias("iv2")
+    ).collect()[0]["iv2"]
+    assert (back["months"], back["days"], back["micros"]) == (
+        months, days, micros
+    )
