@@ -100,3 +100,35 @@ def test_similarity_no_shuffle_before_topk(spark, sf_dir, registry):
     if non_broadcast:
         assert "RoundRobinPartitioning" in plan  # ours, not a join shuffle
     assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
+
+
+# Queries where a BroadcastNestedLoopJoin is the *intended* physical plan:
+# deliberate cross/theta/range joins, or a 1-row broadcast side (query
+# vector / point lookup).  Everything else must plan equi-joins.
+_NLJ_ALLOWED = {
+    "q_join_cross",
+    "q_join_range",
+    "q_join_theta",
+    "q_events_at",
+    "q_similarity_bruteforce",
+    "q_similarity_ann_lsh",
+    "q_similarity_ann_ivf",
+    "q_dedup_embedding",
+}
+
+
+def test_no_accidental_cartesian_or_nlj(spark, sf_dir, registry):
+    """Plan audit over the whole registry: no CartesianProduct anywhere,
+    and BroadcastNestedLoopJoin only where the operator is by design
+    non-equi or 1-row-broadcast.  Guards against a refactor silently
+    turning an equi-join into an all-pairs plan."""
+    offenders = []
+    for name, spec in sorted(registry.items()):
+        if name.startswith("q_stream"):
+            continue  # streaming queries execute on build; covered elsewhere
+        plan = plan_of(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _NLJ_ALLOWED:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
