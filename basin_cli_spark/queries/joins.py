@@ -262,3 +262,21 @@ def q_join_asof(spark, sf_dir):
         F.col("asof_click_ts").alias("click_ts"),
         F.col("asof_click_value").alias("click_value"),
     )
+
+
+@register(
+    "q_join_right",
+    """
+SELECT o_orderkey, o_orderpriority, c_name
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey < 300
+""",
+)
+def q_join_right(spark, sf_dir):
+    """RIGHT OUTER preserving customers without orders (NULL order side).
+    Catalyst plans it as the mirrored left join — same physical cost."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    o = load_table(spark, sf_dir, "orders")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_orderpriority", "c_name"
+    )
