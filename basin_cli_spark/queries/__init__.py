@@ -35,12 +35,40 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# Runtime SQL confs every query depends on, applied defensively because the
+# driver may hand us a session built by a different factory:
+# * nanosAsLong — events.parquet stores TIMESTAMP(NANOS); without the flag
+#   the scan itself throws (sources/tables.py then converts the long);
+# * UTC session tz — timestamp casts/windows must agree with the UTC-naive
+#   DuckDB oracle;
+# * AQE — the planning behavior the scale design assumes.
+REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # a locked conf is better than a failed query
+
 
 def register(name: str, oracle: str | None = None):
-    """Decorator: add a query builder to the registry."""
+    """Decorator: add a query builder to the registry (wrapped so the
+    session always carries REQUIRED_CONFS, whoever constructed it)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle)
         return fn
 
     return deco
