@@ -207,3 +207,107 @@ def q17_small_quantity_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+SELECT {sql_dec_sum(f"{sql_dec('l_extendedprice')} * {sql_dec('l_discount')}", 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '2025-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + global agg — the pushdown benchmark.
+    Every predicate reaches the parquet scan (min/max pruning on shipdate
+    at scale); no shuffle at all until the single-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("2025-01-01 00:00:00").cast("timestamp_ntz")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & dec("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(dec("l_extendedprice") * dec("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    f"""
+SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,2)) END)
+            / SUM({_REV}) AS DOUBLE) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '2024-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '2024-06-01 00:00:00'
+""",
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a fact-dim join.
+    The date filter prunes the fact scan before the join; part joins on
+    its key (broadcast while it fits, AQE decides)."""
+    lo = F.lit("2024-03-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(rev))
+            .cast("double")
+            .alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    f"""
+SELECT {sql_dec_sum(_REV, 'revenue')}, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45 AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive mixed-side predicates over a fact-dim
+    join.  The OR spans both tables so it evaluates post-join, but each
+    disjunct's single-side conjuncts (brand/size, quantity) still prune
+    scans via Catalyst's predicate inference."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 45) & q.between(20, 40))
+    )
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .where(cond)
+        .agg(
+            dec_sum(rev, "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -23,6 +23,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "q_join_inner_broadcast",
     "q_join_asof",
     "q_agg_stats",
