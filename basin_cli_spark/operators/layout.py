@@ -61,3 +61,23 @@ def salted_join(
         skewed_s["_salt"] == other_r["_salt"]
     )
     return skewed_s.join(other_r, cond, how).drop("_salt")
+
+
+def tune_runtime_bloom(spark, app_side_threshold: str = "10GB") -> None:
+    """Runtime bloom-filter join pre-filtering is Catalyst's job
+    (InjectRuntimeFilter, on by default): for a selective shuffle join it
+    builds a bloom over the creation side's join keys and pushes
+    ``might_contain`` into the other side's scan — fact rows that cannot
+    match are dropped BEFORE the shuffle, with zero false negatives.
+
+    This helper only adjusts the application-side size threshold (the
+    default 10 GB means small local tests never see the filter; at 100 TB
+    the default is right).  tests/test_layout.py asserts the filter
+    actually lands in the plan."""
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        app_side_threshold,
+    )

@@ -54,3 +54,41 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         map(tuple, salted.select(*key).collect())
     )
     assert "_salt" not in salted.columns
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """Catalyst injects a bloom-filter pre-filter (might_contain on the
+    fact side) for a selective shuffle join, and the join result is
+    unchanged — the runtime form of pre-shuffle row pruning at scale."""
+    from basin_cli_spark.operators.layout import tune_runtime_bloom
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 20 == 0
+    ).select("o_orderkey")
+
+    expected = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "left_semi"
+    ).count()
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tune_runtime_bloom(spark, app_side_threshold="0")
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan  # the injected bloom pre-filter
+        assert j.count() == expected    # never drops a real match
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
