@@ -65,3 +65,11 @@ def cdc_progress(records: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# NOTE: Spark 4's transformWithStateInPandas (typed state handles, timers)
+# is the successor API, but its driver worker imports protobuf
+# (pyspark/sql/streaming/proto/StateMessage_pb2), which this container
+# does not ship and cannot install — applyInPandasWithState above is the
+# supported stateful path here; the TWS port is mechanical when protobuf
+# is available.

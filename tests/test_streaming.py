@@ -261,3 +261,4 @@ def test_retrieve_by_cid_and_vault_listing(spark, dirs):
 
     vaults = {r["vault"]: r["n_events"] for r in list_vaults(ev).collect()}
     assert vaults["t"] == 1
+
