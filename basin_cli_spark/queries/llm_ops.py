@@ -550,3 +550,91 @@ def q_llm_prep_pipeline(spark, sf_dir):
         F.min("n_tokens").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_copies"),
     ).drop("_h")
+
+
+_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1),
+                        i -> SUBSTRING(text, CAST(i AS INT), 1))) AS ch
+  FROM documents WHERE doc_id < 500
+),
+freq AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM chars GROUP BY doc_id, ch
+),
+folded AS (
+  -- sequential fold over the char-sorted list => identical addition order
+  -- in both engines (double sums are order-sensitive in the low bits)
+  SELECT doc_id,
+         CAST(SUM(c) AS DOUBLE) AS n,
+         LIST_REDUCE(
+           LIST_PREPEND(0.0, LIST_TRANSFORM(
+             LIST_SORT(LIST({'ch': ch, 'c': c})), x -> x.c * LN(x.c))),
+           (a, b) -> a + b) AS sum_clnc
+  FROM freq GROUP BY doc_id
+)
+SELECT doc_id, ROUND(LN(n) - sum_clnc / n, 9) AS char_entropy
+FROM folded
+"""
+
+
+@register("q_text_entropy", _ENTROPY_ORACLE)
+def q_text_entropy(spark, sf_dir):
+    """Character-entropy quality signal: H = ln(N) - sum(c*ln(c))/N over
+    per-doc char counts.  The c*ln(c) terms are folded in char-sorted
+    order on both engines so the doubles match bit-for-bit pre-rounding."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "(?!^)(?=.)")).alias("ch")
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    folded = freq.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("ch", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"] * F.log(x["c"]),
+        ).alias("sum_clnc"),
+    )
+    return folded.select(
+        "doc_id",
+        F.round(F.log("n") - F.col("sum_clnc") / F.col("n"), 9).alias(
+            "char_entropy"
+        ),
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS tokens FROM documents
+),
+sh AS (
+  SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS shingle FROM toks
+),
+counts AS (
+  SELECT doc_id, shingle, COUNT(*) AS c FROM sh GROUP BY doc_id, shingle
+)
+SELECT doc_id,
+       CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_shingle_share,
+       SUM(c) AS n_shingles
+FROM counts GROUP BY doc_id
+"""
+
+
+@register("q_text_repetition", _REPETITION_ORACLE)
+def q_text_repetition(spark, sf_dir):
+    """Repetition quality signal: share of the most frequent 3-gram
+    shingle (near 1.0 = degenerate repeated text, a standard LLM-corpus
+    filter).  Integer counts divided once — no float accumulation."""
+    from basin_cli_spark.operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = shingle_rows(d, "text", "doc_id").groupBy(
+        "doc_id", "shingle"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c")).alias("top_shingle_share"),
+        F.sum("c").alias("n_shingles"),
+    )
