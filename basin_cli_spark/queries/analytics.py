@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from basin_cli_spark.queries import register
-from basin_cli_spark.queries._helpers import dec, dec_sum, sql_dec, sql_dec_sum
+from basin_cli_spark.queries._helpers import (
+    dec,
+    dec_sum,
+    sql_dec,
+    sql_dec_avg,
+    sql_dec_sum,
+)
 from basin_cli_spark.sources import load_table
 
 _REV = f"{sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})"
@@ -25,14 +31,14 @@ _REV = f"{sql_dec('l_extendedprice')} * (1 - {sql_dec('l_discount')})"
     f"""
 SELECT l_orderkey,
        {sql_dec_sum(_REV, 'revenue')},
-       CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
        o_orderpriority
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
-  AND l_shipdate > TIMESTAMP '2024-06-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
@@ -42,7 +48,7 @@ def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective dim filter -> two equi-joins -> agg ->
     top-k.  Filters sit on each table before its join so the scans prune;
     the final top-10 is TakeOrderedAndProject (no global sort)."""
-    cutoff = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    cutoff = F.lit("1996-06-01 00:00:00").cast("timestamp_ntz")
     cust = (
         load_table(spark, sf_dir, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")
@@ -67,7 +73,7 @@ def q3_shipping_priority(spark, sf_dir):
         .select(
             "l_orderkey",
             "revenue",
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
             "o_orderpriority",
         )
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -133,8 +139,8 @@ JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN nation ON c_nationkey = n_nationkey
 WHERE l_returnflag = 'R'
-  AND o_orderdate >= TIMESTAMP '2024-03-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '2024-09-01 00:00:00'
+  AND o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-09-01 00:00:00'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
@@ -143,8 +149,8 @@ LIMIT 20
 def q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: who returned the most revenue in a six-month
     window.  The returnflag filter prunes the fact scan; nation broadcasts."""
-    lo = F.lit("2024-03-01 00:00:00").cast("timestamp_ntz")
-    hi = F.lit("2024-09-01 00:00:00").cast("timestamp_ntz")
+    lo = F.lit("1996-03-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-09-01 00:00:00").cast("timestamp_ntz")
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"
     )
@@ -215,8 +221,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
 SELECT {sql_dec_sum(f"{sql_dec('l_extendedprice')} * {sql_dec('l_discount')}", 'revenue')},
        COUNT(*) AS n_lines
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '2025-01-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
   AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
   AND l_quantity < 24
 """,
@@ -226,8 +232,8 @@ def q6_forecast_revenue(spark, sf_dir):
     Every predicate reaches the parquet scan (min/max pruning on shipdate
     at scale); no shuffle at all until the single-row final agg."""
     li = load_table(spark, sf_dir, "lineitem")
-    lo = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
-    hi = F.lit("2025-01-01 00:00:00").cast("timestamp_ntz")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
     return (
         li.where(
             (F.col("l_shipdate") >= lo)
@@ -245,19 +251,19 @@ def q6_forecast_revenue(spark, sf_dir):
 @register(
     "q14_promo_revenue_share",
     f"""
-SELECT CAST(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,2)) END)
-            / SUM({_REV}) AS DOUBLE) AS promo_share
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(SUM({_REV}) AS DOUBLE) AS promo_share
 FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '2024-03-01 00:00:00'
-  AND l_shipdate <  TIMESTAMP '2024-06-01 00:00:00'
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'
 """,
 )
 def q14_promo_revenue_share(spark, sf_dir):
     """TPC-H Q14 shape: conditional aggregation over a fact-dim join.
     The date filter prunes the fact scan before the join; part joins on
     its key (broadcast while it fits, AQE decides)."""
-    lo = F.lit("2024-03-01 00:00:00").cast("timestamp_ntz")
-    hi = F.lit("2024-06-01 00:00:00").cast("timestamp_ntz")
+    lo = F.lit("1996-03-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-06-01 00:00:00").cast("timestamp_ntz")
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
     )
@@ -268,9 +274,11 @@ def q14_promo_revenue_share(spark, sf_dir):
     return (
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .agg(
-            (F.lit(100.0) * F.sum(promo) / F.sum(rev))
-            .cast("double")
-            .alias("promo_share")
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_share")
         )
     )
 
@@ -309,5 +317,188 @@ def q19_discounted_revenue(spark, sf_dir):
         .agg(
             dec_sum(rev, "revenue"),
             F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (priority checking): correlated EXISTS with a
+    non-equi clause (shipped >30 days after order date), planned as a
+    left-semi hash join on the order key with the date predicate as the
+    join residual -- one shuffle, no row multiplication from multi-line
+    orders.  Ref surface: the reference delegates EXISTS to DuckDB/PG
+    (internal/app/db.go:170-175); here Catalyst owns the decorrelation."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 30 DAYS")
+    return (
+        orders.join(
+            li, (li["l_orderkey"] == orders["o_orderkey"]) & late, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    """
+SELECT l_returnflag,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+)
+def q12_priority_by_returnflag(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode -> returnflag on the trimmed schema):
+    fact-dim join followed by conditional counts.  The ship-date filter
+    prunes the lineitem scan before the join; the CASE branches are pure
+    integer counts, so the whole query stays in whole-stage codegen with
+    map-side partial aggregation."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, o_totalprice,
+       {sql_dec_sum(sql_dec('l_quantity'), 'sum_qty')}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers).  The scale-smart plan
+    aggregates lineitem to order grain and applies the HAVING *before*
+    touching orders/customer, so the expensive joins see only the ~0.1%
+    of orders that survive; the oracle states the naive join-then-agg
+    form and the results agree.  Final top-100 is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_qty"))
+        .where(F.col("_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    f"""
+WITH avgbal AS (
+  SELECT {sql_dec_avg(sql_dec('c_acctbal'), 'ab')}
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       {sql_dec_sum(sql_dec('c_acctbal'), 'totacctbal')}
+FROM customer, avgbal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+""",
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers with no recent order (the fixture's custkeys all have *some*
+    order, so dormancy is "none since 1999").  The scalar AVG subquery
+    becomes a broadcast single-row cross join (no driver collect); the
+    NOT EXISTS is a left-anti hash join on the customer key with the date
+    filter pushed into the orders scan."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avgbal = (
+        cust.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1)))
+            .alias("ab")
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate")
+            >= F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avgbal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum(dec("c_acctbal"), "totacctbal"),
         )
     )

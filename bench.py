@@ -22,8 +22,10 @@ from basin_cli_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q18_large_volume_customers",
     "q_join_inner_broadcast",
     "q_join_asof",
     "q_agg_stats",

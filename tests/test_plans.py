@@ -114,6 +114,7 @@ _NLJ_ALLOWED = {
     "q_similarity_ann_lsh",
     "q_similarity_ann_ivf",
     "q_dedup_embedding",
+    "q22_dormant_customers",  # 1-row broadcast of the scalar AVG subquery
 }
 
 
