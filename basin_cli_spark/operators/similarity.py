@@ -71,26 +71,57 @@ def sign_lsh_signature(vec: Column, bits: int = 16) -> Column:
     return sig.cast("bigint")
 
 
+def sign_lsh_bands(
+    vec: Column, bands: int = 4, band_bits: int = 4
+) -> Column:
+    """Banded sign-LSH: array of per-band signatures, band b covering
+    dimensions [b*band_bits, (b+1)*band_bits).  Two vectors are join
+    candidates when ANY band matches — the OR-amplified construction
+    (same as MinHash banding), which keeps recall usable where a single
+    wide signature (2^16 buckets) would put every vector in its own
+    bucket and return nothing."""
+    out = []
+    for b in range(bands):
+        sig = None
+        for j in range(band_bits):
+            i = b * band_bits + j
+            term = F.when(
+                F.element_at(vec, i + 1) >= 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        out.append(sig.cast("bigint"))
+    return F.array(*out)
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     query_vec_id: int,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 16,
+    bands: int = 4,
+    band_bits: int = 4,
     round_to: int = 6,
 ) -> DataFrame:
-    """ANN via sign-LSH bucket probe: exact cosine, but only inside the
-    query's bucket.  At 100 TB the bucket column is a partition key, so the
-    probe is a partition-pruned scan instead of a full pass."""
-    with_sig = df.withColumn("_sig", sign_lsh_signature(F.col(vec_col), bits))
-    q = with_sig.where(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("_q_emb"), F.col("_sig").alias("_q_sig")
+    """ANN via banded sign-LSH probe: candidates are vectors sharing at
+    least one band with the query; exact cosine re-ranks the candidates.
+    The probe is a broadcast equi-join on (band index, band signature) —
+    at 100 TB the exploded band table is the shuffle/partition key, so
+    the probe touches |candidates|, never the corpus."""
+    with_b = df.withColumn(
+        "_bands", sign_lsh_bands(F.col(vec_col), bands, band_bits)
     )
-    cand = with_sig.where(F.col(id_col) != query_vec_id)
+    q = with_b.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_q_emb"),
+        F.posexplode("_bands").alias("_band", "_sig"),
+    )
+    cand = with_b.where(F.col(id_col) != query_vec_id).select(
+        id_col, vec_col, F.posexplode("_bands").alias("_band", "_sig")
+    )
     score = F.round(cosine(F.col(vec_col), F.col("_q_emb")), round_to)
     return (
-        cand.join(F.broadcast(q), cand["_sig"] == q["_q_sig"])
+        cand.join(F.broadcast(q), ["_band", "_sig"])
+        .dropDuplicates([id_col])
         .select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)

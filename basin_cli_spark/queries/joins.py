@@ -119,12 +119,18 @@ def q_join_semi(spark, sf_dir):
     "q_join_anti",
     """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
 """,
 )
 def q_join_anti(spark, sf_dir):
+    """Customers who never placed a >350k order.  (Every custkey in the
+    fixture has *some* order, so the unfiltered NOT EXISTS would be
+    vacuously empty — the price filter keeps the anti-join observable.)"""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 350000.0
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

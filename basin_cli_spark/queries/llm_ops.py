@@ -185,17 +185,25 @@ def q_similarity_bruteforce(spark, sf_dir):
     return S.cosine_topk(e, query_vec_id=0, k=10)
 
 
-_SIG_SQL = " + ".join(
-    f"CASE WHEN {{v}}[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(16)
-)
+def _band_sql(v: str, band: int, band_bits: int = 4) -> str:
+    """Per-band sign signature, matching operators.similarity.sign_lsh_bands."""
+    return "(" + " + ".join(
+        f"CASE WHEN {v}[{band * band_bits + j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(band_bits)
+    ) + ")"
+
+
+def _any_band_sql(a: str, b: str, bands: int = 4) -> str:
+    return " OR ".join(
+        f"{_band_sql(a, i)} = {_band_sql(b, i)}" for i in range(bands)
+    )
+
 
 _LSH_ANN_ORACLE = f"""
-WITH sigs AS (
-  SELECT vec_id, embedding, CAST({_SIG_SQL.format(v='embedding')} AS BIGINT) AS sig
-  FROM embeddings
-)
 SELECT e.vec_id, ROUND({_cosine_sql('e.embedding', 'q.embedding')}, 6) AS score
-FROM sigs e JOIN (SELECT embedding, sig FROM sigs WHERE vec_id = 0) q ON e.sig = q.sig
+FROM embeddings e
+JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ON {_any_band_sql('e.embedding', 'q.embedding')}
 WHERE e.vec_id <> 0
 ORDER BY score DESC, e.vec_id
 LIMIT 5
@@ -204,7 +212,11 @@ LIMIT 5
 
 @register("q_similarity_ann_lsh", _LSH_ANN_ORACLE)
 def q_similarity_ann_lsh(spark, sf_dir):
-    """Sign-LSH bucketed ANN: probe only the query's bucket (scale path)."""
+    """Banded sign-LSH ANN (4 bands x 4 bits): probe vectors sharing any
+    band with the query, exact-cosine re-rank.  The oracle states the
+    OR-of-bands predicate; the Spark plan is the scale form — posexplode
+    to (band, sig) and broadcast equi-join, so candidate generation is
+    an index probe, not a corpus scan."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk_lsh(e, query_vec_id=0, k=5)
 
@@ -339,43 +351,51 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 _EMB_DEDUP_ORACLE = f"""
-WITH sigs AS (
-  SELECT vec_id, embedding, CAST({_SIG_SQL.format(v='embedding')} AS BIGINT) AS sig
-  FROM embeddings
-)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
-FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.90
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id AND ({_any_band_sql('a.embedding', 'b.embedding')})
+WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.40
 """
 
 
 @register("q_dedup_embedding", _EMB_DEDUP_ORACLE)
 def q_dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join
-    (same bucket => candidate), exact cosine verification at >= 0.90.
-    At 100 TB the bucket column is the shuffle key, so candidate
-    generation is |bucket|^2 per bucket, never corpus^2."""
+    """Embedding-cosine near-duplicate pairs: banded sign-LSH self-join
+    (any shared band => candidate), exact cosine verification at >= 0.40
+    (the fixture embeddings are random, so the threshold sits in the
+    upper tail of the actual cosine distribution).  The self-join is an
+    equi-join on the exploded (band, sig) key — at 100 TB candidate
+    generation is |bucket|^2 per band bucket, never corpus^2 — with
+    colliding pairs deduped before scoring."""
     e = load_table(spark, sf_dir, "embeddings")
-    sig = e.select(
+    expl = e.select(
         "vec_id",
         "embedding",
-        S.sign_lsh_signature(F.col("embedding"), 16).alias("sig"),
+        F.posexplode(
+            S.sign_lsh_bands(F.col("embedding"), 4, 4)
+        ).alias("band", "sig"),
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    score = F.round(S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-    return (
+    a, b = expl.alias("a"), expl.alias("b")
+    pairs = (
         a.join(
             b,
-            (F.col("a.sig") == F.col("b.sig"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            score.alias("score"),
+            F.col("a.embedding").alias("_emb_a"),
+            F.col("b.embedding").alias("_emb_b"),
         )
-        .where(F.col("score") >= 0.90)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    score = F.round(S.cosine(F.col("_emb_a"), F.col("_emb_b")), 6)
+    return (
+        pairs.select("vec_a", "vec_b", score.alias("score"))
+        .where(F.col("score") >= 0.40)
     )
 
 

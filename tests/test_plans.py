@@ -111,9 +111,7 @@ _NLJ_ALLOWED = {
     "q_join_theta",
     "q_events_at",
     "q_similarity_bruteforce",
-    "q_similarity_ann_lsh",
     "q_similarity_ann_ivf",
-    "q_dedup_embedding",
     "q22_dormant_customers",  # 1-row broadcast of the scalar AVG subquery
 }
 
