@@ -502,3 +502,64 @@ def q22_dormant_customers(spark, sf_dir):
             dec_sum(dec("c_acctbal"), "totacctbal"),
         )
     )
+
+
+@register(
+    "q7_nation_trade_volume",
+    f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       YEAR(l_shipdate) AS l_year,
+       {sql_dec_sum(_REV, 'revenue')}, COUNT(*) AS n_lines
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): bidirectional trade between two
+    nations by ship year.  The nation filters are applied to each
+    broadcast nation alias *before* the joins so supplier/customer shrink
+    immediately; the cross-table OR (only the 3<->7 pairings survive)
+    evaluates after both nation joins.  Five joins, one shuffle — every
+    dimension side broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pair = ("NATION_3", "NATION_7")
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    )
+    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dec_sum(rev, "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

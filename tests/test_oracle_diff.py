@@ -25,6 +25,11 @@ def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
     opdf = oracle_con.execute(spec.oracle).df()
     ok, msg = compare(sdf, opdf)
     assert ok, f"{name}: {msg}"
+    # Guard against vacuous passes: an empty expected result means the
+    # query's filters select nothing at this scale factor, and the match
+    # above proved nothing (this has bitten real date-literal bugs).
+    if not name.startswith("q_stream"):
+        assert len(opdf) > 0, f"{name}: oracle returns 0 rows — vacuous test"
 
 
 @pytest.mark.parametrize("name", NO_ORACLE)
