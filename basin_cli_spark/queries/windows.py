@@ -256,3 +256,38 @@ def q_session_window(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "q_window_range_frame",
+    """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY CAST(EPOCH(ts) AS BIGINT)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS hour_sum,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(EPOCH(ts) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_n
+FROM events
+WHERE user_id < 40
+""",
+)
+def q_window_range_frame(spark, sf_dir):
+    """Value-based RANGE frame: per-user trailing-hour sum/count, ordered
+    by epoch seconds (both engines floor to the same integer key, so the
+    frame boundaries — and tie peer groups — agree exactly).  Unlike the
+    ROWS frames above, the frame width here is data-dependent; Spark
+    evaluates it in a single window exec after the partition shuffle."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp")).alias("_epoch")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(dec("value")).over(w).cast("double").alias("hour_sum"),
+        F.count(F.lit(1)).over(w).alias("hour_n"),
+    )
