@@ -62,7 +62,9 @@ def _point_mul(k: int, point=(GX, GY)):
 def _rfc6979_nonce(digest: bytes, priv: int) -> int:
     """Deterministic nonce per RFC 6979 (HMAC-SHA256)."""
     x = priv.to_bytes(32, "big")
-    h1 = digest
+    # bits2octets: reduce the digest mod N before keying the HMAC (RFC 6979
+    # §2.3.4); only differs from the raw digest when bits2int(h1) >= N.
+    h1 = (int.from_bytes(digest, "big") % N).to_bytes(32, "big")
     v = b"\x01" * 32
     k = b"\x00" * 32
     k = hmac.new(k, v + b"\x00" + x + h1, hashlib.sha256).digest()
@@ -87,8 +89,10 @@ def sign_digest(digest: bytes, private_key_hex: str) -> bytes:
     x, y = _point_mul(k)
     r = x % N
     s = _inv(k, N) * (z + r * priv) % N
-    recid = (y & 1) ^ (1 if x >= N else 0)
-    if s > N // 2:  # low-s normalization flips the recovery bit
+    # Standard recovery-id encoding: bit 0 = y parity, bit 1 set when the
+    # nonce point's x overflowed N (recid 2/3, probability ~2^-128).
+    recid = (y & 1) | (2 if x >= N else 0)
+    if s > N // 2:  # low-s normalization flips only the parity bit
         s = N - s
         recid ^= 1
     return r.to_bytes(32, "big") + s.to_bytes(32, "big") + bytes([recid])

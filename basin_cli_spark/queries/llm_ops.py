@@ -605,7 +605,9 @@ def q_text_entropy(spark, sf_dir):
     order on both engines so the doubles match bit-for-bit pre-rounding."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     chars = d.select(
-        "doc_id", F.explode(F.split("text", "(?!^)(?=.)")).alias("ch")
+        # DOTALL lookahead so '\n' splits into its own char, matching the
+        # oracle's per-character SUBSTRING loop
+        "doc_id", F.explode(F.split("text", "(?!^)(?=(?s:.))")).alias("ch")
     )
     freq = chars.groupBy("doc_id", "ch").agg(
         F.count(F.lit(1)).cast("double").alias("c")

@@ -20,26 +20,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 # The reference's discovery query shape (reference cmd/vaults/commands.go:
-# 855-886): columns + PK membership + array element type resolution.
+# 855-886): columns + PK membership + array element type resolution.  PK
+# membership comes from a PRIMARY-KEY-only CTE joined on constraint schema
+# + name — joining key_column_usage on (table_name, column_name) alone
+# would duplicate rows for columns in both a PK and an FK/unique
+# constraint, and could mark same-named tables in other schemas primary.
 SCHEMA_DISCOVERY_SQL = """
+WITH primary_key_info AS (
+  SELECT kcu.constraint_schema, kcu.table_name, kcu.column_name
+  FROM information_schema.table_constraints tc
+  JOIN information_schema.key_column_usage kcu
+    USING (constraint_schema, constraint_name, table_name)
+  WHERE tc.constraint_type = 'PRIMARY KEY'
+)
 SELECT c.column_name,
        CASE WHEN c.data_type = 'ARRAY'
             THEN e.data_type || '[]'
             ELSE c.data_type END AS data_type,
        c.is_nullable = 'YES' AS is_nullable,
-       tc.constraint_type = 'PRIMARY KEY' AS is_primary
+       pk.column_name IS NOT NULL AS is_primary
 FROM information_schema.columns c
 LEFT JOIN information_schema.element_types e
   ON c.table_catalog = e.object_catalog
  AND c.table_schema = e.object_schema
  AND c.table_name = e.object_name
  AND c.dtd_identifier = e.collection_type_identifier
-LEFT JOIN information_schema.key_column_usage kcu
-  ON c.table_name = kcu.table_name
- AND c.column_name = kcu.column_name
-LEFT JOIN information_schema.table_constraints tc
-  ON kcu.constraint_name = tc.constraint_name
- AND tc.constraint_type = 'PRIMARY KEY'
+LEFT JOIN primary_key_info pk
+  ON c.table_schema = pk.constraint_schema
+ AND c.table_name = pk.table_name
+ AND c.column_name = pk.column_name
 WHERE c.table_schema = '{schema}' AND c.table_name = '{table}'
 ORDER BY c.ordinal_position
 """

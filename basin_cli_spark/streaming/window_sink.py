@@ -27,7 +27,7 @@ import time
 
 from pyspark.sql import DataFrame
 
-from basin_cli_spark.functions.hashing import keccak256_file
+from basin_cli_spark.functions.hashing import keccak256, keccak256_file
 from basin_cli_spark.functions.signing import sign_file
 from basin_cli_spark.sources.cdc import materialize_table
 
@@ -99,7 +99,17 @@ class WindowedVaultSink:
             for p in os.listdir(path)
             if p.endswith(".parquet")
         )
-        cid = "0x" + b"".join(keccak256_file(p) for p in parts).hex()[:64]
+        # Single-part exports hash the file directly (byte-parity with the
+        # reference's whole-file keccak cid, signing.go:34-56); multi-part
+        # exports hash the concatenation of per-part digests so every part
+        # contributes to the content id.
+        part_digests = [keccak256_file(p) for p in parts]
+        cid_bytes = (
+            part_digests[0]
+            if len(part_digests) == 1
+            else keccak256(b"".join(part_digests))
+        )
+        cid = "0x" + cid_bytes.hex()
         signature = (
             b"".join(sign_file(p, self.private_key_hex) for p in parts).hex()
             if self.private_key_hex
@@ -117,8 +127,12 @@ class WindowedVaultSink:
 
     def events(self, spark) -> DataFrame:
         """The vault-events metadata table (reference EventInfo,
-        internal/app/models.go:41-46) as a DataFrame."""
-        return spark.read.json(self.manifest_path)
+        internal/app/models.go:41-46) as a DataFrame.
+
+        Empty-batch marker rows (table/path/cid all null, written by
+        process_batch for recovery bookkeeping) are filtered out so library
+        consumers and the CLI see the same event list."""
+        return spark.read.json(self.manifest_path).where("table IS NOT NULL")
 
 
 def run_stream(
