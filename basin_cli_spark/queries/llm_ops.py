@@ -364,22 +364,32 @@ def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: banded sign-LSH self-join
     (any shared band => candidate), exact cosine verification at >= 0.40
     (the fixture embeddings are random, so the threshold sits in the
-    upper tail of the actual cosine distribution).  The self-join is an
-    equi-join on the exploded (band, sig) key — at 100 TB candidate
-    generation is |bucket|^2 per band bucket, never corpus^2 — with
-    colliding pairs deduped before scoring."""
+    upper tail of the actual cosine distribution).
+
+    Physical shape, chosen for the 100 TB case:
+    - candidate generation joins *ids only* on the exploded (band, sig)
+      key — |bucket|^2 per band bucket, never corpus^2, and the shuffled
+      pair rows are 16 bytes, not 2 embeddings wide;
+    - pairs are deduped (a pair can collide in several bands) while still
+      ids-only, so the expensive exact verification runs once per pair;
+    - per-vector norms are folded once per *vector* before the pair join
+      (2N folds), leaving a single dot-product fold per pair — vs 3 folds
+      per pair when cosine() recomputes both norms inline;
+    - the id->embedding join back is a broadcast here (the vector table
+      is the small side at bench scale); at 100 TB it becomes two
+      shuffle hash joins on vec_id, which AQE picks automatically."""
     e = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
     expl = e.select(
         "vec_id",
-        "embedding",
         F.posexplode(
             S.sign_lsh_bands(F.col("embedding"), 4, 4)
         ).alias("band", "sig"),
     )
     a, b = expl.alias("a"), expl.alias("b")
     pairs = (
-        a.join(
-            b,
+        a.repartition(par).join(
+            F.broadcast(b),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -387,15 +397,42 @@ def q_dedup_embedding(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("_emb_a"),
-            F.col("b.embedding").alias("_emb_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    score = F.round(S.cosine(F.col("_emb_a"), F.col("_emb_b")), 6)
-    return (
-        pairs.select("vec_a", "vec_b", score.alias("score"))
-        .where(F.col("score") >= 0.40)
+    normed = e.select(
+        "vec_id", "embedding", S.norm_sq(F.col("embedding")).alias("_n2")
+    )
+    scored = (
+        pairs.repartition(par)
+        .join(
+            F.broadcast(
+                normed.select(
+                    F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("_emb_a"),
+                    F.col("_n2").alias("_n2_a"),
+                )
+            ),
+            "vec_a",
+        )
+        .join(
+            F.broadcast(
+                normed.select(
+                    F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("_emb_b"),
+                    F.col("_n2").alias("_n2_b"),
+                )
+            ),
+            "vec_b",
+        )
+    )
+    score = F.round(
+        S.dot(F.col("_emb_a"), F.col("_emb_b"))
+        / F.sqrt(F.col("_n2_a") * F.col("_n2_b")),
+        6,
+    )
+    return scored.select("vec_a", "vec_b", score.alias("score")).where(
+        F.col("score") >= 0.40
     )
 
 
