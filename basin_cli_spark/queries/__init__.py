@@ -80,6 +80,7 @@ def load_all() -> dict[str, QuerySpec]:
     from basin_cli_spark.queries import (  # noqa: F401
         aggregates,
         analytics,
+        analytics_ext,
         cdc_queries,
         events_surface,
         joins,

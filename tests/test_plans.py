@@ -113,6 +113,7 @@ _NLJ_ALLOWED = {
     "q_similarity_bruteforce",
     "q_similarity_ann_ivf",
     "q22_dormant_customers",  # 1-row broadcast of the scalar AVG subquery
+    "q11_important_parts",  # 1-row broadcast of the (total, n_parts) scalar
 }
 
 
