@@ -697,3 +697,144 @@ def q_text_repetition(spark, sf_dir):
         (F.max("c").cast("double") / F.sum("c")).alias("top_shingle_share"),
         F.sum("c").alias("n_shingles"),
     )
+
+
+# -- label/source-aware corpus operators: per-class centroids, kNN label
+# assignment, per-source curation stats — the training-data-pipeline ops
+# that consume the fixture's otherwise-inert label/source columns.
+
+_CENTROID_ORACLE = """
+SELECT label, CAST(i AS INT) AS dim,
+       ROUND(AVG(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS centroid
+FROM embeddings, RANGE(1, 65) t(i)
+GROUP BY label, i
+"""
+
+
+@register("q_embedding_label_centroids", _CENTROID_ORACLE)
+def q_embedding_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid, one row per (label, dimension) —
+    the class-prototype computation behind IVF codebooks and
+    centroid-distance data filtering.  posexplode keys the shuffle on
+    (label, dim), so the aggregation is a plain hash-agg with map-side
+    partials at any corpus size (never a collect of vectors).  Means are
+    float (order-sensitive in the last bits), so both engines round to
+    6 decimals."""
+    e = load_table(spark, sf_dir, "embeddings")
+    par = e.sparkSession.sparkContext.defaultParallelism
+    expl = e.repartition(par).select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    return (
+        expl.groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
+
+
+_KNN_ORACLE = f"""
+WITH probes AS (
+  SELECT vec_id AS p_id, embedding AS p_emb FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+  SELECT p_id, e.label,
+         ROUND({_cosine_sql('e.embedding', 'p_emb')}, 6) AS score,
+         e.vec_id
+  FROM embeddings e, probes
+  WHERE e.vec_id <> p_id
+),
+top5 AS (
+  SELECT p_id, label
+  FROM (SELECT p_id, label,
+               ROW_NUMBER() OVER (PARTITION BY p_id
+                                  ORDER BY score DESC, vec_id) AS r
+        FROM scored)
+  WHERE r <= 5
+),
+votes AS (
+  SELECT p_id, label, COUNT(*) AS votes FROM top5 GROUP BY p_id, label
+)
+SELECT p_id, label AS pred_label, votes
+FROM (SELECT p_id, label, votes,
+             ROW_NUMBER() OVER (PARTITION BY p_id
+                                ORDER BY votes DESC, label) AS r
+      FROM votes)
+WHERE r = 1
+"""
+
+
+@register("q_similarity_knn_label", _KNN_ORACLE)
+def q_similarity_knn_label(spark, sf_dir):
+    """kNN label assignment (k=5, majority vote): classify each probe
+    vector by its nearest labeled neighbors — weak-labeling /
+    auto-curation over an embedded corpus.  Scores are rounded before
+    ranking and every window sits on a total order (score desc, vec_id;
+    votes desc, label), so ranks agree across engines.  The probe set
+    broadcasts; the corpus never shuffles until the per-probe top-k."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    par = e.sparkSession.sparkContext.defaultParallelism
+    probes = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("p_id"), F.col("embedding").alias("p_emb")
+    )
+    scored = (
+        e.repartition(par)
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("p_id"))
+        .select(
+            "p_id",
+            "label",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("p_emb")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("p_id").orderBy(
+        F.desc("score"), F.col("vec_id")
+    )
+    top5 = scored.withColumn("r", F.row_number().over(w_rank)).where(
+        F.col("r") <= 5
+    )
+    votes = top5.groupBy("p_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w_vote = Window.partitionBy("p_id").orderBy(
+        F.desc("votes"), F.col("label")
+    )
+    return (
+        votes.withColumn("r", F.row_number().over(w_vote))
+        .where(F.col("r") == 1)
+        .select("p_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+_SOURCE_STATS_ORACLE = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT MD5(text)) AS n_unique,
+       1.0 - CAST(COUNT(DISTINCT MD5(text)) AS DOUBLE) / COUNT(*) AS dup_rate,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+"""
+
+
+@register("q_corpus_source_stats", _SOURCE_STATS_ORACLE)
+def q_corpus_source_stats(spark, sf_dir):
+    """Per-source corpus curation stats: document count, exact-dup rate
+    (via content hash), mean length, language spread — the summary a
+    pipeline uses to decide which sources to keep/downsample.  One
+    hash-agg keyed on source; the two COUNT DISTINCTs expand to Spark's
+    standard expand-node plan, still a single shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_uniq = F.countDistinct(F.md5("text"))
+    n = F.count(F.lit(1))
+    return d.groupBy("source").agg(
+        n.alias("n_docs"),
+        n_uniq.alias("n_unique"),
+        (F.lit(1.0) - n_uniq.cast("double") / n).alias("dup_rate"),
+        (F.sum("n_chars").cast("double") / n).alias("mean_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

@@ -112,6 +112,8 @@ _NLJ_ALLOWED = {
     "q_events_at",
     "q_similarity_bruteforce",
     "q_similarity_ann_ivf",
+    "q_similarity_knn_label",  # 20-row probe-set broadcast cross join
+
     "q22_dormant_customers",  # 1-row broadcast of the scalar AVG subquery
     "q11_important_parts",  # 1-row broadcast of the (total, n_parts) scalar
 }
