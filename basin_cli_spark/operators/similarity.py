@@ -128,40 +128,6 @@ def cosine_topk_lsh(
     )
 
 
-def ivf_assign(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    stride: int = 25,
-) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantization with a deterministic 'codebook': every
-    stride-th vector is a centroid (a real pipeline would k-means here —
-    the assignment/probe dataflow is identical and this keeps the oracle
-    replayable).  Returns (centroids, assignment).
-
-    Assignment is the standard IVF build: each vector scores against the
-    broadcast codebook and keeps its argmax-cosine centroid (ties to the
-    larger cent_id via struct-max, so every engine agrees).  One narrow
-    shuffle on id; the codebook never shuffles.
-    """
-    cents = df.where(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
-    )
-    # The |corpus| x |codebook| scoring is the hot loop; repartition first so
-    # a low-split source (one small file here, a coalesced scan at 100 TB)
-    # fans it across every core.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    scored = df.repartition(par).crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.struct(
-            cosine(F.col(vec_col), F.col("cvec")).alias("sim"),
-            F.col("cent_id").alias("cent_id"),
-        ).alias("sc"),
-    )
-    assign = scored.groupBy(id_col).agg(F.max("sc")["cent_id"].alias("cent_id"))
-    return cents, assign
-
-
 def cosine_topk_ivf(
     df: DataFrame,
     query_vec_id: int,
@@ -176,7 +142,9 @@ def cosine_topk_ivf(
     nprobe nearest inverted lists, and scores exactly inside them.  At
     100 TB the assignment's cent_id is the partition key, so a probe scans
     nprobe/|codebook| of the corpus."""
-    cents, assign = ivf_assign(df, id_col, vec_col, stride)
+    cents = df.where(F.col(id_col) % stride == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
     q = df.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_q_emb")
     )
@@ -193,10 +161,27 @@ def cosine_topk_ivf(
         .limit(nprobe)
         .select("cent_id")
     )
-    cand = (
-        df.join(assign, id_col)
-        .join(F.broadcast(probe), "cent_id", "left_semi")
-        .where(F.col(id_col) != query_vec_id)
+    # IVF build + probe in ONE shuffle: score every vector against the
+    # broadcast codebook, keep the argmax centroid via max(struct) while
+    # carrying the vector itself with first() — no join-back to recover the
+    # embedding (the naive plan's sort-merge self-join is the thing that
+    # doesn't survive a 100 TB corpus).  Exact re-scoring then touches only
+    # the nprobe probed lists.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    scored = df.repartition(par).crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.struct(
+            cosine(F.col(vec_col), F.col("cvec")).alias("sim"),
+            F.col("cent_id").alias("cent_id"),
+        ).alias("sc"),
+    )
+    assign = scored.groupBy(id_col).agg(
+        F.max("sc")["cent_id"].alias("cent_id"),
+        F.first(vec_col).alias(vec_col),
+    )
+    cand = assign.join(F.broadcast(probe), "cent_id", "left_semi").where(
+        F.col(id_col) != query_vec_id
     )
     score = F.round(cosine(F.col(vec_col), F.col("_q_emb")), round_to)
     return (

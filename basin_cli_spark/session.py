@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The default 100-entry codegen class cache thrashes when a session
+        # runs a wide query mix (each query compiles several WholeStageCodegen
+        # units); eviction turns the second run of a query back into a
+        # multi-second Janino compile. A long-lived cluster session wants the
+        # whole workload resident.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -54,17 +54,20 @@ def main() -> None:
     registry = load_all()
     spark = get_spark(app_name="basin_cli_spark_bench")
 
-    # warm the JVM/codegen paths: same query shapes, smallest fixture
+    # Warm-up is interleaved per query (warm at the smallest fixture, then
+    # time immediately at the bench SF): the JVM codegen/JIT caches are LRU,
+    # so a single up-front warm-up pass is evicted by the 19 other queries
+    # that run between a query's warm-up and its timed run.
     warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
-            registry[name].fn(spark, warm_dir).collect()
-    else:
+    warm_ok = os.path.isdir(warm_dir) and warm_dir != sf_dir
+    if not warm_ok:
         spark.range(1000).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
+        if warm_ok:
+            spec.fn(spark, warm_dir).collect()
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
