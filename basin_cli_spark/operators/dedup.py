@@ -207,3 +207,60 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation — the clustering step that turns near-duplicate PAIRS into
+    duplicate GROUPS (a pipeline then keeps min-id per component).
+
+    Returns (id, cluster_id) for every vertex that appears in an edge;
+    cluster_id is the component's minimum vertex id (deterministic).
+
+    Scale shape: each round is one equi-join (edge list x label table,
+    keyed on vertex id) plus one min-groupBy — both plain shuffles on the
+    id. The label table is two longs per vertex, tiny next to the corpus
+    text even at 100 TB, and the edge list is persisted once and re-read
+    every round. localCheckpoint() truncates lineage so the plan stays
+    constant-size across rounds instead of doubling. Rounds needed =
+    graph diameter; near-dup graphs are dense blobs with tiny diameter,
+    so 2-4 rounds in practice (the alternating large-star/small-star
+    variant of Kiveris et al. trims worst-case chains; not needed here).
+    """
+    sym = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select("id")
+        .distinct()
+        .select("id", F.col("id").alias("lab"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_lab = sym.join(
+            labels.select(F.col("id").alias("nbr"), "lab"), "nbr"
+        ).select("id", "lab")
+        new_labels = (
+            labels.union(nbr_lab)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lab", "old"), "id")
+            .where(F.col("lab") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

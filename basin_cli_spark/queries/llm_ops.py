@@ -838,3 +838,220 @@ def q_corpus_source_stats(spark, sf_dir):
         (F.sum("n_chars").cast("double") / n).alias("mean_chars"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_shingle_cte()},
+mh AS (
+  SELECT doc_id, {_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+walk(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id
+)
+SELECT id AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY id
+"""
+
+
+@register("q_dedup_clusters", _CLUSTER_ORACLE)
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate GROUPS, not just pairs: connected components over the
+    MinHash-LSH near-dup graph (min-label propagation; see
+    operators/dedup.connected_components for the per-round shuffle shape).
+    This is the step an actual corpus dedup needs — transitive closure, so
+    A~B, B~C collapse into one keep-group even when A,C never collide in
+    any band.  The DuckDB oracle replays it as a recursive-CTE reachability
+    walk; Spark runs the iterative join/min-agg loop (what a 100 TB corpus
+    requires — a recursive CTE over 10^9 edges is not an option)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", n_hashes=8, band_size=2)
+    cc = D.connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+
+
+_STRAT_NIB = "(STRPOS('0123456789abcdef', SUBSTRING(h, {i}, 1)) - 1)"
+_STRAT_BUCKET = (
+    "("
+    + " + ".join(
+        _STRAT_NIB.format(i=i + 1) + f" * {16 ** (3 - i)}" for i in range(4)
+    )
+    + ") % 100"
+)
+
+_STRAT_ORACLE = f"""
+WITH h AS (SELECT *, MD5(text) AS h FROM documents)
+SELECT doc_id, source, lang, n_chars
+FROM h
+WHERE {_STRAT_BUCKET} <
+      CASE WHEN CAST(SUBSTRING(source, 4) AS INT) % 2 = 0 THEN 80 ELSE 30 END
+"""
+
+
+@register("q_sample_stratified", _STRAT_ORACLE)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified (per-source) downsampling: the keep/drop
+    decision is a pure function of the content hash, so the sample is
+    reproducible across runs, engines, and cluster sizes — no RNG state,
+    no driver coordination, embarrassingly parallel at 100 TB.  Per-source
+    rates (80% even strata / 30% odd) stand in for the real pipeline's
+    per-source quality weights.  Plan: scan -> filter, nothing else; the
+    md5-bucket predicate vectorizes and no shuffle occurs."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("int") % 100
+    rate = F.when(
+        F.expr("CAST(SUBSTRING(source, 4) AS INT)") % 2 == 0, 80
+    ).otherwise(30)
+    return d.where(bucket < rate).select("doc_id", "source", "lang", "n_chars")
+
+
+_QPRUNE_ORACLE = """
+SELECT doc_id, source, n_chars, ROUND(pr, 6) AS pr
+FROM (
+  SELECT doc_id, source, n_chars,
+         PERCENT_RANK() OVER (
+           PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+  FROM documents
+)
+WHERE pr >= 0.1 AND pr <= 0.9
+"""
+
+
+@register("q_corpus_quantile_prune", _QPRUNE_ORACLE)
+def q_corpus_quantile_prune(spark, sf_dir):
+    """Per-source quantile pruning: drop each source's length outliers
+    (below p10 / above p90) — the standard 'cut the tails' curation gate.
+    percent_rank is (rank-1)/(n-1), identical IEEE arithmetic in both
+    engines, and the (n_chars, doc_id) order is total so ranks are
+    deterministic.  One shuffle keyed on source; at 100 TB the window is
+    per-source sort-within-partition, and a skewed giant source would
+    switch to the two-pass approx-quantile + broadcast-thresholds plan."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    return (
+        d.select("doc_id", "source", "n_chars", pr.alias("pr"))
+        .where((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9))
+        .select("doc_id", "source", "n_chars", F.round("pr", 6).alias("pr"))
+    )
+
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\d{3}-\\d{4}"
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or call 555-'
+              || LPAD(CAST(doc_id AS VARCHAR), 4, '0') || '.' AS raw
+  FROM documents
+)
+SELECT doc_id,
+       REGEXP_REPLACE(
+         REGEXP_REPLACE(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS clean_text,
+       CAST(LEN(REGEXP_EXTRACT_ALL(raw, '{_PII_EMAIL}')) AS BIGINT)
+         + CAST(LEN(REGEXP_EXTRACT_ALL(raw, '{_PII_PHONE}')) AS BIGINT)
+         AS n_pii
+FROM aug
+"""
+
+
+@register("q_text_pii_scrub", _PII_ORACLE)
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails, phone numbers) via JVM-side regexp_replace —
+    no Python in the loop, so the scrub runs inside whole-stage codegen at
+    full scan speed.  The fixture text carries no PII, so both engines
+    first append the same synthetic contact line (pure function of doc_id)
+    and then redact it — the redaction itself is observable in the output,
+    not a no-op.  Patterns stay in the RE2-compatible subset so Java and
+    DuckDB agree."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    aug = d.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    n_pii = F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL)) + F.regexp_count(
+        F.col("raw"), F.lit(_PII_PHONE)
+    )
+    return aug.select(
+        "doc_id", clean.alias("clean_text"), n_pii.cast("long").alias("n_pii")
+    )
+
+
+_BUDGET_ORACLE = f"""
+SELECT source, doc_id, n_tok, cum_tok
+FROM (
+  SELECT source, doc_id, n_tok,
+         CAST(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tok
+  FROM (
+    SELECT source, doc_id,
+           CAST(LEN({_SQL_TOKENS.format(c='text')}) AS BIGINT) AS n_tok
+    FROM documents
+  )
+)
+WHERE cum_tok <= 2000
+"""
+
+
+@register("q_token_budget_pack", _BUDGET_ORACLE)
+def q_token_budget_pack(spark, sf_dir):
+    """Token-budget packing: take documents per source (in stable doc_id
+    order) until a per-source token budget is hit — how a training mix is
+    assembled against a sampling recipe.  A running-sum window keyed on
+    source does the packing in one shuffle; the token counter is the same
+    whitespace tokenizer the dedup path uses, JVM-side.  At 100 TB the
+    window is sort-within-source; a pathological single-source corpus
+    would pre-aggregate per-file subtotals first."""
+    from pyspark.sql import Window
+
+    from basin_cli_spark.operators.dedup import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source", "doc_id", F.size(_tokens("text")).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.select(
+            "source", "doc_id", "n_tok", F.sum("n_tok").over(w).alias("cum_tok")
+        )
+        .where(F.col("cum_tok") <= 2000)
+    )
