@@ -1055,3 +1055,117 @@ def q_token_budget_pack(spark, sf_dir):
         )
         .where(F.col("cum_tok") <= 2000)
     )
+
+
+_KEEP_ONE_ORACLE = f"""
+WITH RECURSIVE {_shingle_cte()},
+mh AS (
+  SELECT doc_id, {_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+walk(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id
+),
+cc AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+"""
+
+
+@register("q_dedup_keep_one", _KEEP_ONE_ORACLE)
+def q_dedup_keep_one(spark, sf_dir):
+    """The end-to-end near-dedup a pipeline actually ships: LSH pairs ->
+    connected components -> keep ONE representative (the min-id) per
+    duplicate cluster, pass every unclustered doc through untouched.
+    The drop-list (cluster members that are not the representative) is
+    tiny relative to the corpus, so the final pass is a broadcast
+    left-anti join against the full document scan — the corpus itself is
+    read once and never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", n_hashes=8, band_size=2)
+    cc = D.connected_components(pairs, "doc_a", "doc_b")
+    drop = cc.where(F.col("id") != F.col("lab")).select(
+        F.col("id").alias("doc_id")
+    )
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+_QUANT_ORACLE = """
+WITH v AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+mm AS (
+  SELECT vec_id, v, LIST_MIN(v) AS mn, (LIST_MAX(v) - LIST_MIN(v)) / 255.0 AS sc
+  FROM v
+),
+c AS (
+  SELECT vec_id, v, mn, sc,
+         LIST_TRANSFORM(v, x -> CAST(ROUND((x - mn) / sc) AS INT)) AS codes
+  FROM mm
+)
+SELECT vec_id,
+       ROUND(mn, 6) AS qmin,
+       ROUND(mn + 255 * sc, 6) AS qmax,
+       ROUND(
+         LIST_REDUCE(
+           LIST_TRANSFORM(RANGE(1, LEN(v) + 1),
+                          i -> ABS(v[i] - (mn + codes[i] * sc))),
+           (x, y) -> x + y) / LEN(v), 8) AS mean_abs_err
+FROM c
+"""
+
+
+@register("q_embedding_quantize", _QUANT_ORACLE)
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector int8 scalar quantization (min/max affine, 255 levels) +
+    reconstruction error — the memory-side half of ANN at 100 TB: codes
+    are 4x smaller than float32, and the (qmin, scale) pair reconstructs
+    on the fly during rescoring.  All HOF expressions (transform /
+    zip-fold), zero Python; per-row work only, no shuffle.  The error
+    fold is sequential so both engines add in the same order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    par = e.sparkSession.sparkContext.defaultParallelism
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.repartition(par).select("vec_id", v.alias("v"))
+    mm = base.select(
+        "vec_id",
+        "v",
+        F.array_min("v").alias("mn"),
+        ((F.array_max("v") - F.array_min("v")) / 255.0).alias("sc"),
+    )
+    codes = F.transform(
+        "v", lambda x: F.round((x - F.col("mn")) / F.col("sc")).cast("int")
+    )
+    c = mm.select("vec_id", "v", "mn", "sc", codes.alias("codes"))
+    errs = F.zip_with(
+        "v",
+        "codes",
+        lambda x, k: F.abs(x - (F.col("mn") + k * F.col("sc"))),
+    )
+    mae = F.aggregate(errs, F.lit(0.0), lambda s, x: s + x) / F.size("v")
+    return c.select(
+        "vec_id",
+        F.round("mn", 6).alias("qmin"),
+        F.round(F.col("mn") + 255 * F.col("sc"), 6).alias("qmax"),
+        F.round(mae, 8).alias("mean_abs_err"),
+    )
