@@ -17,6 +17,7 @@ from basin_cli_spark.queries import register
 from basin_cli_spark.queries._helpers import (
     dec,
     dec_sum,
+    one_minus,
     sql_dec,
     sql_dec_avg,
     sql_dec_sum,
@@ -64,7 +65,7 @@ def q3_shipping_priority(spark, sf_dir):
         .where(F.col("l_shipdate") > cutoff)
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
-    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    rev = dec("l_extendedprice") * one_minus("l_discount")
     return (
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
@@ -112,7 +113,7 @@ def q5_local_supplier_volume(spark, sf_dir):
     region = load_table(spark, sf_dir, "region").where(
         F.col("r_name") == "ASIA"
     ).select("r_regionkey")
-    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    rev = dec("l_extendedprice") * one_minus("l_discount")
     return (
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
@@ -165,7 +166,7 @@ def q10_returned_items(spark, sf_dir):
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    rev = dec("l_extendedprice") * one_minus("l_discount")
     return (
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
@@ -268,7 +269,7 @@ def q14_promo_revenue_share(spark, sf_dir):
         (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    rev = dec("l_extendedprice") * one_minus("l_discount")
     zero = F.lit(0).cast("decimal(18,2)")
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)
     return (
@@ -310,7 +311,7 @@ def q19_discounted_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 30) & q.between(10, 30))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 45) & q.between(20, 40))
     )
-    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    rev = dec("l_extendedprice") * one_minus("l_discount")
     return (
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .where(cond)
@@ -545,7 +546,7 @@ def q7_nation_trade_volume(spark, sf_dir):
         .where(F.col("n_name").isin(*pair))
         .select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     )
-    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    rev = dec("l_extendedprice") * one_minus("l_discount")
     return (
         li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))

@@ -24,6 +24,7 @@ from basin_cli_spark.queries import register
 from basin_cli_spark.queries._helpers import (
     dec,
     dec_sum,
+    one_minus,
     sql_dec,
     sql_dec_sum,
 )
@@ -182,7 +183,7 @@ def q8_market_share(spark, sf_dir):
     ns = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
     )
-    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    rev = dec("l_extendedprice") * one_minus("l_discount")
     zero = F.lit(0).cast("decimal(18,2)")
     national = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)
     return (
@@ -242,7 +243,7 @@ def q9_product_type_profit(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
-    profit = dec("l_extendedprice") * (1 - dec("l_discount")) - dec(
+    profit = dec("l_extendedprice") * one_minus("l_discount") - dec(
         "p_retailprice"
     ) * dec("l_quantity")
     return (
@@ -382,7 +383,7 @@ def q15_top_supplier(spark, sf_dir):
         .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
         .select("l_suppkey", "l_extendedprice", "l_discount")
     )
-    rev = dec("l_extendedprice") * (1 - dec("l_discount"))
+    rev = dec("l_extendedprice") * one_minus("l_discount")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(rev).alias("total_revenue")
     )

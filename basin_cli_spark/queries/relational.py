@@ -16,6 +16,8 @@ from basin_cli_spark.queries._helpers import (
     dec,
     dec_avg,
     dec_sum,
+    one_minus,
+    one_plus,
     sql_dec,
     sql_dec_avg,
     sql_dec_sum,
@@ -51,9 +53,9 @@ ORDER BY l_returnflag, l_linestatus
 @register("q1_pricing_summary", _Q1_ORACLE)
 def q1_pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    price, disc, tax = dec("l_extendedprice"), dec("l_discount"), dec("l_tax")
-    disc_price = price * (1 - disc)
-    charge = disc_price * (1 + tax)
+    price, disc = dec("l_extendedprice"), dec("l_discount")
+    disc_price = price * one_minus("l_discount")  # (13,4), long-backed
+    charge = disc_price * one_plus("l_tax")  # (18,6), still long-backed
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")

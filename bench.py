@@ -54,19 +54,26 @@ def main() -> None:
     registry = load_all()
     spark = get_spark(app_name="basin_cli_spark_bench")
 
-    # Warm-up is interleaved per query (warm at the smallest fixture, then
+    # Warm-up is interleaved per query (warm at the smaller fixtures, then
     # time immediately at the bench SF): the JVM codegen/JIT caches are LRU,
     # so a single up-front warm-up pass is evicted by the 19 other queries
-    # that run between a query's warm-up and its timed run.
-    warm_dir = "/root/testdata/sf0.001"
-    warm_ok = os.path.isdir(warm_dir) and warm_dir != sf_dir
-    if not warm_ok:
+    # that run between a query's warm-up and its timed run.  Two warm SFs:
+    # sf0.001 compiles the codegen classes, sf0.01 additionally JITs the
+    # multi-partition shuffle/agg paths the sf0.1 run exercises (a
+    # single-partition warm-up leaves those cold and inflates the first
+    # timed run ~2x).
+    warm_dirs = [
+        d
+        for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+        if os.path.isdir(d) and d != sf_dir
+    ]
+    if not warm_dirs:
         spark.range(1000).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
-        if warm_ok:
+        for warm_dir in warm_dirs:
             spec.fn(spark, warm_dir).collect()
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).collect()
