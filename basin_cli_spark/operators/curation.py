@@ -1,0 +1,117 @@
+"""Corpus-curation operators a production training-data pipeline runs
+between raw ingest and tokenization: text normalization, deterministic
+split assignment, train/eval decontamination, chunking, and dedup
+provenance.
+
+These extend the reference's surface per the north star
+(/root/repo/BASELINE.json); the reference itself stops at publishing
+Parquet (reference internal/app/db.go:168-175) — everything here consumes
+that published corpus.
+
+Scale shapes:
+* normalization / chunking are per-row narrow ops (no shuffle);
+* split assignment is a pure hash of the id (no RNG, no shuffle, stable
+  under re-runs and appends — the property a 100 TB corpus needs so a
+  re-ingest doesn't migrate documents between splits);
+* decontamination broadcasts the *eval* shingle set (benchmark suites are
+  KBs-to-MBs against a 100 TB train corpus) so the train side streams
+  through a broadcast semi-join with no corpus shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from basin_cli_spark.operators.dedup import shingle_rows
+
+# Java \p{Punct} and RE2 [[:punct:]] are the identical POSIX ASCII set;
+# an explicit whitespace class avoids the Java-\s-vs-RE2-\s difference
+# (\x0B is whitespace only in Java).
+_PUNCT_RE_SPARK = r"\p{Punct}"
+_WS_RE = "[ \t\n\r\f]+"
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Lowercase, punctuation -> space, whitespace collapsed, trimmed —
+    the canonical form exact-dedup and shingling run on."""
+    col = F.col(c) if isinstance(c, str) else c
+    no_punct = F.regexp_replace(F.lower(col), _PUNCT_RE_SPARK, " ")
+    return F.trim(F.regexp_replace(no_punct, _WS_RE, " "))
+
+
+def split_bucket(id_col: Column | str, buckets: int = 16) -> Column:
+    """Deterministic bucket in [0, 16) from the first md5 nibble of the id's
+    decimal string — reproducible in any engine, stable under appends."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    nibble = F.substring(F.md5(col.cast("string")), 1, 1)
+    return (F.instr(F.lit("0123456789abcdef"), nibble) - 1).cast("int")
+
+
+def split_assign(id_col: Column | str) -> Column:
+    """train/val/test = 13/1/2 of the 16 md5-nibble buckets (~81/6/13%)."""
+    b = split_bucket(id_col)
+    return (
+        F.when(b < 13, F.lit("train"))
+        .when(b == 13, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per train-document count of distinct word-k-gram shingles shared
+    with the eval set — the n-gram-overlap decontamination check run
+    before training so benchmark answers don't leak into the corpus.
+
+    The eval shingle set is deduped then broadcast; the train corpus
+    streams through the broadcast inner join and aggregates per doc with
+    map-side partials.  The corpus itself is never shuffled."""
+    train_sh = shingle_rows(docs, text_col, id_col, k)
+    eval_sh = (
+        shingle_rows(eval_docs, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Overlapping fixed-size character chunks (context-window prep).
+    Chunk i covers [1 + i*stride, 1 + i*stride + size); every chunk start
+    lies inside the document.  Row-multiplying but narrow — no shuffle,
+    and chunk count is derived from the stored length column so both
+    engines index identically."""
+    # greatest(...,0): Spark's sequence(0, -1) would count *down*; an empty
+    # document still yields exactly one (empty) chunk.
+    n_chunks = F.greatest(
+        F.floor((F.col(len_col) - 1) / stride).cast("int"), F.lit(0)
+    )
+    chunked = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(F.sequence(F.lit(0), n_chunks)).alias("chunk_id", "_i"),
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.substring(
+            F.col(text_col), F.col("chunk_id") * stride + 1, size
+        ).alias("chunk_text"),
+    )

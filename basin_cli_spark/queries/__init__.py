@@ -82,6 +82,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics,
         analytics_ext,
         cdc_queries,
+        corpus_ops,
         events_surface,
         joins,
         llm_ops,

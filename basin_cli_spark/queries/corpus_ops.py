@@ -1,0 +1,388 @@
+"""Corpus-curation queries (SURVEY.md §2.B LLM-pipeline extensions):
+normalization, deterministic splits, train/eval decontamination, chunking,
+dedup provenance.  Oracle SQL replays the identical formulas in DuckDB
+(md5-nibble buckets, trigram shingles, POSIX regex classes) so results
+hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from basin_cli_spark.operators import curation as C
+from basin_cli_spark.operators import dedup as D
+from basin_cli_spark.queries import register
+from basin_cli_spark.queries.llm_ops import (
+    _MINHASH_BANDS,
+    _MINHASH_MINS,
+    _shingle_cte,
+)
+from basin_cli_spark.sources import load_table
+
+# -- text normalization -------------------------------------------------------
+
+_NORMALIZE_ORACLE = r"""
+SELECT doc_id,
+       TRIM(REGEXP_REPLACE(
+         REGEXP_REPLACE(LOWER(text), '[[:punct:]]', ' ', 'g'),
+         '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+@register("q_text_normalize", _NORMALIZE_ORACLE)
+def q_text_normalize(spark, sf_dir):
+    """Canonical text form (lower, punct->space, whitespace collapse) —
+    the narrow per-row pass every dedup/shingle stage keys on.  Java
+    \\p{Punct} and RE2 [[:punct:]] are the same POSIX ASCII set; the
+    whitespace class is explicit because Java's \\s and RE2's \\s
+    disagree on \\x0B."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", C.normalize_text("text").alias("norm_text")
+    )
+
+
+# -- deterministic split assignment ------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT source, n_chars,
+         CASE
+           WHEN STRPOS('0123456789abcdef',
+                       SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+             THEN 'train'
+           WHEN STRPOS('0123456789abcdef',
+                       SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 = 13
+             THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT split, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned
+GROUP BY split, source
+"""
+
+
+@register("q_corpus_split", _SPLIT_ORACLE)
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test assignment from an md5-nibble bucket of
+    the document id (13/1/2 of 16).  No RNG and no shuffle to assign:
+    membership is a pure function of the id, so re-runs and corpus appends
+    never migrate documents between splits — the reproducibility property
+    a 100 TB training corpus needs.  The summary is a plain hash-agg."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            C.split_assign("doc_id").alias("split"), "source", "n_chars"
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# -- train/eval decontamination ----------------------------------------------
+
+_DECON_ORACLE = f"""
+WITH {_shingle_cte()},
+eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+),
+train_sh AS (
+  SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0
+)
+SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n_shared_shingles
+FROM train_sh t JOIN eval_sh e USING (shingle)
+GROUP BY t.doc_id
+"""
+
+
+@register("q_decontaminate", _DECON_ORACLE)
+def q_decontaminate(spark, sf_dir):
+    """N-gram-overlap decontamination: per train document, the number of
+    distinct word-trigram shingles it shares with the eval set (here the
+    doc_id % 20 == 0 slice standing in for a benchmark suite).  The eval
+    shingle set is broadcast — benchmarks are MBs against a 100 TB corpus
+    — so the train side streams through the broadcast join and aggregates
+    with map-side partials; the corpus is never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    return C.decontaminate(d.where(~is_eval), d.where(is_eval))
+
+
+# -- document chunking --------------------------------------------------------
+
+_CHUNK_ORACLE = """
+WITH idx AS (
+  SELECT doc_id, text,
+         UNNEST(RANGE(0, GREATEST(CAST(FLOOR((n_chars - 1) / 150) AS INT), 0) + 1))
+           AS chunk_id
+  FROM documents
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       SUBSTRING(text, chunk_id * 150 + 1, 200) AS chunk_text
+FROM idx
+"""
+
+
+@register("q_chunk_documents", _CHUNK_ORACLE)
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping 200-char / 150-stride chunks (context-window prep).
+    Row-multiplying but narrow — no shuffle; chunk count derives from the
+    stored n_chars so Spark and the oracle index identically."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.chunk_documents(d)
+
+
+# -- dedup provenance ---------------------------------------------------------
+
+_PROVENANCE_ORACLE = f"""
+WITH RECURSIVE {_shingle_cte()},
+mh AS (
+  SELECT doc_id, {_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+walk(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id
+),
+cc AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id)
+SELECT c.id AS dropped_id, c.cluster_id AS kept_id, d.source
+FROM cc c JOIN documents d ON d.doc_id = c.id
+WHERE c.id <> c.cluster_id
+"""
+
+
+@register("q_dedup_provenance", _PROVENANCE_ORACLE)
+def q_dedup_provenance(spark, sf_dir):
+    """Dedup lineage: every dropped near-duplicate mapped to the kept
+    representative of its cluster (plus its source) — the audit trail a
+    curated corpus ships so filtering decisions stay reversible.  The
+    drop-map is tiny next to the corpus, so the document join is a
+    broadcast of the map, not a corpus shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", n_hashes=8, band_size=2)
+    cc = D.connected_components(pairs, "doc_a", "doc_b")
+    drop_map = cc.where(F.col("id") != F.col("lab")).select(
+        F.col("id").alias("dropped_id"), F.col("lab").alias("kept_id")
+    )
+    return d.join(
+        F.broadcast(drop_map), F.col("doc_id") == F.col("dropped_id")
+    ).select("dropped_id", "kept_id", "source")
+
+
+# -- corpus vocabulary --------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tokens
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(tokens) AS token FROM toks)
+SELECT token, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM tok
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 50
+"""
+
+
+@register("q_vocab_topk", _VOCAB_ORACLE)
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-50 tokens by occurrence (ties broken on
+    the token) with document frequency — the first pass of any tokenizer /
+    stopword audit.  Hash-agg with map-side partials on the token key;
+    the top-k is TakeOrderedAndProject (per-partition heaps, only 50 rows
+    move to the driver)."""
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        d.repartition(par)
+        .select("doc_id", D.tokens("text").alias("_toks"))
+        .select("doc_id", F.explode("_toks").alias("token"))
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(50)
+    )
+
+
+# -- TF-IDF top terms ---------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tokens
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(tokens) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * (LN(CAST(n.n_docs AS DOUBLE)) - LN(CAST(df.df AS DOUBLE))), 9)
+           AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+FROM (SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+@register("q_tfidf_topterms", _TFIDF_ORACLE)
+def q_tfidf_topterms(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (tf * ln(N/df), ties on the
+    term) — the classic keyword-extraction / topic-fingerprint pass.
+    tf is a (doc, term) hash-agg; df a term hash-agg; the scalar corpus
+    count is a 1-row broadcast.  The tf->df join keys on the term —
+    at 100 TB both sides are term-partitioned so the join co-locates;
+    the final top-3 is a per-doc window over at most |doc vocab| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        d.repartition(par)
+        .select("doc_id", D.tokens("text").alias("_toks"))
+        .select("doc_id", F.explode("_toks").alias("term"))
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(F.col("n_docs").cast("double"))
+                    - F.log(F.col("df").cast("double"))
+                ),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+# -- corpus bigram LM scoring -------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tokens
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN LEN(tokens) >= 2 THEN
+      LIST_TRANSFORM(RANGE(1, LEN(tokens)), i -> tokens[i] || ' ' || tokens[i+1])
+    ELSE [] END) AS gram
+  FROM toks
+),
+b AS (SELECT gram, COUNT(*) AS c2 FROM bg GROUP BY gram),
+l AS (SELECT STRING_SPLIT(gram, ' ')[1] AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+      FROM b GROUP BY 1),
+lp AS (
+  SELECT bg.doc_id, bg.gram,
+         LN(CAST(b.c2 AS DOUBLE)) - LN(CAST(l.c1 AS DOUBLE)) AS lp
+  FROM bg
+  JOIN b USING (gram)
+  JOIN l ON l.w1 = STRING_SPLIT(bg.gram, ' ')[1]
+),
+folded AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         LIST_REDUCE(LIST(lp ORDER BY gram, lp), (x, y) -> x + y) AS s
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, ROUND(s / n_bigrams, 9) AS avg_logprob
+FROM folded
+"""
+
+
+@register("q_text_bigram_logprob", _BIGRAM_ORACLE)
+def q_text_bigram_logprob(spark, sf_dir):
+    """Statistical-LM fluency signal: per-document mean bigram log
+    probability under the corpus's own MLE bigram model,
+    ln c(w1 w2) - ln c(w1 ·) — the perplexity-proxy filter for
+    gibberish/boilerplate.  Two hash-aggs build the model (bigram and
+    left-context counts); scoring is a join back keyed on the gram.
+    The per-doc sum folds in gram-sorted order on both engines so the
+    doubles match bit-for-bit before rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = d.repartition(par).select(
+        "doc_id", D.tokens("text").alias("_toks")
+    )
+    bg = toks.select(
+        "doc_id", F.explode(D.shingles(F.col("_toks"), 2)).alias("gram")
+    )
+    b = bg.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+    left = (
+        b.groupBy(F.split("gram", " ")[0].alias("w1"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    lp = (
+        bg.join(b, "gram")
+        .join(left, F.split(bg["gram"], " ")[0] == F.col("w1"))
+        .select(
+            "doc_id",
+            "gram",
+            (
+                F.log(F.col("c2").cast("double"))
+                - F.log(F.col("c1").cast("double"))
+            ).alias("lp"),
+        )
+    )
+    folded = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("gram", "lp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["lp"],
+        ).alias("s"),
+    )
+    return folded.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("s") / F.col("n_bigrams"), 9).alias("avg_logprob"),
+    )
