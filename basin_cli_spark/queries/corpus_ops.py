@@ -386,3 +386,180 @@ def q_text_bigram_logprob(spark, sf_dir):
         "n_bigrams",
         F.round(F.col("s") / F.col("n_bigrams"), 9).alias("avg_logprob"),
     )
+
+
+# -- embedding centering + L2 normalization ----------------------------------
+
+_CENTER_NORM_ORACLE = """
+WITH v AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT i AS pos, ROUND(AVG(v[CAST(i AS INT)]), 6) AS m
+  FROM v, RANGE(1, 65) t(i)
+  GROUP BY i
+),
+carr AS (SELECT LIST(m ORDER BY pos) AS c FROM cent),
+centered AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(RANGE(1, LEN(v) + 1), i -> v[i] - c[i]) AS cv
+  FROM v CROSS JOIN carr
+)
+SELECT vec_id,
+       LIST_TRANSFORM(cv, x -> ROUND(x / SQRT(
+         LIST_REDUCE(LIST_TRANSFORM(cv, y -> y * y), (a, b) -> a + b)), 6))
+         AS unit_vec
+FROM centered
+"""
+
+
+@register("q_embedding_center_normalize", _CENTER_NORM_ORACLE)
+def q_embedding_center_normalize(spark, sf_dir):
+    """Mean-center then L2-normalize every embedding — the standard prep
+    before cosine ANN so the index isn't dominated by the corpus offset.
+    The per-dim mean is a posexplode hash-agg (map-side partials, never a
+    vector collect), rounded to 6 so both engines subtract the identical
+    centroid; the 1-row centroid array is then broadcast and the pass is
+    narrow.  Norm folds run dimension-sequential on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.repartition(par).select("vec_id", v.alias("v"))
+    cent = (
+        base.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+    )
+    carr = cent.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s")
+    ).select(F.transform("s", lambda x: x["m"]).alias("c"))
+    centered = base.crossJoin(F.broadcast(carr)).select(
+        "vec_id", F.zip_with("v", "c", lambda x, c: x - c).alias("cv")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("cv", lambda y: y * y),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+    )
+    return centered.select(
+        "vec_id",
+        F.transform("cv", lambda x: F.round(x / norm, 6)).alias("unit_vec"),
+    )
+
+
+# -- product-quantization ADC similarity --------------------------------------
+
+_PQ_ORACLE = """
+WITH v AS (
+  SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, CAST(m AS INT) AS m,
+         LIST_TRANSFORM(RANGE(1, 9), i -> v[CAST(m * 8 + i AS INT)]) AS s
+  FROM v, RANGE(0, 8) t(m)
+),
+cb AS (SELECT m, CAST(vec_id AS INT) AS code, s AS cs FROM sub WHERE vec_id < 16),
+d AS (
+  SELECT sub.vec_id, sub.m, cb.code,
+         LIST_REDUCE(
+           LIST_TRANSFORM(RANGE(1, 9),
+                          i -> (sub.s[i] - cb.cs[i]) * (sub.s[i] - cb.cs[i])),
+           (a, b) -> a + b) AS d2
+  FROM sub JOIN cb ON cb.m = sub.m
+),
+codes AS (
+  SELECT vec_id, m, code
+  FROM (SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, code) AS r
+        FROM d)
+  WHERE r = 1
+),
+qd AS (SELECT m, code, d2 AS qd2 FROM d WHERE vec_id = 42),
+adc AS (
+  SELECT c.vec_id,
+         LIST_REDUCE(LIST(qd.qd2 ORDER BY c.m), (a, b) -> a + b) AS dist
+  FROM codes c JOIN qd ON qd.m = c.m AND qd.code = c.code
+  GROUP BY c.vec_id
+)
+SELECT vec_id, ROUND(dist, 6) AS adc_dist
+FROM adc
+WHERE vec_id <> 42
+ORDER BY dist, vec_id
+LIMIT 10
+"""
+
+
+@register("q_similarity_pq_adc", _PQ_ORACLE)
+def q_similarity_pq_adc(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance (ADC): 8
+    subspaces x 8 dims, a 16-entry codebook per subspace (deterministic:
+    the subvectors of vec_id 0..15 — a k-means codebook would drop in
+    unchanged), codes = per-subspace argmin L2^2.  At query time only the
+    8x16 query-to-centroid table is computed; every stored vector's
+    distance is 8 table lookups — the memory layout that makes
+    billion-vector ANN fit in RAM.  The codebook and the 128-row query
+    table are broadcast; codes are a (vec_id, m) hash-agg; nothing wide
+    ever carries raw vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.repartition(par).select("vec_id", v.alias("v"))
+    sub = base.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda m: F.slice("v", m * 8 + 1, 8),
+            )
+        ).alias("m", "s"),
+    )
+    cb = sub.where(F.col("vec_id") < 16).select(
+        F.col("m").alias("cb_m"),
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("s").alias("cs"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("s", "cs", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    d = sub.join(F.broadcast(cb), F.col("m") == F.col("cb_m")).select(
+        "vec_id", "m", "code", d2.alias("d2")
+    )
+    codes = (
+        d.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "code")).alias("best"))
+        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+    qd = d.where(F.col("vec_id") == 42).select(
+        F.col("m").alias("q_m"), F.col("code").alias("q_code"),
+        F.col("d2").alias("qd2"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qd),
+            (F.col("m") == F.col("q_m")) & (F.col("code") == F.col("q_code")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "qd2"))),
+                    lambda x: x["qd2"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("dist")
+        )
+    )
+    return (
+        adc.where(F.col("vec_id") != 42)
+        .orderBy("dist", "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("dist", 6).alias("adc_dist"))
+    )

@@ -89,3 +89,14 @@ def q_in_memory_rows(spark, sf_dir):
         F.col("d").cast("string").alias("d"),
         F.col("flag").cast("string").alias("flag"),
     )
+
+
+@register("q_orc_roundtrip", "SELECT * FROM customer")
+def q_orc_roundtrip(spark, sf_dir):
+    """customer -> ORC -> read back (native vectorized ORC reader).  ORC is
+    binary-typed like Parquet, so doubles round-trip exactly and the whole
+    table (floats included) is compared against the original."""
+    c = load_table(spark, sf_dir, "customer")
+    path = _fresh(os.path.join(_SCRATCH, "customer_orc"))
+    c.write.mode("overwrite").orc(path)
+    return spark.read.schema(c.schema).orc(path)
