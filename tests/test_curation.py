@@ -1,0 +1,115 @@
+"""Curation-operator tests (operators/curation.py): chunk boundary
+arithmetic, split determinism/append-stability, normalization unicode
+safety, decontamination overlap semantics, and PQ self-coding."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from basin_cli_spark.operators import curation as C
+from basin_cli_spark.sources import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, n_chars long",
+    )
+
+
+# -- chunking -----------------------------------------------------------------
+
+def test_chunk_boundaries(spark):
+    d = _docs(spark, ["", "x" * 150, "x" * 151, "a" * 200 + "b" * 200])
+    out = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in C.chunk_documents(d).collect()
+    }
+    # empty doc -> exactly one empty chunk
+    assert out[(0, 0)] == ""
+    assert (0, 1) not in out
+    # 150 chars: one chunk (next start at 151 > n_chars)
+    assert out[(1, 0)] == "x" * 150
+    assert (1, 1) not in out
+    # 151 chars: second chunk starts inside the doc
+    assert out[(2, 1)] == "x"
+    # overlap: chunk 1 of the 400-char doc spans chars 151..350
+    assert out[(3, 1)] == "a" * 50 + "b" * 150
+
+
+def test_chunk_covers_document(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    chunks = C.chunk_documents(d)
+    got = (
+        chunks.groupBy("doc_id")
+        .agg(F.max(F.col("chunk_id") * 150 + F.length("chunk_text")).alias("end"))
+        .join(d, "doc_id")
+        .where(F.col("end") < F.col("n_chars"))
+        .count()
+    )
+    assert got == 0  # every document's tail is inside some chunk
+
+
+# -- split assignment ---------------------------------------------------------
+
+def test_split_deterministic_and_append_stable(spark):
+    d1 = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    d2 = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    a1 = {r.doc_id: r.s for r in d1.select("doc_id", C.split_assign("doc_id").alias("s")).collect()}
+    a2 = {r.doc_id: r.s for r in d2.select("doc_id", C.split_assign("doc_id").alias("s")).collect()}
+    # appending ids never migrates existing assignments
+    assert all(a2[k] == v for k, v in a1.items())
+    # all three splits appear, in roughly 13/1/2 proportion
+    n = len(a2)
+    frac_train = sum(v == "train" for v in a2.values()) / n
+    assert 0.7 < frac_train < 0.9
+    assert {"train", "val", "test"} == set(a2.values())
+
+
+# -- normalization ------------------------------------------------------------
+
+def test_normalize_text(spark):
+    d = _docs(spark, ["  Hello,   WORLD!!  ", "tab\tand\nnewline", "中文 text."])
+    got = [r.n for r in d.select(C.normalize_text("text").alias("n")).orderBy("doc_id").collect()]
+    assert got[0] == "hello world"
+    assert got[1] == "tab and newline"
+    assert got[2] == "中文 text"  # non-ASCII untouched by the POSIX class
+
+
+# -- decontamination ----------------------------------------------------------
+
+def test_decontaminate_counts_shared_trigrams(spark):
+    train = _docs(spark, ["the quick brown fox jumps", "totally unrelated words here"])
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox", 15)], "doc_id long, text string, n_chars long"
+    )
+    got = {r.doc_id: r.n_shared_shingles for r in C.decontaminate(train, ev).collect()}
+    assert got == {0: 1}  # only 'quick brown fox' overlaps; doc 1 clean
+
+
+# -- PQ self-coding sanity ----------------------------------------------------
+
+def test_pq_codebook_vectors_code_to_themselves(spark, sf_dir):
+    from basin_cli_spark.queries import load_all
+
+    reg = load_all()
+    # the full query at the smallest fixture; its codebook is vec_id 0..15
+    res = reg["q_similarity_pq_adc"].fn(spark, sf_dir).collect()
+    assert len(res) == 10
+    dists = [r.adc_dist for r in res]
+    assert dists == sorted(dists)
+    assert all(d >= 0 for d in dists)
+
+
+# -- center/normalize ---------------------------------------------------------
+
+def test_center_normalize_unit_norm(spark, sf_dir):
+    from basin_cli_spark.queries import load_all
+
+    reg = load_all()
+    rows = reg["q_embedding_center_normalize"].fn(spark, sf_dir).collect()
+    for r in rows[:20]:
+        norm = math.sqrt(sum(x * x for x in r.unit_vec))
+        assert abs(norm - 1.0) < 1e-3  # rounded components, loose bound
