@@ -75,9 +75,15 @@ def main() -> None:
         spec = registry[name]
         for warm_dir in warm_dirs:
             spec.fn(spark, warm_dir).collect()
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # min of two timed runs: a single run occasionally absorbs a
+        # multi-second JVM full GC / background-load stall; the min is the
+        # standard noise-robust steady-state estimate.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
