@@ -179,6 +179,19 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    """Ad-hoc SQL over the fixture tables (registered as temp views) —
+    the full Catalyst SQL surface next to the named-query registry, the
+    way the reference's users run ad-hoc SQL against their published
+    Parquet through DuckDB."""
+    from basin_cli_spark.sources import register_views
+
+    spark = _spark("vaults-sql")
+    register_views(spark, args.sf_dir)
+    _render(spark.sql(args.query), args.json)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="basin_cli_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -237,6 +250,12 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--json", action="store_true")
     q.set_defaults(fn=cmd_query)
+
+    sq = sub.add_parser("sql")
+    sq.add_argument("query", help="SQL over the fixture views (region, nation, ...)")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--json", action="store_true")
+    sq.set_defaults(fn=cmd_sql)
 
     return p
 

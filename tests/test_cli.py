@@ -83,3 +83,12 @@ def test_invalid_vault_name_rejected(tmp_path):
         main([
             "events", "--vault", "not-a-vault", "--out-dir", str(tmp_path),
         ])
+
+
+def test_sql_verb(capsys, sf_dir):
+    assert main([
+        "sql", "SELECT r_name FROM region ORDER BY r_name", "--sf-dir",
+        sf_dir, "--json",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "AFRICA" in out
