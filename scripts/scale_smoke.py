@@ -88,6 +88,35 @@ def main() -> None:
     timed(f"exact dedup hash-agg ({COPIES}x)", dedup, n, results)
     timed(f"top-100 per group window ({COPIES}x)", topk, n, results)
 
+    # Curation shapes at 10x the document corpus: shingle+MinHash LSH pair
+    # generation (the near-dedup hot path) and broadcast decontamination.
+    from basin_cli_spark.operators import curation as CUR
+    from basin_cli_spark.operators import dedup as DD
+
+    docs = load_table(spark, SF_DIR, "documents")
+    docs10 = docs.withColumn(
+        "_copy", F.explode(F.array(*[F.lit(i) for i in range(COPIES)]))
+    ).withColumn(
+        "doc_id", F.col("doc_id") * COPIES + F.col("_copy")
+    ).drop("_copy").persist()
+    nd = docs10.count()
+
+    def minhash_pairs():
+        return DD.minhash_lsh_pairs(
+            docs10, "text", "doc_id", n_hashes=8, band_size=2
+        ).count()
+
+    def decon():
+        is_eval = F.col("doc_id") % 200 == 0
+        return CUR.decontaminate(
+            docs10.where(~is_eval), docs10.where(is_eval)
+        ).count()
+
+    timed(f"minhash-LSH pair gen ({COPIES}x docs)", minhash_pairs, nd, results)
+    timed(f"decontamination vs broadcast eval set ({COPIES}x docs)",
+          decon, nd, results)
+    docs10.unpersist()
+
     # Skew: ~14% of the fact rows collapse onto ONE join key.  Broadcast
     # would sidestep skew entirely (and is the right plan when the dim
     # fits); to exercise the skew machinery we force shuffle joins and
