@@ -300,3 +300,83 @@ def q_agg_first_last(spark, sf_dir):
         fst["o_orderkey"].alias("first_key"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_unpivot",
+    """
+WITH m AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey, metric, value
+FROM m UNPIVOT (value FOR metric IN (n_customers, total_acctbal))
+""",
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt — the wide->long reshape dual of q_pivot (SURVEY.md
+    §2.B aggregations).  Spark plans Expand (one pass multiplying rows by
+    the number of measures), not a per-measure union of scans."""
+    c = load_table(spark, sf_dir, "customer")
+    m = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
+    )
+    return m.unpivot(
+        ids=["c_nationkey"],
+        values=["n_customers", "total_acctbal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+       ROUND((sxy - sx * sy / n)
+             / SQRT((sxx - sx * sx / n) * (syy - sy * sy / n)), 9) AS corr_qty_price
+FROM m
+"""
+
+
+@register("q_corr_covar", _CORR_ORACLE)
+def q_corr_covar(spark, sf_dir):
+    """Correlation / covariance via exact-decimal moment sums (sx, sy,
+    sxx, syy, sxy are all exact — 2-dp inputs, decimal products), so the
+    final double formula is order-independent and bit-identical across
+    engines; the built-in CORR/COVAR accumulate in floats and are not.
+    One hash-agg pass, map-side partials, same shuffle as any groupBy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price = dec("l_quantity"), dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 6).alias("covar_qty_price"),
+        F.round(corr, 9).alias("corr_qty_price"),
+    )

@@ -291,3 +291,30 @@ def q_window_range_frame(spark, sf_dir):
         F.sum(dec("value")).over(w).cast("double").alias("hour_sum"),
         F.count(F.lit(1)).over(w).alias("hour_n"),
     )
+
+
+@register(
+    "q_window_percent_rank",
+    """
+SELECT o_orderpriority, o_orderkey,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+       ROUND(CUME_DIST()    OVER w, 9) AS cume
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q_window_percent_rank(spark, sf_dir):
+    """Relative-position window functions (percent_rank / cume_dist) on a
+    total order (price desc, key tie-break) — deterministic ratios of
+    integer ranks, rounded identically in both engines."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
