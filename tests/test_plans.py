@@ -116,6 +116,8 @@ _NLJ_ALLOWED = {
 
     "q22_dormant_customers",  # 1-row broadcast of the scalar AVG subquery
     "q11_important_parts",  # 1-row broadcast of the (total, n_parts) scalar
+    "q_embedding_center_normalize",  # 1-row broadcast of the centroid array
+    "q_tfidf_topterms",  # 1-row broadcast of the corpus-count scalar
 }
 
 
@@ -134,3 +136,40 @@ def test_no_accidental_cartesian_or_nlj(spark, sf_dir, registry):
         if "BroadcastNestedLoopJoin" in plan and name not in _NLJ_ALLOWED:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_q1_decimals_stay_long_backed(spark, sf_dir, registry):
+    """The per-row decimal products in Q1 must stay at <= 18 digits
+    (compact-long codegen path); a bare `1 - col` literal or a widened
+    cast regresses them to per-row BigDecimal (~2x slower)."""
+    plan = plan_of(registry["q1_pricing_summary"].fn(spark, sf_dir))
+    partial = plan.split("partial_sum", 1)[1].split("Exchange")[0]
+    # the product chain appears as (13,4) and (18,6) — never 20+ digits
+    for wide in ("decimal(20,", "decimal(22,", "decimal(25,", "decimal(37,", "decimal(38,"):
+        assert wide not in partial, f"per-row product widened to {wide}"
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir, registry):
+    """The eval shingle set must be the broadcast build side — the corpus
+    side must never shuffle into the join."""
+    plan = plan_of(registry["q_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_keep_one_broadcasts_drop_list(spark, sf_dir, registry):
+    plan = plan_of(registry["q_dedup_keep_one"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    )
+
+
+def test_pq_adc_broadcasts_codebook_and_query_table(spark, sf_dir, registry):
+    plan = plan_of(registry["q_similarity_pq_adc"].fn(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2  # codebook + query table
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_topk_is_take_ordered(spark, sf_dir, registry):
+    plan = plan_of(registry["q_vocab_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
