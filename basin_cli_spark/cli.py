@@ -119,9 +119,14 @@ def cmd_write(args) -> int:
 
 
 def _events_df(spark, out_dir: str):
-    return spark.read.json(os.path.join(out_dir, "manifest.jsonl")).where(
-        "table IS NOT NULL"
-    )
+    path = os.path.join(out_dir, "manifest.jsonl")
+    if not os.path.exists(path):  # vault created but nothing published yet
+        return spark.createDataFrame(
+            [],
+            "batch_id long, table string, path string, cid string, "
+            "signature string, timestamp long, is_archived boolean",
+        )
+    return spark.read.json(path).where("table IS NOT NULL")
 
 
 def cmd_events(args) -> int:
@@ -159,10 +164,29 @@ def cmd_retrieve(args) -> int:
 
 
 def cmd_vaults(args) -> int:
-    from basin_cli_spark.operators.events import list_vaults
+    """List vaults: the registry full-outer-joined with the event log, so
+    registered-but-empty vaults appear with zero events (the reference
+    lists vaults from the provider whether or not they have uploads)."""
+    from pyspark.sql import functions as F
+
+    from basin_cli_spark.operators.events import list_vaults, registered_vaults
 
     spark = _spark("vaults-list")
-    _render(list_vaults(_events_df(spark, args.out_dir), "table"), args.json)
+    from_events = list_vaults(_events_df(spark, args.out_dir), "table")
+    reg = registered_vaults(spark, args.out_dir).select(
+        F.split("vault", "[.]")[1].alias("table"), "cache"
+    )
+    out = (
+        from_events.join(reg, "table", "full")
+        .select(
+            "table",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "last_published",
+            "cache",
+        )
+        .orderBy("table")
+    )
+    _render(out, args.json)
     return 0
 
 
@@ -176,6 +200,24 @@ def cmd_query(args) -> int:
         return 2
     df = registry[args.name].fn(_spark("vaults-query"), args.sf_dir)
     _render(df, args.json)
+    return 0
+
+
+def cmd_create(args) -> int:
+    """Create/register a vault (reference `vaults create` with --cache TTL)."""
+    from basin_cli_spark.operators.events import create_vault
+
+    row = create_vault(args.out_dir, args.vault, args.cache)
+    print(json.dumps(row))
+    return 0
+
+
+def cmd_sign(args) -> int:
+    """Sign a file, print the hex signature (reference `vaults sign`,
+    cmd/vaults/commands.go:588-631)."""
+    from basin_cli_spark.functions.signing import sign_file
+
+    print(sign_file(args.file, args.private_key).hex())
     return 0
 
 
@@ -250,6 +292,17 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--json", action="store_true")
     q.set_defaults(fn=cmd_query)
+
+    cr = sub.add_parser("create")
+    cr.add_argument("vault")
+    cr.add_argument("--out-dir", required=True)
+    cr.add_argument("--cache", type=int, help="cache TTL minutes")
+    cr.set_defaults(fn=cmd_create)
+
+    sg = sub.add_parser("sign")
+    sg.add_argument("file")
+    sg.add_argument("--private-key", required=True)
+    sg.set_defaults(fn=cmd_sign)
 
     sq = sub.add_parser("sql")
     sq.add_argument("query", help="SQL over the fixture views (region, nation, ...)")

@@ -96,3 +96,50 @@ def retrieve(spark, events: DataFrame, cid: str) -> DataFrame:
     if not rows:
         raise KeyError(f"cid not found in event manifest: {cid}")
     return spark.read.parquet(rows[0]["path"])
+
+
+def create_vault(
+    out_dir: str, vault: str, cache_minutes: int | None = None
+) -> dict:
+    """Register a vault (reference `vaults create`, cmd/vaults/commands.go:
+    34-133): validates the ``namespace.relation`` name and appends a
+    registration row with the optional cache TTL (minutes) to the vault
+    registry.  Re-creating an existing vault updates its TTL, mirroring
+    the provider's upsert behavior."""
+    import json
+    import os
+    import time
+
+    parse_vault_name(vault)
+    os.makedirs(out_dir, exist_ok=True)
+    row = {
+        "vault": vault,
+        "cache": cache_minutes,
+        "created_at": int(time.time()),
+    }
+    with open(os.path.join(out_dir, "vaults.jsonl"), "a") as f:
+        f.write(json.dumps(row) + "\n")
+    return row
+
+
+def registered_vaults(spark, out_dir: str) -> DataFrame:
+    """The vault registry as a DataFrame (latest registration per vault
+    wins, so TTL updates supersede earlier rows)."""
+    import os
+
+    path = os.path.join(out_dir, "vaults.jsonl")
+    if not os.path.exists(path):
+        return spark.createDataFrame(
+            [], "vault string, cache long, created_at long"
+        )
+    reg = spark.read.json(path)
+    w_latest = F.max(F.struct("created_at", "cache")).alias("_last")
+    return (
+        reg.groupBy("vault")
+        .agg(w_latest)
+        .select(
+            "vault",
+            F.col("_last.cache").alias("cache"),
+            F.col("_last.created_at").alias("created_at"),
+        )
+    )

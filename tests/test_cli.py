@@ -92,3 +92,27 @@ def test_sql_verb(capsys, sf_dir):
     ]) == 0
     out = capsys.readouterr().out
     assert "AFRICA" in out
+
+
+def test_create_sign_and_empty_vault_listing(tmp_path, capsys, sf_dir):
+    out = str(tmp_path / "vault_out")
+    assert main(["create", "ns.newtable", "--out-dir", out, "--cache", "30"]) == 0
+    created = json.loads(capsys.readouterr().out)
+    assert created["vault"] == "ns.newtable" and created["cache"] == 30
+
+    # registered-but-empty vault appears in the listing with 0 events
+    assert main(["vaults", "--out-dir", out, "--json"]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines() if l]
+    assert any(r["table"] == "newtable" and r["n_events"] == 0 for r in rows)
+
+    # sign verb: byte parity with the library signer
+    from basin_cli_spark.functions.signing import sign_file
+
+    f = tmp_path / "payload.bin"
+    f.write_bytes(b"spark vaults sign test")
+    key = "a" * 64
+    assert main(["sign", str(f), "--private-key", key]) == 0
+    assert capsys.readouterr().out.strip() == sign_file(str(f), key).hex()
+
+    with pytest.raises(ValueError):
+        main(["create", "not-a-vault", "--out-dir", out])
