@@ -15,6 +15,9 @@ scores match the oracle bit-for-bit before the final rounding.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -61,36 +64,120 @@ def cosine_topk(
     )
 
 
-def sign_lsh_signature(vec: Column, bits: int = 16) -> Column:
-    """Sign-random-projection LSH with axis-aligned planes: bit i is the
-    sign of dimension i.  Cheap, deterministic, and oracle-replayable."""
+def random_planes(
+    dim: int, n_planes: int, seed: int = 42, nnz: int = 8
+) -> list[list[tuple[int, int]]]:
+    """Seeded sparse random-projection hyperplanes.
+
+    Each plane is `nnz` distinct dimensions with ±1 coefficients
+    (Achlioptas-style sparse projection): cheap to evaluate, mixes many
+    feature dimensions so the bit does not correlate with the scale of any
+    single raw feature (the flaw of axis-aligned planes), and fully
+    deterministic from (dim, n_planes, seed, nnz) — so the DuckDB oracle
+    regenerates the identical planes and replays the bucketing exactly.
+    """
+    rng = np.random.default_rng(seed)
+    planes = []
+    for _ in range(n_planes):
+        dims = rng.choice(dim, size=min(nnz, dim), replace=False)
+        signs = rng.choice(np.array([-1, 1]), size=len(dims))
+        planes.append([(int(d), int(s)) for d, s in zip(dims, signs)])
+    return planes
+
+
+def band_bits_for(n_rows: int, target_bucket: int = 64) -> int:
+    """Size bits-per-band to the corpus: expected band-bucket size is
+    n/2^bits, and per-bucket pair generation is |bucket|^2, so bits must
+    GROW with the corpus — log2(n / target_bucket), clamped to [4, 30].
+
+    At n=500 (bench fixture) this is 4 bits (16 buckets); at n=10^9 it is
+    24 bits (~60-row buckets), keeping per-bucket self-join cost flat
+    instead of quadratic in N.  A fixed 4-bit band at 10^9 vectors would
+    make every bucket N/16 wide — all-pairs with a constant factor.
+    """
+    if n_rows <= 0:
+        return 4
+    return max(4, min(30, int(math.ceil(math.log2(max(n_rows / target_bucket, 2.0))))))
+
+
+def _plane_proj(vec: Column, plane: list[tuple[int, int]]) -> Column:
+    """Signed-sum projection of vec onto one sparse ±1 plane (double)."""
+    proj = None
+    for d, s in plane:
+        term = F.element_at(vec, d + 1).cast("double")
+        term = term if s > 0 else -term
+        proj = term if proj is None else proj + term
+    return proj
+
+
+def plane_proj_sql(v: str, plane: list[tuple[int, int]]) -> str:
+    """DuckDB expression replaying _plane_proj addition-for-addition."""
+    parts = []
+    for d, s in plane:
+        parts.append(
+            f"{'+' if s > 0 else '-'} CAST({v}[{d + 1}] AS DOUBLE)"
+        )
+    return "(0.0 " + " ".join(parts) + ")"
+
+
+def sign_lsh_signature(vec: Column, bits: int = 16, dim: int = 64, seed: int = 42) -> Column:
+    """Sign-random-projection LSH signature: bit i is the sign of the
+    projection onto seeded sparse random plane i."""
+    planes = random_planes(dim, bits, seed)
     sig = None
     for i in range(bits):
-        term = F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        term = F.when(
+            _plane_proj(vec, planes[i]) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return sig.cast("bigint")
 
 
 def sign_lsh_bands(
-    vec: Column, bands: int = 4, band_bits: int = 4
+    vec: Column,
+    bands: int = 4,
+    band_bits: int = 4,
+    dim: int = 64,
+    seed: int = 42,
 ) -> Column:
-    """Banded sign-LSH: array of per-band signatures, band b covering
-    dimensions [b*band_bits, (b+1)*band_bits).  Two vectors are join
-    candidates when ANY band matches — the OR-amplified construction
-    (same as MinHash banding), which keeps recall usable where a single
-    wide signature (2^16 buckets) would put every vector in its own
-    bucket and return nothing."""
+    """Banded sign-LSH: array of per-band signatures, band b built from
+    seeded random-projection planes [b*band_bits, (b+1)*band_bits).  Two
+    vectors are join candidates when ANY band matches — the OR-amplified
+    construction (same as MinHash banding), which keeps recall usable
+    where a single wide signature (2^16 buckets) would put every vector
+    in its own bucket and return nothing.
+
+    Corpus sizing: pass band_bits=band_bits_for(n) so bucket width tracks
+    the corpus instead of staying fixed at bench scale.  seed/dim make the
+    planes deterministic for the DuckDB oracle (sign_lsh_bands_sql).
+    """
+    planes = random_planes(dim, bands * band_bits, seed)
     out = []
     for b in range(bands):
         sig = None
         for j in range(band_bits):
-            i = b * band_bits + j
+            p = planes[b * band_bits + j]
             term = F.when(
-                F.element_at(vec, i + 1) >= 0, F.lit(1 << j)
+                _plane_proj(vec, p) >= 0, F.lit(1 << j)
             ).otherwise(F.lit(0))
             sig = term if sig is None else sig + term
         out.append(sig.cast("bigint"))
     return F.array(*out)
+
+
+def sign_lsh_band_sql(
+    v: str, band: int, band_bits: int = 4, dim: int = 64, seed: int = 42, bands: int = 4
+) -> str:
+    """DuckDB SQL for one band's signature, regenerating the SAME seeded
+    planes as sign_lsh_bands — single source of truth for both engines."""
+    planes = random_planes(dim, bands * band_bits, seed)
+    terms = []
+    for j in range(band_bits):
+        p = planes[band * band_bits + j]
+        terms.append(
+            f"CASE WHEN {plane_proj_sql(v, p)} >= 0 THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def cosine_topk_lsh(

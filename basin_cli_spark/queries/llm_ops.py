@@ -186,11 +186,9 @@ def q_similarity_bruteforce(spark, sf_dir):
 
 
 def _band_sql(v: str, band: int, band_bits: int = 4) -> str:
-    """Per-band sign signature, matching operators.similarity.sign_lsh_bands."""
-    return "(" + " + ".join(
-        f"CASE WHEN {v}[{band * band_bits + j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
-        for j in range(band_bits)
-    ) + ")"
+    """Per-band sign signature, regenerated from the SAME seeded random
+    planes as operators.similarity.sign_lsh_bands (single source of truth)."""
+    return S.sign_lsh_band_sql(v, band, band_bits)
 
 
 def _any_band_sql(a: str, b: str, bands: int = 4) -> str:
@@ -367,19 +365,25 @@ def q_dedup_embedding(spark, sf_dir):
     upper tail of the actual cosine distribution).
 
     Physical shape, chosen for the 100 TB case:
+    - band signatures come from SEEDED sparse random-projection planes
+      (operators/similarity.py:random_planes) — each bit mixes 8 random
+      ±1 dimensions, so buckets do not correlate with any single raw
+      feature's scale; band_bits is corpus-sizable via band_bits_for(n)
+      (fixed at the bench-scale 4x4 here so the static oracle replays it);
     - candidate generation joins *ids only* on the exploded (band, sig)
       key — |bucket|^2 per band bucket, never corpus^2, and the shuffled
       pair rows are 16 bytes, not 2 embeddings wide;
+    - NO broadcast hints anywhere: a hint would override AQE's size logic
+      and OOM the driver on a corpus-sized table.  All three joins are
+      plain equi-joins; AQE broadcasts them at bench scale because they
+      are tiny, and falls back to shuffle hash joins at 100 TB
+      (tests/test_plans.py proves the shuffle shape with broadcast off);
     - pairs are deduped (a pair can collide in several bands) while still
       ids-only, so the expensive exact verification runs once per pair;
     - per-vector norms are folded once per *vector* before the pair join
       (2N folds), leaving a single dot-product fold per pair — vs 3 folds
-      per pair when cosine() recomputes both norms inline;
-    - the id->embedding join back is a broadcast here (the vector table
-      is the small side at bench scale); at 100 TB it becomes two
-      shuffle hash joins on vec_id, which AQE picks automatically."""
+      per pair when cosine() recomputes both norms inline."""
     e = load_table(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
     expl = e.select(
         "vec_id",
         F.posexplode(
@@ -388,8 +392,8 @@ def q_dedup_embedding(spark, sf_dir):
     )
     a, b = expl.alias("a"), expl.alias("b")
     pairs = (
-        a.repartition(par).join(
-            F.broadcast(b),
+        a.join(
+            b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -404,24 +408,19 @@ def q_dedup_embedding(spark, sf_dir):
         "vec_id", "embedding", S.norm_sq(F.col("embedding")).alias("_n2")
     )
     scored = (
-        pairs.repartition(par)
-        .join(
-            F.broadcast(
-                normed.select(
-                    F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("_emb_a"),
-                    F.col("_n2").alias("_n2_a"),
-                )
+        pairs.join(
+            normed.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("_emb_a"),
+                F.col("_n2").alias("_n2_a"),
             ),
             "vec_a",
         )
         .join(
-            F.broadcast(
-                normed.select(
-                    F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("_emb_b"),
-                    F.col("_n2").alias("_n2_b"),
-                )
+            normed.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("_emb_b"),
+                F.col("_n2").alias("_n2_b"),
             ),
             "vec_b",
         )
