@@ -5,19 +5,29 @@ query vector + one pass over the candidates (no shuffle until the final
 top-k, which Spark plans as TakeOrderedAndProject — per-partition heaps,
 only k rows move).
 
-The scale path is sign-LSH bucketing: a 16-bit signature from the signs of
-the leading dimensions partitions the corpus; a query probes only its own
-bucket (1/2^16 of the data in expectation).  Both are pure Catalyst
-expressions — the dot product is a sequential fold (F.aggregate over
-zip_with) that DuckDB's list_reduce replays addition-for-addition, so
-scores match the oracle bit-for-bit before the final rounding.
+The scale path is banded sign-LSH: each band signature packs the signs of
+the vector's projections onto seeded sparse random ±1 planes (Achlioptas
+style), and two vectors are join candidates when ANY band matches.  The
+signatures are computed by a vectorized Arrow pandas_udf — numpy adds in
+the exact plane-entry order the DuckDB oracle replays, so buckets match
+bit-for-bit — NOT by an unrolled Catalyst expression: 128 element_at
+terms per row blow past janino's method-size limit, so the "pure
+expression" version silently falls back to interpreted eval and is an
+order of magnitude slower than the Arrow kernel.
+
+Exact scoring stays declarative: the dot product is a sequential fold
+(F.aggregate over zip_with) that DuckDB's list_reduce replays
+addition-for-addition, so scores match the oracle bit-for-bit before the
+final rounding.
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +40,33 @@ def dot(a: Column, b: Column) -> Column:
 
 def norm_sq(a: Column) -> Column:
     return dot(a, a)
+
+
+def dot_arrow(a: Column, b: Column) -> Column:
+    """Vectorized Arrow dot product, bit-identical to dot().
+
+    Spark's higher-order aggregate/zip_with is evaluated interpreted (HOFs
+    are outside whole-stage codegen), which dominates wall-time when the
+    fold runs per candidate PAIR (10^5-10^9 rows) instead of per vector.
+    This kernel plays the same IEEE ops in the same order — acc starts at
+    0.0 and adds one rounded product per dimension, vectorized across the
+    batch — so scores equal dot()'s and the DuckDB oracle's bit-for-bit.
+    Use it on pair-verify hot paths; dot() stays for per-vector folds
+    where an extra Python stage isn't worth it.
+    """
+
+    @F.pandas_udf("double")
+    def _dot_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(xs.to_list()).astype(np.float64)
+        B = np.stack(ys.to_list()).astype(np.float64)
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+        return pd.Series(acc)
+
+    return _dot_udf(a, b)
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -73,15 +110,33 @@ def random_planes(
     (Achlioptas-style sparse projection): cheap to evaluate, mixes many
     feature dimensions so the bit does not correlate with the scale of any
     single raw feature (the flaw of axis-aligned planes), and fully
-    deterministic from (dim, n_planes, seed, nnz) — so the DuckDB oracle
-    regenerates the identical planes and replays the bucketing exactly.
+    deterministic from (dim, n_planes, seed, nnz).
+
+    The randomness source is counter-mode SHA-256 — NOT a numpy RNG, whose
+    stream NumPy does not guarantee stable across versions.  SHA-256 is
+    specified byte-for-byte forever, so planes (and therefore persisted
+    signatures and the DuckDB oracle's replayed bucketing) are identical
+    on any machine, any library version, any year.
     """
-    rng = np.random.default_rng(seed)
-    planes = []
-    for _ in range(n_planes):
-        dims = rng.choice(dim, size=min(nnz, dim), replace=False)
-        signs = rng.choice(np.array([-1, 1]), size=len(dims))
-        planes.append([(int(d), int(s)) for d, s in zip(dims, signs)])
+    planes: list[list[tuple[int, int]]] = []
+    for i in range(n_planes):
+        picked: list[tuple[int, int]] = []
+        seen: set[int] = set()
+        ctr = 0
+        while len(picked) < min(nnz, dim):
+            block = hashlib.sha256(f"planes:{seed}:{i}:{ctr}".encode()).digest()
+            ctr += 1
+            # 10 (dim, sign) draws per block: 3 bytes each -> modulo bias
+            # < 2^-16 for any dim <= 4096, irrelevant for bucketing.
+            for off in range(0, 30, 3):
+                d = int.from_bytes(block[off : off + 2], "big") % dim
+                if d in seen:
+                    continue
+                seen.add(d)
+                picked.append((d, 1 if block[off + 2] & 1 else -1))
+                if len(picked) == min(nnz, dim):
+                    break
+        planes.append(picked)
     return planes
 
 
@@ -100,18 +155,9 @@ def band_bits_for(n_rows: int, target_bucket: int = 64) -> int:
     return max(4, min(30, int(math.ceil(math.log2(max(n_rows / target_bucket, 2.0))))))
 
 
-def _plane_proj(vec: Column, plane: list[tuple[int, int]]) -> Column:
-    """Signed-sum projection of vec onto one sparse ±1 plane (double)."""
-    proj = None
-    for d, s in plane:
-        term = F.element_at(vec, d + 1).cast("double")
-        term = term if s > 0 else -term
-        proj = term if proj is None else proj + term
-    return proj
-
-
 def plane_proj_sql(v: str, plane: list[tuple[int, int]]) -> str:
-    """DuckDB expression replaying _plane_proj addition-for-addition."""
+    """DuckDB expression replaying the Arrow kernel's projection
+    addition-for-addition (0.0-seeded left fold in plane-entry order)."""
     parts = []
     for d, s in plane:
         parts.append(
@@ -120,17 +166,30 @@ def plane_proj_sql(v: str, plane: list[tuple[int, int]]) -> str:
     return "(0.0 " + " ".join(parts) + ")"
 
 
-def sign_lsh_signature(vec: Column, bits: int = 16, dim: int = 64, seed: int = 42) -> Column:
-    """Sign-random-projection LSH signature: bit i is the sign of the
-    projection onto seeded sparse random plane i."""
-    planes = random_planes(dim, bits, seed)
-    sig = None
-    for i in range(bits):
-        term = F.when(
-            _plane_proj(vec, planes[i]) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return sig.cast("bigint")
+def _band_sigs_kernel(
+    planes: list[list[tuple[int, int]]], bands: int, band_bits: int
+):
+    """Numpy kernel: (n, dim) float64 matrix -> (n, bands) int64 sigs.
+
+    Per plane, the projection is a 0.0-seeded left fold over the plane's
+    entries — `acc = acc ± V[:, d]` — vectorized ACROSS rows but strictly
+    sequential WITHIN a row, which is exactly the order plane_proj_sql
+    states, so the oracle's buckets match bit-for-bit (float32 -> float64
+    casts are exact; IEEE `acc + (-x) == acc - x`).
+    """
+
+    def kernel(V: np.ndarray) -> np.ndarray:
+        n = V.shape[0]
+        sigs = np.zeros((n, bands), dtype=np.int64)
+        for b in range(bands):
+            for j in range(band_bits):
+                acc = np.zeros(n, dtype=np.float64)
+                for d, s in planes[b * band_bits + j]:
+                    acc = acc + V[:, d] if s > 0 else acc - V[:, d]
+                sigs[:, b] |= (acc >= 0.0).astype(np.int64) << j
+        return sigs
+
+    return kernel
 
 
 def sign_lsh_bands(
@@ -147,22 +206,40 @@ def sign_lsh_bands(
     where a single wide signature (2^16 buckets) would put every vector
     in its own bucket and return nothing.
 
+    Implemented as an Arrow-batched pandas_udf, not a Catalyst expression:
+    bands*band_bits planes × nnz element_at terms unroll into an
+    expression tree that exceeds janino's 64 KB generated-method limit, so
+    whole-stage codegen FAILS and Spark interprets the tree per row —
+    measured ~10× slower at 16 planes than the vectorized numpy fold.
+    The kernel is a handful of vectorized adds per plane, plays the same
+    IEEE operations in the same order as the DuckDB oracle
+    (sign_lsh_band_sql), and Arrow moves the float32 arrays zero-copy.
+
     Corpus sizing: pass band_bits=band_bits_for(n) so bucket width tracks
     the corpus instead of staying fixed at bench scale.  seed/dim make the
-    planes deterministic for the DuckDB oracle (sign_lsh_bands_sql).
+    planes deterministic for the DuckDB oracle (sign_lsh_band_sql).
     """
     planes = random_planes(dim, bands * band_bits, seed)
-    out = []
-    for b in range(bands):
-        sig = None
-        for j in range(band_bits):
-            p = planes[b * band_bits + j]
-            term = F.when(
-                _plane_proj(vec, p) >= 0, F.lit(1 << j)
-            ).otherwise(F.lit(0))
-            sig = term if sig is None else sig + term
-        out.append(sig.cast("bigint"))
-    return F.array(*out)
+    kernel = _band_sigs_kernel(planes, bands, band_bits)
+
+    @F.pandas_udf("array<bigint>")
+    def _bands_udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(emb.to_list()).astype(np.float64)
+        return pd.Series(list(kernel(V)))
+
+    return _bands_udf(vec)
+
+
+def sign_lsh_signature(
+    vec: Column, bits: int = 16, dim: int = 64, seed: int = 42
+) -> Column:
+    """Single wide sign-LSH signature (bits packed little-endian) — one
+    band of `bits` planes; see sign_lsh_bands for the execution story."""
+    return F.element_at(
+        sign_lsh_bands(vec, bands=1, band_bits=bits, dim=dim, seed=seed), 1
+    )
 
 
 def sign_lsh_band_sql(

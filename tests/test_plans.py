@@ -173,3 +173,24 @@ def test_pq_adc_broadcasts_codebook_and_query_table(spark, sf_dir, registry):
 def test_vocab_topk_is_take_ordered(spark, sf_dir, registry):
     plan = plan_of(registry["q_vocab_topk"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_embedding_shuffle_shape(spark, sf_dir, registry):
+    """The scale contract q_dedup_embedding's docstring states: with
+    broadcast disabled entirely (the 100 TB regime — no side fits in the
+    driver), every join must still be a hash-partitioned equi-join on the
+    (band, sig) / vec_id keys.  No CartesianProduct, no
+    BroadcastNestedLoopJoin, no broadcast hint overriding AQE."""
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(registry["q_dedup_embedding"].fn(spark, sf_dir))
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan  # no stray broadcast hints
+    # candidate generation joins on the exploded band/sig keys
+    assert "band" in plan and "sig" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
