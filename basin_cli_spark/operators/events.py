@@ -86,16 +86,73 @@ def list_vaults(events: DataFrame, vault_col: str = "vault") -> DataFrame:
     )
 
 
-def retrieve(spark, events: DataFrame, cid: str) -> DataFrame:
+def manifest_resolver(events: DataFrame):
+    """Warm path: the event manifest maps cid -> parquet path (the
+    reference's cache GET, retriever.go:44-50)."""
+
+    def resolve(cid: str) -> str | None:
+        rows = (
+            events.where(F.col("cid") == cid).select("path").limit(1).collect()
+        )
+        return rows[0]["path"] if rows else None
+
+    return resolve
+
+
+def cache_dir_resolver(cache_dir: str):
+    """Local block cache: <cache_dir>/<cid>.parquet if present."""
+    import os
+
+    def resolve(cid: str) -> str | None:
+        p = os.path.join(cache_dir, f"{cid}.parquet")
+        return p if os.path.exists(p) else None
+
+    return resolve
+
+
+def car_store_resolver(car_dir: str, scratch_dir: str | None = None):
+    """Cold path: <car_dir>/<cid>.car holds a CAR v1 archive (what a
+    lassie/IPFS fetch materializes, retriever.go:92-156); the root block
+    payload — the parquet file itself — is extracted to scratch and
+    scanned.  Multihash-verified by sources/carv1.extract_root_block."""
+    import os
+    import tempfile
+
+    from basin_cli_spark.sources.carv1 import extract_root_block
+
+    def resolve(cid: str) -> str | None:
+        car_path = os.path.join(car_dir, f"{cid}.car")
+        if not os.path.exists(car_path):
+            return None
+        with open(car_path, "rb") as f:
+            payload = extract_root_block(f.read(), cid)
+        out_dir = scratch_dir or tempfile.mkdtemp(prefix="carx_")
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, f"{cid}.parquet")
+        with open(out, "wb") as f:
+            f.write(payload)
+        return out
+
+    return resolve
+
+
+def retrieve(spark, events: DataFrame, cid: str, resolvers=None) -> DataFrame:
     """Content-addressed retrieval (A13, reference
-    internal/app/retriever.go:26-233) modeled as resolve-then-scan: the
-    manifest maps cid -> path (the reference's warm cache GET); the cold
-    IPFS/Filecoin fallback is out of analytics scope and surfaces as
-    KeyError."""
-    rows = events.where(F.col("cid") == cid).select("path").limit(1).collect()
-    if not rows:
-        raise KeyError(f"cid not found in event manifest: {cid}")
-    return spark.read.parquet(rows[0]["path"])
+    internal/app/retriever.go:26-233) as a resolver CHAIN, mirroring the
+    reference's cache -> cold-store fallback: each resolver maps
+    cid -> local parquet path or None; the first hit is scanned.  Default
+    chain is the warm manifest only; callers append cache_dir_resolver /
+    car_store_resolver (or a live lassie-backed resolver outside this
+    sandbox) to extend it — the fallback order is the caller's policy,
+    exactly like the reference's coldStore wrapping its cacheStore."""
+    chain = [manifest_resolver(events)] + list(resolvers or [])
+    for resolve in chain:
+        path = resolve(cid)
+        if path is not None:
+            return spark.read.parquet(path)
+    raise KeyError(
+        f"cid not resolvable by any of {len(chain)} resolver(s): {cid}"
+    )
 
 
 def create_vault(

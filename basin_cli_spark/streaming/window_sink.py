@@ -131,8 +131,19 @@ class WindowedVaultSink:
 
         Empty-batch marker rows (table/path/cid all null, written by
         process_batch for recovery bookkeeping) are filtered out so library
-        consumers and the CLI see the same event list."""
-        return spark.read.json(self.manifest_path).where("table IS NOT NULL")
+        consumers and the CLI see the same event list.
+
+        The schema is explicit: schema inference re-reads every manifest
+        file before the real scan (2x I/O on what grows to millions of
+        lines), and an all-marker manifest would otherwise infer
+        all-null types and break downstream filters."""
+        schema = (
+            "batch_id long, table string, path string, cid string, "
+            "signature string, timestamp long, is_archived boolean"
+        )
+        return spark.read.json(self.manifest_path, schema=schema).where(
+            "table IS NOT NULL"
+        )
 
 
 def run_stream(

@@ -1,0 +1,154 @@
+"""Cold-store retrieval seam + provider transport (round-2 items #3/#6):
+CAR v1 parse/extract against hand-built archives, the resolver chain
+fallback order, and golden request shapes for every provider verb
+(metadata 10 s client vs unlimited-timeout upload client)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from basin_cli_spark.sources import carv1 as C
+from basin_cli_spark.sources import provider as PV
+
+
+def test_uvarint_roundtrip():
+    for n in (0, 1, 127, 128, 300, 2**32, 2**63 - 1):
+        buf = C.write_uvarint(n)
+        got, pos = C.read_uvarint(buf, 0)
+        assert got == n and pos == len(buf)
+
+
+def test_cid_text_roundtrip_and_known_prefix():
+    data = b"hello parquet"
+    cid = C.cid_for_raw(data)
+    text = cid.text()
+    # CIDv1 raw sha2-256 always starts with bafkrei... in base32 multibase
+    assert text.startswith("bafkrei")
+    back = C.parse_cid_text(text)
+    assert back == cid
+    assert back.digest == hashlib.sha256(data).digest()
+
+
+def test_car_v1_write_iter_extract():
+    payload = b"PAR1 fake parquet bytes PAR1"
+    cid = C.cid_for_raw(payload)
+    other = C.cid_for_raw(b"unrelated block")
+    car = C.write_car_v1(
+        [(other, b"unrelated block"), (cid, payload)], roots=[cid]
+    )
+    # explicit cid
+    assert C.extract_root_block(car, cid.text()) == payload
+    # root from header
+    assert C.extract_root_block(car) == payload
+    # corrupted payload fails the multihash check
+    bad = car.replace(b"fake", b"f4ke")
+    with pytest.raises(ValueError):
+        C.extract_root_block(bad, cid.text())
+    with pytest.raises(KeyError):
+        C.extract_root_block(car, C.cid_for_raw(b"missing").text())
+
+
+def test_resolver_chain_warm_then_cold(spark, sf_dir, tmp_path):
+    """Manifest miss -> CAR cold store hit, end to end through
+    spark.read.parquet."""
+    from basin_cli_spark.operators import events as EV
+
+    # a real parquet payload: one row, written then re-read via the chain
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame([(1, "x")], "id long, s string").coalesce(
+        1
+    ).write.parquet(src)
+    part = next(
+        p for p in os.listdir(src) if p.endswith(".parquet")
+    )
+    payload = open(os.path.join(src, part), "rb").read()
+    cid = C.cid_for_raw(payload)
+    car_dir = tmp_path / "cars"
+    car_dir.mkdir()
+    (car_dir / f"{cid.text()}.car").write_bytes(
+        C.write_car_v1([(cid, payload)], roots=[cid])
+    )
+    # an event manifest that does NOT know our cid (forces the cold path)
+    events = spark.createDataFrame(
+        [("bafyother", "/nonexistent.parquet")], "cid string, path string"
+    )
+    got = EV.retrieve(
+        spark,
+        events,
+        cid.text(),
+        resolvers=[EV.car_store_resolver(str(car_dir), str(tmp_path / "x"))],
+    )
+    assert [(r.id, r.s) for r in got.collect()] == [(1, "x")]
+    with pytest.raises(KeyError):
+        EV.retrieve(spark, events, "bafkreimissing")
+
+
+def test_provider_request_shapes():
+    """Golden request shapes per reference verb (provider.go:39-186)."""
+    base = "https://basin.example"
+    r = PV.create_vault_request(base, "ns.t", "0xabc", 10)
+    assert (r.method, r.url) == ("POST", f"{base}/vaults/ns.t")
+    assert r.body == b"account=0xabc&cache=10"
+    assert r.headers["Content-Type"] == "application/x-www-form-urlencoded"
+    assert r.timeout_s == 10.0 and r.expect_status == 201
+
+    r = PV.list_vaults_request(base, "0xabc")
+    assert (r.method, r.url) == ("GET", f"{base}/v2/vaults/")
+    assert r.query == {"account": "0xabc"}
+
+    r = PV.list_vault_events_request(base, "ns.t", 50, 10, 111, 222)
+    assert r.url.endswith("/vaults/ns.t/events")
+    assert r.query == {
+        "limit": "50", "offset": "10", "before": "111", "after": "222",
+    }
+
+    r = PV.write_vault_event_request(base, "ns.t", "f.parquet", 7, "sig", b"x")
+    assert r.headers == {"filename": "f.parquet"}
+    assert r.query == {"timestamp": "7", "signature": "sig"}
+    assert r.timeout_s is None  # the unlimited-timeout upload client
+    assert r.expect_status == 201
+
+    r = PV.retrieve_event_request(base, "bafy123", 33.0)
+    assert r.url == f"{base}/events/bafy123"
+    assert r.timeout_s == 33.0
+
+
+def test_provider_roundtrip_over_fake_transport():
+    sent = []
+
+    def fake(req: PV.ProviderRequest) -> PV.ProviderResponse:
+        sent.append(req)
+        if req.url.endswith("/events/bafygone"):
+            return PV.ProviderResponse(404, {}, b"")
+        if "/events/" in req.url and req.method == "GET":
+            return PV.ProviderResponse(
+                200,
+                {"content-disposition": 'attachment; filename="ns.t-f.parquet"'},
+                b"DATA",
+            )
+        if req.method == "POST":
+            return PV.ProviderResponse(201, {}, b"")
+        return PV.ProviderResponse(200, {}, b'[{"vault": "ns.t", "cache": 5}]')
+
+    p = PV.VaultsProvider("https://basin.example", fake)
+    p.create_vault("ns.t", "0xabc", 5)
+    assert p.list_vaults("0xabc") == [{"vault": "ns.t", "cache": 5}]
+    p.write_vault_event("ns.t", "f.parquet", 7, "sig", b"x")
+    assert p.retrieve_event("bafyhit") == b"DATA"
+    with pytest.raises(PV.NotFoundInCache):
+        p.retrieve_event("bafygone")
+    assert len(sent) == 5
+
+
+def test_content_disposition_parse_matches_reference():
+    vault, rest = PV.parse_content_disposition_filename(
+        'attachment; filename="ns.t-2024-01-file.parquet"'
+    )
+    assert vault == "ns.t" and rest == "2024-01-file.parquet"
+    with pytest.raises(ValueError):
+        PV.parse_content_disposition_filename("attachment")
+    with pytest.raises(ValueError):
+        PV.parse_content_disposition_filename('attachment; filename="nodash"')
