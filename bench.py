@@ -71,19 +71,24 @@ def main() -> None:
         spark.range(1000).count()
 
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
         for warm_dir in warm_dirs:
             spec.fn(spark, warm_dir).collect()
         # min of two timed runs: a single run occasionally absorbs a
         # multi-second JVM full GC / background-load stall; the min is the
-        # standard noise-robust steady-state estimate.
-        best = float("inf")
-        for _ in range(2):
+        # standard noise-robust steady-state estimate.  The spread
+        # (max-min over the timed runs) is reported alongside so a
+        # regression can be told apart from sandbox/JVM noise: a real
+        # plan change moves the min; load noise moves the spread.
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(min(runs), 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -93,6 +98,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
