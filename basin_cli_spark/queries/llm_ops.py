@@ -211,13 +211,16 @@ LIMIT 5
 
 @register("q_similarity_ann_lsh", _LSH_ANN_ORACLE)
 def q_similarity_ann_lsh(spark, sf_dir):
-    """Banded sign-LSH ANN (4 bands x 4 bits): probe vectors sharing any
-    band with the query, exact-cosine re-rank.  The oracle states the
-    OR-of-bands predicate; the Spark plan is the scale form — posexplode
-    to (band, sig) and broadcast equi-join, so candidate generation is
-    an index probe, not a corpus scan."""
+    """Banded sign-LSH ANN (4 bands, corpus-sized band bits): probe
+    vectors sharing any band with the query, exact-cosine re-rank.  The
+    oracle states the OR-of-bands predicate at the oracle SFs' 4 bits
+    (band_bits_for(500) == 4, same resolution trick as
+    q_dedup_embedding); the Spark plan is the scale form — posexplode to
+    (band, sig) and broadcast equi-join, so candidate generation is an
+    index probe, not a corpus scan."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_topk_lsh(e, query_vec_id=0, k=5)
+    band_bits = S.band_bits_for(_corpus_count(e, sf_dir))
+    return S.cosine_topk_lsh(e, query_vec_id=0, k=5, band_bits=band_bits)
 
 
 _STOP_EN = "['the', 'and', 'of', 'to', 'a']"

@@ -117,6 +117,48 @@ def main() -> None:
           decon, nd, results)
     docs10.unpersist()
 
+    # Embedding near-dup candidate generation at 10x vectors: band_bits
+    # is sized by band_bits_for(n), so buckets stay ~64 rows and pair
+    # count grows ~linearly with the corpus instead of quadratically —
+    # the property that keeps this runnable at 10^9 vectors.
+    from basin_cli_spark.operators import similarity as S
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    emb10 = emb.withColumn(
+        "_copy", F.explode(F.array(*[F.lit(i) for i in range(COPIES)]))
+    ).withColumn(
+        "vec_id", F.col("vec_id") * COPIES + F.col("_copy")
+    ).drop("_copy").persist()
+    ne = emb10.count()
+
+    def emb_pairs():
+        bits = S.band_bits_for(ne)
+        expl = emb10.select(
+            "vec_id",
+            F.posexplode(
+                S.sign_lsh_bands(F.col("embedding"), 4, bits)
+            ).alias("band", "sig"),
+        )
+        a, b = expl.alias("a"), expl.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+            .dropDuplicates(["vec_a", "vec_b"])
+            .count()
+        )
+
+    timed(f"embedding sign-LSH pair gen ({COPIES}x vectors, sized bits)",
+          emb_pairs, ne, results)
+    emb10.unpersist()
+
     # Skew: ~14% of the fact rows collapse onto ONE join key.  Broadcast
     # would sidestep skew entirely (and is the right plan when the dim
     # fits); to exercise the skew machinery we force shuffle joins and
