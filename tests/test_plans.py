@@ -112,6 +112,7 @@ _NLJ_ALLOWED = {
     "q_events_at",
     "q_similarity_bruteforce",
     "q_similarity_ann_ivf",
+    "q_similarity_ann_ivf_trained",  # 1-row broadcast of the query vector
     "q_similarity_knn_label",  # 20-row probe-set broadcast cross join
 
     "q22_dormant_customers",  # 1-row broadcast of the scalar AVG subquery
