@@ -411,6 +411,12 @@ def q_dedup_embedding(spark, sf_dir):
     - per-vector norms are folded once per *vector* before the pair join
       (2N folds), leaving a single dot-product fold per pair — vs 3 folds
       per pair when cosine() recomputes both norms inline."""
+    return _embedding_dedup_pairs(spark, sf_dir)
+
+
+def _embedding_dedup_pairs(spark, sf_dir):
+    """Shared pair builder for q_dedup_embedding (pairs as the result)
+    and q_dedup_embedding_keep_one (pairs as the dup graph's edges)."""
     e = load_table(spark, sf_dir, "embeddings")
     band_bits = S.band_bits_for(_corpus_count(e, sf_dir))
     expl = e.select(
@@ -461,6 +467,56 @@ def q_dedup_embedding(spark, sf_dir):
     )
     return scored.select("vec_a", "vec_b", score.alias("score")).where(
         F.col("score") >= 0.40
+    )
+
+
+_EMB_KEEP_ONE_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < b.vec_id AND ({_any_band_sql('a.embedding', 'b.embedding')})
+  WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.40
+),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION ALL
+  SELECT vec_b, vec_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+walk(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id
+),
+cc AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+"""
+
+
+@register("q_dedup_embedding_keep_one", _EMB_KEEP_ONE_ORACLE)
+def q_dedup_embedding_keep_one(spark, sf_dir):
+    """End-to-end embedding near-dedup, the workflow a curation pipeline
+    ships: verified cosine>=0.40 LSH pairs (q_dedup_embedding's exact
+    shape) -> connected components (transitive closure: A~B, B~C collapse
+    even when A,C never share a band) -> keep the min-id representative
+    per cluster, pass every unclustered vector through untouched.
+
+    Scale shape mirrors q_dedup_keep_one: the drop-list (cluster members
+    minus representatives) is tiny relative to the corpus, so the final
+    pass is a broadcast left-anti join against one corpus scan.  The
+    DuckDB oracle replays the closure as a recursive CTE; Spark runs the
+    iterative min-label propagation (operators/dedup.connected_components)
+    a 10^9-edge graph actually needs."""
+    pairs = _embedding_dedup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    cc = D.connected_components(pairs, "vec_a", "vec_b")
+    drop = cc.where(F.col("id") != F.col("lab")).select(
+        F.col("id").alias("vec_id")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.join(F.broadcast(drop), "vec_id", "left_anti").select(
+        "vec_id", "label"
     )
 
 

@@ -142,3 +142,63 @@ def test_interval_format_parse_roundtrip(spark, months, days, micros):
     assert (back["months"], back["days"], back["micros"]) == (
         months, days, micros
     )
+
+
+# -- replication wire format (sources/replication.py) -----------------------
+
+
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+@settings(deadline=None)
+def test_lsn_text_roundtrip_prop(lsn):
+    from basin_cli_spark.sources import replication as R
+
+    assert R.parse_lsn(R.format_lsn(lsn)) == lsn
+
+
+@given(
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.integers(min_value=0, max_value=2**64 - 1),
+    st.integers(min_value=946_684_800_000_000, max_value=4_000_000_000_000_000),
+    st.binary(max_size=200),
+)
+@settings(deadline=None)
+def test_xlogdata_parse_total(wal_start, wal_end, t_us, payload):
+    """parse(encode) is identity for any XLogData frame."""
+    import struct
+
+    from basin_cli_spark.sources import replication as R
+
+    frame = struct.pack(
+        ">BQQq", R.XLOG_DATA_BYTE, wal_start, wal_end, t_us - R.PG_EPOCH_OFFSET_US
+    ) + payload
+    msg = R.parse_copydata(frame)
+    assert (msg.wal_start, msg.server_wal_end, msg.server_time_us, msg.payload) == (
+        wal_start, wal_end, t_us, payload
+    )
+
+
+# -- CAR v1 (sources/carv1.py) ---------------------------------------------
+
+
+@given(st.lists(st.binary(min_size=1, max_size=300), min_size=1, max_size=8))
+@settings(deadline=None, max_examples=30)
+def test_car_v1_roundtrip_any_blocks(payloads):
+    """write -> extract returns the root payload for arbitrary block sets,
+    and every non-root block stays addressable by its own CID."""
+    from basin_cli_spark.sources import carv1 as C
+
+    blocks = [(C.cid_for_raw(p), p) for p in payloads]
+    root = blocks[0][0]
+    car = C.write_car_v1(blocks, roots=[root])
+    assert C.extract_root_block(car) == payloads[0]
+    for cid, p in blocks:
+        assert C.extract_root_block(car, cid.text()) == p
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+@settings(deadline=None)
+def test_uvarint_roundtrip_prop(n):
+    from basin_cli_spark.sources import carv1 as C
+
+    got, pos = C.read_uvarint(C.write_uvarint(n), 0)
+    assert got == n
