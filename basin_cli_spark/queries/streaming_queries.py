@@ -138,6 +138,55 @@ def q_stream_static_join(spark, sf_dir):
     return _drain(agg, "complete")
 
 
+@register(
+    "q_stream_stream_join",
+    """
+SELECT a.event_id AS click_id,
+       b.event_id AS purchase_id,
+       a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+""",
+)
+def q_stream_stream_join(spark, sf_dir):
+    """STREAM-STREAM interval join: clicks joined to same-user purchases
+    within the following hour, both sides watermarked so Spark can expire
+    buffered state (without the time bound + watermarks the join state
+    would grow forever — the property that decides whether this runs for
+    a day or a year at production rates).  AvailableNow drains the whole
+    fixture, so the batch self-join oracle states the exact result."""
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = _drain(joined.select("click_id", "purchase_id", "user_id"), "append")
+    return out
+
+
 def _session_oracle() -> str:
     """Reuse the batch session-window oracle (same result by construction:
     AvailableNow processes the whole fixture in one batch, so update-mode
