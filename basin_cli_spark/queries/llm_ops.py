@@ -157,6 +157,94 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
 
 
+_MINHASH_EST_ORACLE = f"""
+WITH {_shingle_cte('doc_id < 200')},
+mh AS (
+  SELECT doc_id, {_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b,
+       ({' + '.join(f'CASE WHEN ma.mh_{j} = mb.mh_{j} THEN 1 ELSE 0 END' for j in range(8))}) / 8.0
+         AS est_jaccard,
+       ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(i.n_common, 0)), 6) AS exact_jaccard
+FROM pairs p
+JOIN mh ma ON p.doc_a = ma.doc_id
+JOIN mh mb ON p.doc_b = mb.doc_id
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+"""
+
+
+@register("q_minhash_jaccard_estimate", _MINHASH_EST_ORACLE)
+def q_minhash_jaccard_estimate(spark, sf_dir):
+    """Sketch-accuracy diagnostic: for every MinHash-LSH candidate pair,
+    the MinHash Jaccard ESTIMATE (matching signature components / 8) next
+    to the EXACT shingle Jaccard — the number a pipeline owner reads to
+    pick bands x rows before committing a 100 TB dedup run.
+
+    Scale shape: signatures are one hash-agg (8 mins in one pass); the
+    exact side reuses the inverted-index intersection join (never
+    all-pairs); both join back to the tiny candidate-pair set."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sig = D.minhash_signatures(d, "text", "doc_id", n_hashes=8)
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", n_hashes=8, band_size=2)
+    est = sum(
+        F.when(F.col(f"ma.mh_{j}") == F.col(f"mb.mh_{j}"), 1).otherwise(0)
+        for j in range(8)
+    ) / F.lit(8.0)
+    shd = D.shingle_rows(d, "text", "doc_id").distinct()
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = shd.alias("sa"), shd.alias("sb")
+    inter = (
+        a.join(
+            b,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("i_a"), F.col("sb.doc_id").alias("i_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+    return (
+        pairs.join(sig.alias("ma"), F.col("doc_a") == F.col("ma.doc_id"))
+        .join(sig.alias("mb"), F.col("doc_b") == F.col("mb.doc_id"))
+        .join(sizes.alias("za"), F.col("doc_a") == F.col("za.doc_id"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col("zb.doc_id"))
+        .join(
+            inter,
+            (F.col("doc_a") == F.col("i_a")) & (F.col("doc_b") == F.col("i_b")),
+            "left",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            F.round(
+                n_common / (F.col("za.sz") + F.col("zb.sz") - n_common), 6
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
 _DOT_SQL = (
     "LIST_REDUCE(LIST_TRANSFORM(RANGE(1, LEN({a}) + 1), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -417,6 +505,8 @@ def q_dedup_embedding(spark, sf_dir):
 def _embedding_dedup_pairs(spark, sf_dir):
     """Shared pair builder for q_dedup_embedding (pairs as the result)
     and q_dedup_embedding_keep_one (pairs as the dup graph's edges)."""
+    from pyspark import StorageLevel
+
     e = load_table(spark, sf_dir, "embeddings")
     band_bits = S.band_bits_for(_corpus_count(e, sf_dir))
     expl = e.select(
@@ -425,6 +515,11 @@ def _embedding_dedup_pairs(spark, sf_dir):
             S.sign_lsh_bands(F.col("embedding"), 4, band_bits)
         ).alias("band", "sig"),
     )
+    # Persist the slim (vec_id, band, sig) table: both self-join sides
+    # read it, and without the cache Spark runs the Arrow signature
+    # kernel twice.  ~24 bytes/row x bands — safe at any corpus size
+    # (same rationale as operators/dedup.minhash_lsh_pairs).
+    expl = expl.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = expl.alias("a"), expl.alias("b")
     pairs = (
         a.join(
