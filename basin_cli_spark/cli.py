@@ -151,10 +151,24 @@ def cmd_events(args) -> int:
 
 
 def cmd_retrieve(args) -> int:
-    from basin_cli_spark.operators.events import retrieve
+    """Resolver chain mirrors the reference's cache -> cold-store order
+    (retriever.go:26-233): warm manifest, then --cache-dir blocks, then
+    --car-dir CAR v1 archives (the shape a lassie fetch materializes)."""
+    from basin_cli_spark.operators.events import (
+        cache_dir_resolver,
+        car_store_resolver,
+        retrieve,
+    )
 
     spark = _spark("vaults-retrieve")
-    df = retrieve(spark, _events_df(spark, args.out_dir), args.cid)
+    extra = []
+    if args.cache_dir:
+        extra.append(cache_dir_resolver(args.cache_dir))
+    if args.car_dir:
+        extra.append(car_store_resolver(args.car_dir))
+    df = retrieve(
+        spark, _events_df(spark, args.out_dir), args.cid, resolvers=extra
+    )
     if args.output:
         df.coalesce(1).write.mode("overwrite").parquet(args.output)
         print(args.output)
@@ -279,6 +293,8 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--cid", required=True)
     rt.add_argument("--out-dir", required=True)
     rt.add_argument("--output")
+    rt.add_argument("--cache-dir")
+    rt.add_argument("--car-dir")
     rt.add_argument("--json", action="store_true")
     rt.set_defaults(fn=cmd_retrieve)
 

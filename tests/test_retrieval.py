@@ -152,3 +152,36 @@ def test_content_disposition_parse_matches_reference():
         PV.parse_content_disposition_filename("attachment")
     with pytest.raises(ValueError):
         PV.parse_content_disposition_filename('attachment; filename="nodash"')
+
+
+def test_cli_retrieve_cold_path(spark, tmp_path, capsys):
+    """CLI retrieve falls through the manifest to --car-dir and renders
+    the extracted parquet."""
+    from basin_cli_spark import cli
+
+    src = str(tmp_path / "cli_src.parquet")
+    spark.createDataFrame([(7, "y")], "id long, s string").coalesce(
+        1
+    ).write.parquet(src)
+    part = next(p for p in os.listdir(src) if p.endswith(".parquet"))
+    payload = open(os.path.join(src, part), "rb").read()
+    cid = C.cid_for_raw(payload)
+    car_dir = tmp_path / "cars"
+    car_dir.mkdir()
+    (car_dir / f"{cid.text()}.car").write_bytes(
+        C.write_car_v1([(cid, payload)], roots=[cid])
+    )
+    out_dir = tmp_path / "vault_out"
+    out_dir.mkdir()
+    (out_dir / "events.jsonl").write_text("")  # empty manifest
+    rc = cli.main(
+        [
+            "retrieve",
+            "--cid", cid.text(),
+            "--out-dir", str(out_dir),
+            "--car-dir", str(car_dir),
+            "--json",
+        ]
+    )
+    assert rc == 0
+    assert '"id":7' in capsys.readouterr().out.replace(" ", "")
