@@ -54,6 +54,38 @@ def q_string_funcs(spark, sf_dir):
 
 
 @register(
+    "q_fuzzy_prefix_match",
+    """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(SUBSTRING(a.text, 1, 30), SUBSTRING(b.text, 1, 30)) AS edit_dist
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE a.doc_id < 100 AND b.doc_id < 100
+  AND levenshtein(SUBSTRING(a.text, 1, 30), SUBSTRING(b.text, 1, 30)) <= 15
+""",
+)
+def q_fuzzy_prefix_match(spark, sf_dir):
+    """Fuzzy matching by edit distance with language BLOCKING: the
+    self-join is keyed on lang (a real fuzzy-match pipeline always blocks
+    — levenshtein over unblocked corpus^2 is not a plan), then the
+    JVM-builtin levenshtein filters 30-char prefixes.  Both engines
+    implement standard Levenshtein, so distances agree exactly."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    a = d.select(F.col("doc_id").alias("doc_a"), "lang",
+                 F.substring("text", 1, 30).alias("p_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"),
+                 F.col("lang").alias("lang_b"),
+                 F.substring("text", 1, 30).alias("p_b"))
+    dist = F.levenshtein("p_a", "p_b")
+    return (
+        a.join(b, (F.col("lang") == F.col("lang_b"))
+               & (F.col("doc_a") < F.col("doc_b")))
+        .where(dist <= 15)
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+    )
+
+
+@register(
     "q_datetime_funcs",
     """
 SELECT event_id,
