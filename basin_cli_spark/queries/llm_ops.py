@@ -311,6 +311,41 @@ def q_similarity_ann_lsh(spark, sf_dir):
     return S.cosine_topk_lsh(e, query_vec_id=0, k=5, band_bits=band_bits)
 
 
+def _multiprobe_band_sql(a: str, b: str, bands: int = 4, band_bits: int = 4) -> str:
+    """OR-of-bands where each band also matches at Hamming distance 1
+    (single-source planes with sign_lsh_band_sql, XOR flips in SQL)."""
+    terms = []
+    for i in range(bands):
+        ea = _band_sql(a, i, band_bits)
+        eb = _band_sql(b, i, band_bits)
+        probes = [eb] + [f"XOR({eb}, {1 << j})" for j in range(band_bits)]
+        terms.append(f"{ea} IN ({', '.join(probes)})")
+    return " OR ".join(terms)
+
+
+_MULTIPROBE_ORACLE = f"""
+SELECT e.vec_id, ROUND({_cosine_sql('e.embedding', 'q.embedding')}, 6) AS score
+FROM embeddings e
+JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ON {_multiprobe_band_sql('e.embedding', 'q.embedding')}
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id
+LIMIT 5
+"""
+
+
+@register("q_similarity_ann_multiprobe", _MULTIPROBE_ORACLE)
+def q_similarity_ann_multiprobe(spark, sf_dir):
+    """Multi-probe banded sign-LSH ANN: probe each band's signature AND
+    its 1-bit-flip neighbors (a sign bit flips exactly when the
+    projection is near the hyperplane, so the 1-flip neighborhood
+    recovers near-misses) — recall ~ doubling the bands at the cost of a
+    wider QUERY-side probe set only; the corpus index stays one row per
+    (vector, band).  Oracle replays the same probes via SQL XOR."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh_multiprobe(e, query_vec_id=0, k=5)
+
+
 _STOP_EN = "['the', 'and', 'of', 'to', 'a']"
 
 _QUALITY_ORACLE = f"""
