@@ -110,3 +110,26 @@ def test_sign_lsh_bands_match_oracle_sql(spark):
         for row in con.execute(f"SELECT id, {band_exprs} FROM t").fetchall()
     }
     assert got == want
+
+
+def test_multiprobe_beats_single_probe(spark, sf_dir):
+    """The point of multi-probe: 1-bit-flip probes recover near-misses.
+    On the fixture, multiprobe top-5 must contain at least 3 of the
+    brute-force top-5 and strictly dominate the single-probe hit count."""
+    from basin_cli_spark.queries import load_all
+
+    reg = load_all()
+    brute = {
+        r.vec_id
+        for r in reg["q_similarity_bruteforce"].fn(spark, sf_dir).collect()[:5]
+    }
+    single = {
+        r.vec_id
+        for r in reg["q_similarity_ann_lsh"].fn(spark, sf_dir).collect()
+    }
+    multi = {
+        r.vec_id
+        for r in reg["q_similarity_ann_multiprobe"].fn(spark, sf_dir).collect()
+    }
+    assert len(multi & brute) >= 3
+    assert len(multi & brute) >= len(single & brute)
