@@ -318,3 +318,69 @@ def q_window_percent_rank(spark, sf_dir):
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+_GAPFILL_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+  FROM events WHERE user_id < 20
+  GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+users AS (SELECT DISTINCT user_id FROM daily),
+days AS (
+  SELECT CAST(UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+spine AS (SELECT u.user_id, d.day FROM users u, days d),
+g AS (
+  SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n_events, d.sum_v
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id, CAST(day AS VARCHAR) AS day, n_events,
+       LAST_VALUE(sum_v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS ff_sum
+FROM g
+"""
+
+
+@register("q_timeseries_gapfill", _GAPFILL_ORACLE)
+def q_timeseries_gapfill(spark, sf_dir):
+    """Time-series gap filling — the hypertable-style densify + locf:
+    per-user daily rollup, a generated date spine (users x every day in
+    the observed range), zero-filled counts on missing days, and the last
+    observed daily sum carried forward with an IGNORE NULLS running-frame
+    window.
+
+    Scale shape: the spine is |users| x |days| rows built by exploding a
+    sequence against the (1-row, broadcast) bounds — never a shuffle of
+    the fact table; the left join keys on (user_id, day); the locf window
+    is a running frame, so state per partition is one value."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("sum_v"),
+    )
+    bounds = daily.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    users = daily.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    g = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return g.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.last("sum_v", ignorenulls=True).over(w).alias("ff_sum"),
+    )

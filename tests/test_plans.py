@@ -116,6 +116,7 @@ _NLJ_ALLOWED = {
     "q_similarity_knn_label",  # 20-row probe-set broadcast cross join
 
     "q22_dormant_customers",  # 1-row broadcast of the scalar AVG subquery
+    "q_timeseries_gapfill",  # 1-row broadcast of the (min_day, max_day) bounds
     "q11_important_parts",  # 1-row broadcast of the (total, n_parts) scalar
     "q_embedding_center_normalize",  # 1-row broadcast of the centroid array
     "q_tfidf_topterms",  # 1-row broadcast of the corpus-count scalar
