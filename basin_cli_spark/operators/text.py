@@ -4,6 +4,7 @@ whole-stage codegen) — no Python in the hot path."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -92,3 +93,33 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "0L, (h, c) -> (h * 31 + c) % 1000000007)"
     )
     return cleaned.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deflate compression ratio per document — the classic cheap proxy
+    for repetition/boilerplate (highly repetitive text compresses far
+    below ~0.4; natural prose sits ~0.5-0.7; random strings near 1.0).
+    Training-data pipelines threshold on this to drop template spam that
+    token-level heuristics miss.
+
+    Arrow-batched pandas_udf over stdlib zlib (level 6).  The ratio is a
+    quality SIGNAL, not an oracle-checkable value: deflate output length
+    is implementation-defined, so the registered query is rows-only and
+    the behavioral contract (repetitive << prose << random) is pinned in
+    tests/test_curation.py instead."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if not t:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return df.select(
+        F.col(id_col),
+        F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio"),
+    )

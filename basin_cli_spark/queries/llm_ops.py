@@ -346,6 +346,16 @@ def q_similarity_ann_multiprobe(spark, sf_dir):
     return S.cosine_topk_lsh_multiprobe(e, query_vec_id=0, k=5)
 
 
+@register("q_text_compression_ratio", None)
+def q_text_compression_ratio(spark, sf_dir):
+    """Deflate compression ratio per document (repetition/boilerplate
+    proxy).  Rows-only: deflate output length is implementation-defined,
+    so the contract (repetitive << prose << random ordering) is pinned in
+    tests/test_curation.py rather than a value oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.compression_ratio(d, "text", "doc_id")
+
+
 _STOP_EN = "['the', 'and', 'of', 'to', 'a']"
 
 _QUALITY_ORACLE = f"""

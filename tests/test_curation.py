@@ -113,3 +113,23 @@ def test_center_normalize_unit_norm(spark, sf_dir):
     for r in rows[:20]:
         norm = math.sqrt(sum(x * x for x in r.unit_vec))
         assert abs(norm - 1.0) < 1e-3  # rounded components, loose bound
+
+
+def test_compression_ratio_orders_text_quality(spark):
+    """The signal's whole point: repetitive boilerplate << natural prose
+    << incompressible noise."""
+    from basin_cli_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "buy now " * 200),
+        (2, "The quick brown fox jumps over the lazy dog while the engine "
+            "reads a hundred terabytes of text and keeps only what helps."),
+        (3, "k9!Xq#7vLm@2Zr$8pW%4tYc^6nJd&1bVf*5hGs(3eKa)0uNx-QzMoPiRlTw"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.compression_ratio
+           for r in compression_ratio(df, "text", "doc_id").collect()}
+    assert got[1] < 0.2 < got[2] < got[3]
+    # empty text -> null, not a crash
+    empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    assert compression_ratio(empty, "text", "doc_id").collect()[0][1] is None
