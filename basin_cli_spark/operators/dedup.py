@@ -244,22 +244,24 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
+        # carry the previous label through the same min-agg (`old` is
+        # non-null only on the current-label rows, so max() recovers it);
+        # change detection then reads the checkpointed result instead of
+        # re-joining old vs new as a separate job per round.
         nbr_lab = sym.join(
             labels.select(F.col("id").alias("nbr"), "lab"), "nbr"
-        ).select("id", "lab")
-        new_labels = (
-            labels.union(nbr_lab)
+        ).select("id", "lab", F.lit(None).cast("long").alias("old"))
+        cur = labels.select("id", "lab", F.col("lab").alias("old"))
+        merged = (
+            cur.union(nbr_lab)
             .groupBy("id")
-            .agg(F.min("lab").alias("lab"))
+            .agg(F.min("lab").alias("lab"), F.max("old").alias("old"))
             .localCheckpoint()
         )
         changed = (
-            new_labels.join(labels.withColumnRenamed("lab", "old"), "id")
-            .where(F.col("lab") != F.col("old"))
-            .limit(1)
-            .count()
+            merged.where(F.col("lab") != F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = merged.select("id", "lab")
         if changed == 0:
             break
     sym.unpersist()

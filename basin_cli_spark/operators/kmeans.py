@@ -123,12 +123,30 @@ def train_kmeans(
     vec_col: str = "embedding",
     seed: int = 42,
     metric: str = "cos",
+    max_train_rows: int = 1_000_000,
 ) -> np.ndarray:
     """Lloyd-trained codebook: deterministic init + `iters` distributed
-    iterations.  Returns the (k, dim) centroid matrix."""
-    cents = init_centroids(df, k, id_col, vec_col, seed)
+    iterations.  Returns the (k, dim) centroid matrix.
+
+    Codebooks are statistics of the distribution, not of every row, so
+    past `max_train_rows` the training set is a DETERMINISTIC uniform
+    sample (xxhash64(id, seed) threshold — any engine replays it); this
+    is how faiss/ScaNN-style indexes train at corpus scale: a bounded
+    sample fits the iteration budget while assignment stays full-corpus.
+    At the fixtures' sizes the sample is the whole table.
+    """
+    n = df.count()
+    train = df
+    if n > max_train_rows:
+        # keep ~max_train_rows rows: xxhash64 is uniform over int64
+        frac = max_train_rows / n
+        cut = int((2**63 - 1) * frac)
+        train = df.where(
+            F.abs(F.xxhash64(F.col(id_col), F.lit(seed + 1))) <= cut
+        )
+    cents = init_centroids(train, k, id_col, vec_col, seed)
     for _ in range(iters):
-        cents = lloyd_step(df, cents, vec_col, metric)
+        cents = lloyd_step(train, cents, vec_col, metric)
     return cents
 
 

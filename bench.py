@@ -40,11 +40,14 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_embedding",
+    "q_dedup_embedding_keep_one",
     "q_similarity_bruteforce",
+    "q_similarity_ann_multiprobe",
     "q_similarity_ann_ivf",
     "q_grouping_sets",
     "q_events_before_after",
     "q_window_tumbling",
+    "q_timeseries_gapfill",
     "q_text_quality_stats",
 ]
 
