@@ -26,6 +26,7 @@ import os
 import time
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from basin_cli_spark.functions.hashing import keccak256, keccak256_file
 from basin_cli_spark.functions.signing import sign_file
@@ -42,11 +43,19 @@ class WindowedVaultSink:
         schemas: dict[str, list[tuple[str, str]]],
         vault: str = "ns.relation",
         private_key_hex: str | None = None,
+        window_digest: bool = False,
     ) -> None:
         self.out_dir = out_dir
         self.schemas = schemas
         self.vault = vault
         self.private_key_hex = private_key_hex
+        # Opt-in per-window ECMH multiset digest of the exported rows
+        # (functions/ecmh.py — the reference ships ecmh as a library with
+        # no wired consumer; stamping each window makes it useful: two
+        # windows diff by point subtraction, a vault's total content
+        # digest is the sum of its window digests, independent of window
+        # boundaries).  Off by default: hash-to-point costs ~250 us/row.
+        self.window_digest = window_digest
         self.manifest_path = os.path.join(out_dir, "manifest.jsonl")
         os.makedirs(out_dir, exist_ok=True)
 
@@ -110,12 +119,25 @@ class WindowedVaultSink:
             else keccak256(b"".join(part_digests))
         )
         cid = "0x" + cid_bytes.hex()
+        ecmh = None
+        if self.window_digest:
+            from basin_cli_spark.functions.ecmh import ecmh_digest
+            from basin_cli_spark.session import get_spark
+
+            spark = get_spark(app_name="vault-window-digest")
+            win = spark.read.parquet(path)
+            # digest the canonical JSON of each row — schema-aware,
+            # order-independent (point addition commutes)
+            canon = win.select(
+                F.to_json(F.struct(*sorted(win.columns))).alias("_j")
+            )
+            ecmh = ecmh_digest(canon, "_j")
         signature = (
             b"".join(sign_file(p, self.private_key_hex) for p in parts).hex()
             if self.private_key_hex
             else None
         )
-        return {
+        row = {
             "batch_id": batch_id,
             "table": table,
             "path": path,
@@ -124,6 +146,9 @@ class WindowedVaultSink:
             "timestamp": int(time.time()),
             "is_archived": False,
         }
+        if ecmh is not None:
+            row["ecmh_digest"] = ecmh
+        return row
 
     def events(self, spark) -> DataFrame:
         """The vault-events metadata table (reference EventInfo,
