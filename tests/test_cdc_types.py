@@ -82,3 +82,33 @@ def test_interval_struct_replays(replayed):
     assert (iv["months"], iv["days"], iv["micros"]) == (
         14, 21, 5 * 3600 * 1_000_000
     )
+
+
+def test_schema_evolution_mid_stream(spark):
+    """wal2json records carry their own column lists, so a column added
+    mid-stream must not break materialization: rows before the ALTER get
+    NULL for the new column, unknown columns are ignored until the
+    discovered schema includes them."""
+    import json
+
+    from basin_cli_spark.sources.cdc import materialize_table, parse_wal_records
+
+    old = {"action": "I", "schema": "public", "table": "t",
+           "columns": [{"name": "id", "type": "integer", "value": 1}]}
+    new = {"action": "I", "schema": "public", "table": "t",
+           "columns": [{"name": "id", "type": "integer", "value": 2},
+                       {"name": "tag", "type": "text", "value": "fresh"}]}
+    lines = [json.dumps({"commit_lsn": 1, "records": [old]}),
+             json.dumps({"commit_lsn": 2, "records": [new]})]
+    records = parse_wal_records(
+        spark.createDataFrame([(line,) for line in lines], "value string")
+    )
+    # pre-ALTER schema: the extra column is simply not selected
+    got_old = materialize_table(records, "t", [("id", "integer")])
+    assert sorted(r.id for r in got_old.collect()) == [1, 2]
+    # post-ALTER schema: old rows surface NULL for the new column
+    got_new = materialize_table(
+        records, "t", [("id", "integer"), ("tag", "text")]
+    )
+    rows = {r.id: r.tag for r in got_new.collect()}
+    assert rows == {1: None, 2: "fresh"}

@@ -92,3 +92,30 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_app,
         )
+
+
+def test_date_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
+    """A day filter on the partition column must become a PartitionFilter
+    (pruned at planning), not a post-scan predicate over the whole log."""
+    from basin_cli_spark.operators.layout import write_date_partitioned
+    from basin_cli_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_day")
+    write_date_partitioned(ev, out, "ts")
+    back = spark.read.parquet(out)
+    q = back.where(F.col("event_date") == "2024-01-03").select("event_id")
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    scan = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "event_date" in scan
+    # and the result only contains that day
+    days = q.count()
+    import datetime
+
+    got = back.where(F.col("event_date") == "2024-01-03")
+    assert got.count() == days
+    assert set(
+        r.event_date for r in got.select("event_date").distinct().collect()
+    ) == {datetime.date(2024, 1, 3)}
