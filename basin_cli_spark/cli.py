@@ -146,6 +146,22 @@ def cmd_events(args) -> int:
         before=_ts(args.before), after=_ts(args.after), at=_ts(args.at),
         latest=args.latest, limit=args.limit, offset=args.offset,
     ).select("cid", "timestamp", "path", "signature", "is_archived")
+    # cache expiry per event, like the reference's event table (cmd/vaults/
+    # commands.go:558-571): registered vault TTL (minutes) + event time.
+    from basin_cli_spark.operators.events import registered_vaults
+
+    reg = registered_vaults(spark, args.out_dir).where(
+        F.col("vault") == args.vault
+    )
+    cache = [r.cache for r in reg.collect()]
+    ttl_min = cache[0] if cache else None
+    expiry = (
+        F.timestamp_seconds(F.col("timestamp") + int(ttl_min) * 60)
+        .cast("timestamp_ntz").cast("string")
+        if ttl_min is not None
+        else F.lit(None).cast("string")
+    )
+    out = out.withColumn("cache_expiry", expiry)
     _render(out, args.json)
     return 0
 

@@ -116,3 +116,32 @@ def test_create_sign_and_empty_vault_listing(tmp_path, capsys, sf_dir):
 
     with pytest.raises(ValueError):
         main(["create", "not-a-vault", "--out-dir", out])
+
+
+def test_events_cache_expiry_from_vault_ttl(spark, tmp_path, capsys):
+    """The events table carries cache_expiry = event time + the vault's
+    registered TTL (reference commands.go:558-571); without a TTL the
+    column is null."""
+    import json
+
+    from basin_cli_spark import cli
+
+    out_dir = tmp_path / "v"
+    out_dir.mkdir()
+    # one manifest event at a known unix second
+    (out_dir / "manifest.jsonl").write_text(
+        json.dumps(
+            {"batch_id": 0, "table": "rel", "path": "/x.parquet",
+             "cid": "0xabc", "signature": None, "timestamp": 1_700_000_000,
+             "is_archived": False}
+        ) + "\n"
+    )
+    assert cli.main(["create", "ns.rel", "--out-dir",
+                     str(out_dir), "--cache", "60"]) == 0
+    capsys.readouterr()
+    assert cli.main(["events", "--vault", "ns.rel", "--out-dir",
+                     str(out_dir), "--json"]) == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["cid"] == "0xabc"
+    # 1_700_000_000 + 3600 s = 2023-11-14T23:13:20
+    assert row["cache_expiry"].startswith("2023-11-14T23:13:20")
