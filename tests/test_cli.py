@@ -144,4 +144,4 @@ def test_events_cache_expiry_from_vault_ttl(spark, tmp_path, capsys):
     row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert row["cid"] == "0xabc"
     # 1_700_000_000 + 3600 s = 2023-11-14T23:13:20
-    assert row["cache_expiry"].startswith("2023-11-14T23:13:20")
+    assert row["cache_expiry"].startswith("2023-11-14 23:13:20")
