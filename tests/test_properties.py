@@ -202,3 +202,53 @@ def test_uvarint_roundtrip_prop(n):
 
     got, pos = C.read_uvarint(C.write_uvarint(n), 0)
     assert got == n
+
+
+# -- connected components (operators/dedup.py) ------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(deadline=None, max_examples=15)
+def test_connected_components_match_union_find(spark, raw_edges):
+    """The iterative min-label propagation must agree with a driver-side
+    union-find on arbitrary small graphs (chains, cycles, self-loops,
+    duplicates) — the shapes that break naive propagation."""
+    from basin_cli_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    # reference: union-find with path compression
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.id: r.lab
+        for r in connected_components(df, "doc_a", "doc_b").collect()
+    }
+    # min-label find: normalize union-find roots to component minimum
+    comp_min: dict[int, int] = {}
+    for x, r in want.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    assert got == {x: comp_min[find(x)] for x in want}
