@@ -40,16 +40,24 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_embedding",
-    "q_dedup_embedding_keep_one",
+    "q_dedup_embedding_keep_one",  # added r4
     "q_similarity_bruteforce",
-    "q_similarity_ann_multiprobe",
+    "q_similarity_ann_multiprobe",  # added r4
     "q_similarity_ann_ivf",
     "q_grouping_sets",
     "q_events_before_after",
     "q_window_tumbling",
-    "q_timeseries_gapfill",
+    "q_timeseries_gapfill",  # added r4
     "q_text_quality_stats",
 ]
+
+# queries added to the headline in round 4 — summed out of
+# total_pre_r4_subset so round-over-round totals stay comparable
+_R4_ADDED = {
+    "q_dedup_embedding_keep_one",
+    "q_similarity_ann_multiprobe",
+    "q_timeseries_gapfill",
+}
 
 
 def main() -> None:
@@ -102,6 +110,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "spread": spreads,
+                "total_pre_r4_subset": round(
+                    sum(v for k, v in times.items() if k not in _R4_ADDED), 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
