@@ -237,10 +237,12 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # init = the first propagation round for free: a vertex's starting
+    # label is min(own id, min neighbor id), computed in the same groupBy
+    # that would otherwise just dedup the vertex list.
     labels = (
-        sym.select("id")
-        .distinct()
-        .select("id", F.col("id").alias("lab"))
+        sym.groupBy("id")
+        .agg(F.least(F.col("id"), F.min("nbr")).alias("lab"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
