@@ -119,3 +119,55 @@ def test_date_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
     assert set(
         r.event_date for r in got.select("event_date").distinct().collect()
     ) == {datetime.date(2024, 1, 3)}
+
+
+def _scan_rows(q) -> int:
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan()
+    found = []
+
+    def walk(node):
+        if "Scan" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                e = it.next()
+                if e._1() == "numOutputRows":
+                    found.append(e._2().value())
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+
+    walk(plan)
+    return sum(found)
+
+
+def test_sorted_and_zordered_layouts_skip_row_groups(spark, tmp_path):
+    """Stats-based data skipping: a selective range predicate over a
+    range-sorted layout must scan far fewer rows than over a shuffled
+    layout, and a Z-ordered layout must skip on BOTH interleaved columns
+    where single-column sorting only skips on its own."""
+    from basin_cli_spark.operators.layout import write_sorted_by, write_zordered
+
+    df = spark.range(0, 200_000).select(
+        (F.col("id") * 2654435761 % 1_000_000).alias("x"),
+        (F.col("id") * 40503 % 1_000_000).alias("y"),
+    )
+    rand, srt, zo = (str(tmp_path / n) for n in ("rand", "sorted", "zorder"))
+    df.repartition(16).write.mode("overwrite").parquet(rand)
+    write_sorted_by(df, srt, "x")
+    write_zordered(df, zo, "x", "y")
+
+    fx = (F.col("x") >= 100) & (F.col("x") < 2000)
+    fy = (F.col("y") >= 100) & (F.col("y") < 2000)
+    rows = {
+        (name, axis): _scan_rows(spark.read.parquet(p).where(flt))
+        for name, p in (("rand", rand), ("sorted", srt), ("zorder", zo))
+        for axis, flt in (("x", fx), ("y", fy))
+    }
+    # sorted-by-x: big skip on x, none on y
+    assert rows[("sorted", "x")] * 5 < rows[("rand", "x")]
+    # z-order: big skip on BOTH axes vs the shuffled layout
+    assert rows[("zorder", "x")] * 3 < rows[("rand", "x")]
+    assert rows[("zorder", "y")] * 3 < rows[("rand", "y")]
+    # and y-skipping is something the x-sorted layout cannot do
+    assert rows[("zorder", "y")] * 3 < rows[("sorted", "y")]
