@@ -149,8 +149,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     so the same formula runs on the DuckDB oracle.
     """
     assert bits % 4 == 0
-    par = df.sparkSession.sparkContext.defaultParallelism
-    tok = df.repartition(par).select(
+    src_df = df
+    if not df.isStreaming:
+        # fan the token explode across cores; streaming plans forbid an
+        # explicit repartition (micro-batch parallelism comes from the
+        # source) and don't need one
+        src_df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    tok = src_df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
     h = F.md5(F.col("tok"))
@@ -166,6 +171,35 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
         term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def simhash_expr(text_col: Column | str, bits: int = 16) -> Column:
+    """Row-wise SimHash: the same per-token ±1 bit votes as simhash(),
+    folded over the token ARRAY in one expression instead of a groupBy —
+    integer sums commute, so the fingerprint is identical.  This is the
+    form a STREAMING pipeline needs (no per-doc aggregation state; the
+    only stateful operator left is whatever consumes the fingerprint)."""
+    toks = tokens(text_col)
+
+    def _vote_folder(i: int):
+        # closure factory, NOT a default-arg lambda: pyspark maps every
+        # named lambda parameter to a higher-order-function variable, so
+        # a smuggled `_i=i` third parameter would arrive as a Column
+        def fold(acc: Column, t: Column) -> Column:
+            nib = F.substring(F.md5(t), i // 4 + 1, 1)
+            v = F.instr(F.lit("0123456789abcdef"), nib) - 1
+            return acc + (
+                F.shiftright(v, i % 4).bitwiseAND(F.lit(1)) * 2 - 1
+            )
+
+        return fold
+
+    fp = None
+    for i in range(bits):
+        s = F.aggregate(toks, F.lit(0).cast("long"), _vote_folder(i))
+        term = F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return fp.cast("bigint")
 
 
 def ngram_jaccard_pairs(

@@ -187,6 +187,59 @@ def q_stream_stream_join(spark, sf_dir):
     return out
 
 
+def _stream_near_dedup_oracle() -> str:
+    """Batch restatement: one representative (min doc_id) per SimHash
+    bucket — reuses the registered batch simhash oracle's formula."""
+    from basin_cli_spark.queries import QUERIES
+    from basin_cli_spark.queries import llm_ops as _llm  # noqa: F401
+
+    sim = QUERIES["q_dedup_simhash"].oracle
+    return f"""
+WITH sim AS ({sim})
+SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS n_bucket
+FROM sim GROUP BY simhash
+"""
+
+
+@register("q_stream_near_dedup", _stream_near_dedup_oracle())
+def q_stream_near_dedup(spark, sf_dir):
+    """STREAMING near-dup dedup: a document stream is fingerprinted with
+    the same SimHash expressions as the batch operator, then a watermarked
+    event-time aggregation keeps min-id per fingerprint bucket — the
+    deterministic representative (streaming dropDuplicates would keep
+    arrival-order winners, which no oracle can restate).  State is one
+    (simhash, min, count) row per bucket, expired by the watermark at
+    production rates."""
+    import os as _os
+
+    from basin_cli_spark.operators.dedup import simhash_expr
+
+    path = _os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    # synthetic event time (fixtures carry none): one second per doc id.
+    # simhash_expr is a row-wise fold, so the bucket agg is the plan's
+    # ONLY stateful operator (a per-doc vote aggregation upstream would
+    # trip the chained-stateful-operator correctness check).
+    ts = F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    sim = docs.select(
+        "doc_id", simhash_expr("text").alias("simhash"), ts.alias("ts")
+    )
+    agg = (
+        sim.withWatermark("ts", "1 hour")
+        .groupBy("simhash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_bucket"),
+        )
+    )
+    return _drain(agg, "complete")
+
+
 def _session_oracle() -> str:
     """Reuse the batch session-window oracle (same result by construction:
     AvailableNow processes the whole fixture in one batch, so update-mode
