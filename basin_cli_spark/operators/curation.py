@@ -85,6 +85,44 @@ def decontaminate(
     )
 
 
+def contamination_score(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """GRADED contamination: the fraction of each train document's
+    distinct shingles that appear anywhere in the eval set — the number a
+    pipeline thresholds (e.g. drop > 0.8, flag > 0.2) instead of
+    decontaminate()'s raw hit count.  Same broadcast shape: the corpus
+    streams once, left-joins the broadcast eval shingle set, and the
+    score is shared/total per doc (0.0 when nothing overlaps)."""
+    train_sh = shingle_rows(docs, text_col, id_col, k).distinct()
+    eval_sh = (
+        shingle_rows(eval_docs, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     text_col: str = "text",

@@ -102,6 +102,36 @@ GROUP BY t.doc_id
 """
 
 
+_CONTAM_SCORE_ORACLE = f"""
+WITH {_shingle_cte()},
+eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+),
+train_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(e.shingle) AS n_shared,
+       ROUND(CAST(COUNT(e.shingle) AS DOUBLE) / COUNT(*), 6) AS contamination
+FROM train_sh t LEFT JOIN eval_sh e USING (shingle)
+GROUP BY t.doc_id
+"""
+
+
+@register("q_contamination_score", _CONTAM_SCORE_ORACLE)
+def q_contamination_score(spark, sf_dir):
+    """Graded contamination: per train document, the FRACTION of its
+    distinct shingles found in the eval set — the thresholdable form of
+    q_decontaminate (drop > 0.8, flag > 0.2, keep the rest).  Same
+    broadcast shape: one corpus pass against the broadcast eval shingle
+    set; zero-overlap docs surface with contamination 0.0 (left join),
+    which the boolean variant silently omits."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    return C.contamination_score(d.where(~is_eval), d.where(is_eval))
+
+
 @register("q_decontaminate", _DECON_ORACLE)
 def q_decontaminate(spark, sf_dir):
     """N-gram-overlap decontamination: per train document, the number of
