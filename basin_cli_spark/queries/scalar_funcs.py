@@ -418,3 +418,26 @@ def q_uuid_canonical(spark, sf_dir):
         uuid_col.alias("doc_uuid"),
         (F.length(uuid_col) == 36).alias("is_canonical_len"),
     )
+
+
+_REGEX_EXTRACT_ORACLE = """
+SELECT doc_id,
+       regexp_extract_all(text, '[0-9]+') AS numbers,
+       LEN(regexp_extract_all(text, '[a-z]+')) AS n_words,
+       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word
+FROM documents WHERE doc_id < 100
+"""
+
+
+@register("q_regexp_extract", _REGEX_EXTRACT_ORACLE)
+def q_regexp_extract(spark, sf_dir):
+    """Regex extraction surface: all-matches array, match count, and a
+    capture-group pull — identical PCRE-ish semantics in both engines for
+    these character-class patterns."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit("[0-9]+"), 0).alias("numbers"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("n_words"),
+        F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+    )

@@ -384,3 +384,40 @@ def q_timeseries_gapfill(spark, sf_dir):
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.last("sum_v", ignorenulls=True).over(w).alias("ff_sum"),
     )
+
+
+_IGNORE_NULLS_ORACLE = """
+WITH base AS (
+  SELECT event_id, ts, user_id,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events WHERE user_id < 20
+)
+SELECT event_id,
+       LAG(v IGNORE NULLS) OVER w AS prev_ok,
+       LEAD(v IGNORE NULLS) OVER w AS next_ok,
+       FIRST_VALUE(v IGNORE NULLS) OVER w AS first_ok
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("q_window_ignore_nulls", _IGNORE_NULLS_ORACLE)
+def q_window_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS navigation functions (lag/lead/first_value) — the
+    'most recent valid reading' idiom over a measure with gaps (here
+    'error' events null their value).  Each window sits on the total
+    order (ts, event_id), so both engines pick identical neighbors."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    base = ev.select("event_id", "ts", "user_id", v.alias("v"))
+    # lag/lead don't expose ignorenulls in the Python API; the SQL form
+    # plans the same WindowExpression
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    return base.select(
+        "event_id",
+        F.expr(f"lag(v) IGNORE NULLS {over}").alias("prev_ok"),
+        F.expr(f"lead(v) IGNORE NULLS {over}").alias("next_ok"),
+        F.expr(f"first_value(v) IGNORE NULLS {over}").alias("first_ok"),
+    )
