@@ -421,3 +421,67 @@ def q_window_ignore_nulls(spark, sf_dir):
         F.expr(f"lead(v) IGNORE NULLS {over}").alias("next_ok"),
         F.expr(f"first_value(v) IGNORE NULLS {over}").alias("first_ok"),
     )
+
+
+_ROLLUP_HIER_ORACLE = """
+WITH base AS (
+  SELECT DATE_TRUNC('hour', ts) AS h, event_type,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+)
+SELECT 'hour' AS grain, CAST(h AS VARCHAR) AS bucket, event_type,
+       COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM base GROUP BY h, event_type
+UNION ALL
+SELECT 'day', CAST(CAST(DATE_TRUNC('day', h) AS TIMESTAMP) AS VARCHAR), event_type,
+       COUNT(*), CAST(SUM(v) AS DOUBLE)
+FROM base GROUP BY DATE_TRUNC('day', h), event_type
+UNION ALL
+SELECT 'month', CAST(CAST(DATE_TRUNC('month', h) AS TIMESTAMP) AS VARCHAR), event_type,
+       COUNT(*), CAST(SUM(v) AS DOUBLE)
+FROM base GROUP BY DATE_TRUNC('month', h), event_type
+"""
+
+
+@register("q_hypertable_rollup", _ROLLUP_HIER_ORACLE)
+def q_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: hourly buckets are
+    aggregated from the raw events ONCE; daily buckets re-aggregate the
+    ~24 hourly rows and monthly the ~30 daily rows — count/sum are
+    associative, so each coarser grain reads the finer MATERIALIZED level
+    instead of re-scanning the fact table (at 100 TB: the raw scan
+    happens once per refresh, coarser grains are near-free).  The oracle
+    states each grain directly over the base — identical by
+    associativity, exact by decimal sums."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).alias("sv"),  # stay decimal for re-agg
+        )
+        .persist()
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "h").alias("d"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    monthly = daily.groupBy(
+        F.date_trunc("month", "d").alias("m"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+
+    def level(df, grain, bucket_col):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col(bucket_col).cast("string").alias("bucket"),
+            "event_type",
+            "n",
+            F.col("sv").cast("double").alias("sum_value"),
+        )
+
+    return (
+        level(hourly, "hour", "h")
+        .unionAll(level(daily, "day", "d"))
+        .unionAll(level(monthly, "month", "m"))
+    )
