@@ -243,9 +243,14 @@ def test_connected_components_match_union_find(spark, raw_edges):
         union(a, b)
     want = {x: find(x) for x in parent}
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    # exercise BOTH paths: the driver union-find fast path and the
+    # distributed min-label loop (forced via driver_threshold=0)
+    threshold = 0 if len(edges) % 2 == 0 else 5_000_000
     got = {
         r.id: r.lab
-        for r in connected_components(df, "doc_a", "doc_b").collect()
+        for r in connected_components(
+            df, "doc_a", "doc_b", driver_threshold=threshold
+        ).collect()
     }
     # min-label find: normalize union-find roots to component minimum
     comp_min: dict[int, int] = {}
