@@ -303,11 +303,15 @@ def connected_components(
     et al. trims worst-case chains; not needed here).
     """
     spark = edges.sparkSession
+    # the pair pipeline upstream (LSH joins + exact verify) is expensive:
+    # cache it so the size probe and the consuming path read it once
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         pairs = [
             (r[0], r[1]) for r in edges.select(src, dst).collect()
         ]
+        edges.unpersist()
         labels = _union_find_local(pairs)
         if not labels:
             return spark.createDataFrame([], "id long, lab long")
