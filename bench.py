@@ -93,6 +93,13 @@ def main() -> None:
         # (max-min over the timed runs) is reported alongside so a
         # regression can be told apart from sandbox/JVM noise: a real
         # plan change moves the min; load noise moves the spread.
+        # start each query with a clean cache: orphaned persists from
+        # EARLIER queries churn the LRU store and inflate later timings.
+        # Within a query's three runs the cache stays — re-hitting one's
+        # own persisted signature/edge tables is the steady state the
+        # persist design intends (Spark matches cache entries by analyzed
+        # plan, so identical re-runs reuse them).
+        spark.catalog.clearCache()
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
