@@ -229,6 +229,13 @@ def cmd_query(args) -> int:
               file=sys.stderr)
         return 2
     df = registry[args.name].fn(_spark("vaults-query"), args.sf_dir)
+    if getattr(args, "explain", False):
+        print(
+            df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        )
+        return 0
     _render(df, args.json)
     return 0
 
@@ -323,6 +330,8 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--name", required=True)
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--json", action="store_true")
+    q.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan instead of rows")
     q.set_defaults(fn=cmd_query)
 
     cr = sub.add_parser("create")
