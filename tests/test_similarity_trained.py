@@ -103,3 +103,29 @@ def test_trained_queries_run_and_rank(spark, sf_dir):
     assert len(pq) == 10
     dists = [r.adc_dist for r in pq]
     assert dists == sorted(dists) and all(d >= 0 for d in dists)
+
+
+def test_ivf_partitioned_probe_prunes(spark, emb, tmp_path):
+    """The docstring claim made physical: persisting the assigned corpus
+    partitioned by cent_id makes a probe a planning-time partition prune —
+    the scan's PartitionFilters carry cent_id, so nprobe/k of the corpus
+    is read, not filtered."""
+    import pyspark.sql.functions as F
+
+    cents = KM.train_kmeans(emb, k=16, iters=2)
+    assigned = KM.assign_ids(emb, cents, metric="cos")
+    out = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("cent_id").parquet(out)
+    back = spark.read.parquet(out)
+    probe = back.where(F.col("cent_id").isin([3, 7]))
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cent_id" in pf
+    # and only the probed lists' rows are read
+    assert probe.count() == back.where(F.col("cent_id").isin([3, 7])).count()
+    got_lists = {
+        r.cent_id for r in probe.select("cent_id").distinct().collect()
+    }
+    assert got_lists <= {3, 7}
