@@ -4,7 +4,7 @@ content, produce a 65-byte recoverable ECDSA signature r||s||v.
 
 Pure Python over the published secp256k1 parameters with RFC 6979
 deterministic nonces and low-s normalization — byte-identical to the
-reference's signatures (golden parity test in tests/test_signing.py uses
+reference's signatures (golden parity test in tests/test_crypto.py uses
 the fixed key/content/signature triple from the reference's
 signing_test.go:12-41).
 
