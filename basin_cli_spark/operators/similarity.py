@@ -257,6 +257,31 @@ def sign_lsh_band_sql(
     return "(" + " + ".join(terms) + ")"
 
 
+def drop_hot_buckets(
+    expl: DataFrame,
+    max_bucket: int,
+    band_col: str = "band",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Remove rows belonging to LSH buckets wider than `max_bucket`.
+
+    Per-bucket pair generation is |bucket|^2: one boilerplate-heavy
+    bucket of 10^6 rows is 10^12 pairs — a job-killer no matter how well
+    the rest of the corpus behaves.  Production LSH dedup drops (or
+    routes to exact-hash dedup) buckets past a width cap: such buckets
+    are near-identical template content whose duplicates exact dedup
+    already catches at linear cost.  One extra aggregation on the slim
+    (band, sig) table; the wide rows never reach the self-join."""
+    sizes = expl.groupBy(band_col, sig_col).agg(
+        F.count(F.lit(1)).alias("_bw")
+    )
+    return (
+        expl.join(sizes, [band_col, sig_col])
+        .where(F.col("_bw") <= max_bucket)
+        .drop("_bw")
+    )
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     query_vec_id: int,
