@@ -541,6 +541,11 @@ def q_dedup_embedding(spark, sf_dir):
       the no-broadcast shape: equi-join keys, no cartesian);
     - pairs are deduped (a pair can collide in several bands) while still
       ids-only, so the expensive exact verification runs once per pair;
+    - duplicate-HEAVY corpora additionally need the hot-bucket guard
+      (operators/similarity.drop_hot_buckets, capped-width buckets before
+      the self-join — tests/test_similarity.py pins the quadratic-blowup
+      case); the fixture's buckets are narrow so the exact oracle query
+      runs unguarded;
     - per-vector norms are folded once per *vector* before the pair join
       (2N folds), leaving a single dot-product fold per pair — vs 3 folds
       per pair when cosine() recomputes both norms inline."""
