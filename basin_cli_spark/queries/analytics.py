@@ -118,7 +118,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
         .join(li, li["l_orderkey"] == orders["o_orderkey"])
         .join(
-            F.broadcast(supp),
+            supp,
             (li["l_suppkey"] == supp["s_suppkey"])
             & (cust["c_nationkey"] == supp["s_nationkey"]),
         )
@@ -527,8 +527,9 @@ def q7_nation_trade_volume(spark, sf_dir):
     nations by ship year.  The nation filters are applied to each
     broadcast nation alias *before* the joins so supplier/customer shrink
     immediately; the cross-table OR (only the 3<->7 pairings survive)
-    evaluates after both nation joins.  Five joins, one shuffle — every
-    dimension side broadcasts."""
+    evaluates after both nation joins.  Only the constant-size nation
+    aliases carry broadcast hints; supplier/customer scale with SF and
+    are left to AQE."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
     )
@@ -548,10 +549,10 @@ def q7_nation_trade_volume(spark, sf_dir):
     )
     rev = dec("l_extendedprice") * one_minus("l_discount")
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(

@@ -89,7 +89,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     eo = offers.join(
-        F.broadcast(eur), offers["l_suppkey"] == eur["s_suppkey"]
+        eur, offers["l_suppkey"] == eur["s_suppkey"]
     ).select("l_partkey", "offer_price", "s_name", "s_acctbal", "n_name")
     mpp = eo.groupBy(F.col("l_partkey").alias("_pk")).agg(
         F.min("offer_price").alias("min_cost")
@@ -149,9 +149,10 @@ FROM volumes GROUP BY o_year
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape (national market share): one nation's share of
     part-type revenue sold into a region, by order year.  Every
-    dimension (part, customer, both nation aliases, region, supplier)
-    filters before its join and broadcasts; only lineitem-orders
-    shuffles.  The share is a conditional decimal sum over the same rows
+    dimension filters before its join; nation aliases and region are
+    constant-size and broadcast by hint, while part/customer/supplier
+    scale with SF so their join strategy is left to AQE (broadcast while
+    small, shuffle at scale).  The share is a conditional decimal sum over the same rows
     as the denominator — one aggregation, no second pass."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
@@ -187,12 +188,12 @@ def q8_market_share(spark, sf_dir):
     zero = F.lit(0).cast("decimal(18,2)")
     national = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(region), F.col("nc_region") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -223,8 +224,8 @@ def q9_product_type_profit(spark, sf_dir):
     """TPC-H Q9 shape (product-type profit): profit per supplier nation
     per year over a part-name pattern.  Cost is retail price x quantity
     (no partsupp in the fixture).  The LIKE filter prunes part before
-    the join; supplier/nation broadcast; lineitem-orders is the one
-    shuffle."""
+    the join; nation (constant-size) broadcasts by hint, part/supplier
+    are left to AQE because they scale with SF."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_discount",
@@ -247,8 +248,8 @@ def q9_product_type_profit(spark, sf_dir):
         "p_retailprice"
     ) * dec("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
@@ -301,7 +302,7 @@ def q11_important_parts(spark, sf_dir):
         .select("s_suppkey")
     )
     vals = (
-        li.join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(eur, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("p_partkey"))
         .agg(F.sum(dec("l_extendedprice")).alias("val"))
     )
@@ -446,7 +447,7 @@ def q16_part_supplier_counts(spark, sf_dir):
     )
     return (
         ps.join(bad, ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -491,7 +492,7 @@ def q20_excess_shippers(spark, sf_dir):
         .select("l_partkey", "l_suppkey", "l_quantity")
     )
     qty = (
-        li.join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(red, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(dec("l_quantity")).alias("ps_qty"))
     )
@@ -502,7 +503,7 @@ def q20_excess_shippers(spark, sf_dir):
     return (
         qty.join(tot, F.col("l_partkey") == F.col("pk"))
         .where(F.col("ps_qty") * 2 > F.col("part_qty"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name")
         .distinct()
     )
@@ -567,7 +568,7 @@ def q21_waiting_suppliers(spark, sf_dir):
             & (F.col("l_suppkey") != F.col("_sk3")),
             "left_anti",
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

@@ -208,8 +208,9 @@ def q_dedup_provenance(spark, sf_dir):
     """Dedup lineage: every dropped near-duplicate mapped to the kept
     representative of its cluster (plus its source) — the audit trail a
     curated corpus ships so filtering decisions stay reversible.  The
-    drop-map is tiny next to the corpus, so the document join is a
-    broadcast of the map, not a corpus shuffle."""
+    drop-map join carries no broadcast hint — at low dup rates AQE
+    broadcasts it; at web-crawl dup rates (30-50%) the map is
+    corpus-scale and must be allowed to shuffle."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(d, "text", "doc_id", n_hashes=8, band_size=2)
     cc = D.connected_components(pairs, "doc_a", "doc_b")
@@ -217,7 +218,7 @@ def q_dedup_provenance(spark, sf_dir):
         F.col("id").alias("dropped_id"), F.col("lab").alias("kept_id")
     )
     return d.join(
-        F.broadcast(drop_map), F.col("doc_id") == F.col("dropped_id")
+        drop_map, F.col("doc_id") == F.col("dropped_id")
     ).select("dropped_id", "kept_id", "source")
 
 

@@ -648,9 +648,12 @@ def q_dedup_embedding_keep_one(spark, sf_dir):
     even when A,C never share a band) -> keep the min-id representative
     per cluster, pass every unclustered vector through untouched.
 
-    Scale shape mirrors q_dedup_keep_one: the drop-list (cluster members
-    minus representatives) is tiny relative to the corpus, so the final
-    pass is a broadcast left-anti join against one corpus scan.  The
+    Scale shape mirrors q_dedup_keep_one: the final pass is a left-anti
+    join of one corpus scan against the drop-list (cluster members minus
+    representatives).  No broadcast hint: web-scale corpora can drop
+    30-50% of documents, making the drop-list corpus-scale — AQE
+    broadcasts it while it fits and falls back to shuffle when it
+    doesn't.  The
     DuckDB oracle replays the closure as a recursive CTE; Spark runs the
     iterative min-label propagation (operators/dedup.connected_components)
     a 10^9-edge graph actually needs."""
@@ -660,7 +663,7 @@ def q_dedup_embedding_keep_one(spark, sf_dir):
         F.col("id").alias("vec_id")
     )
     e = load_table(spark, sf_dir, "embeddings")
-    return e.join(F.broadcast(drop), "vec_id", "left_anti").select(
+    return e.join(drop, "vec_id", "left_anti").select(
         "vec_id", "label"
     )
 
@@ -1455,17 +1458,19 @@ def q_dedup_keep_one(spark, sf_dir):
     """The end-to-end near-dedup a pipeline actually ships: LSH pairs ->
     connected components -> keep ONE representative (the min-id) per
     duplicate cluster, pass every unclustered doc through untouched.
-    The drop-list (cluster members that are not the representative) is
-    tiny relative to the corpus, so the final pass is a broadcast
-    left-anti join against the full document scan — the corpus itself is
-    read once and never shuffled."""
+    The final pass is a left-anti join of the full document scan
+    against the drop-list (cluster members that are not the
+    representative).  No broadcast hint: dup-heavy corpora (30-50% drop
+    rates are normal for web crawl) make the drop-list corpus-scale, so
+    the hint is left to AQE — it broadcasts while the list fits and
+    degrades to shuffle instead of OOMing the driver."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(d, "text", "doc_id", n_hashes=8, band_size=2)
     cc = D.connected_components(pairs, "doc_a", "doc_b")
     drop = cc.where(F.col("id") != F.col("lab")).select(
         F.col("id").alias("doc_id")
     )
-    return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
+    return d.join(drop, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
     )
 

@@ -122,14 +122,15 @@ GROUP BY c.c_mktsegment
 )
 def q_stream_static_join(spark, sf_dir):
     """Stream-static enrichment join (events stream x customer dim) +
-    windowless global agg.  The static side is broadcast — the stream
-    never shuffles for the join."""
+    windowless global agg.  The static side (customer) scales with SF,
+    so no broadcast hint — AQE broadcasts it while it fits; the stream
+    side never carries the build."""
     ev = _read_events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
     joined = ev.join(
-        F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "inner"
+        cust, ev["user_id"] == cust["c_custkey"], "inner"
     )
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -159,11 +159,81 @@ def test_decontaminate_broadcasts_eval_set(spark, sf_dir, registry):
     assert "SortMergeJoin" not in plan
 
 
-def test_dedup_keep_one_broadcasts_drop_list(spark, sf_dir, registry):
-    plan = plan_of(registry["q_dedup_keep_one"].fn(spark, sf_dir))
-    assert "BroadcastHashJoin LeftAnti" in plan or (
-        "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    )
+def test_dedup_keep_one_aqe_broadcasts_drop_list(spark, sf_dir, registry):
+    """The drop-list anti-join carries NO broadcast hint (dup-heavy
+    corpora make the drop-list corpus-scale, and a hint would OOM the
+    driver there) — but at bench scale AQE must still pick the broadcast
+    strategy on its own.  Checked on the executed (AQE-final) plan."""
+    df = registry["q_dedup_keep_one"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# Broadcast hints remaining after the round-5 un-hinting are ONLY on
+# constant-size relations: region (5 rows), nation (25), scalar-aggregate
+# singletons (1 row), codebooks, probe/eval sets.  With the auto-broadcast
+# threshold disabled, the BroadcastExchange count per query is exactly the
+# hinted set — pinned here so a refactor that re-hints an SF-scaling
+# relation (supplier/customer/part/eur/drop-list) fails this sweep.
+# Counts are from explain("formatted"), which lists each node twice
+# (tree + details).
+_HINTED_BX = {
+    "q2_min_cost_supplier": 8,       # nation, region, and their reuse in eur
+    "q5_local_supplier_volume": 4,   # nation, region
+    "q7_nation_trade_volume": 4,     # n1, n2 nation aliases
+    "q8_market_share": 6,            # nc, region, ns
+    "q9_product_type_profit": 2,     # nation
+    "q10_returned_items": 2,         # nation
+    "q11_important_parts": 10,       # nation, region (x2 via eur), total scalar
+    "q15_top_supplier": 2,           # max_rev scalar
+    "q16_part_supplier_counts": 0,
+    "q20_excess_shippers": 0,
+    "q21_waiting_suppliers": 0,
+    "q22_dormant_customers": 2,      # avgbal scalar
+    "q_dedup_keep_one": 0,
+    "q_dedup_embedding_keep_one": 0,
+    "q_dedup_provenance": 0,
+}
+# Scalar 1-row broadcast singletons plan as BroadcastNestedLoopJoin even
+# with the threshold off — by design (see _NLJ_ALLOWED).
+_SWEEP_NLJ_OK = {"q11_important_parts", "q22_dormant_customers"}
+
+
+def test_no_scaling_side_broadcast_hints(spark, sf_dir, registry):
+    """The 100 TB broadcast doctrine: with auto-broadcast disabled (the
+    regime where no SF-scaling side fits in the driver), every remaining
+    BroadcastExchange must come from a hint on a constant-size relation.
+    A re-hinted supplier/customer/part/drop-list raises the pinned count;
+    a dropped legit hint lowers it — both fail loudly."""
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    offenders = []
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name, expected in sorted(_HINTED_BX.items()):
+            plan = plan_of(registry[name].fn(spark, sf_dir))
+            got = plan.count("BroadcastExchange")
+            if got != expected:
+                offenders.append((name, f"BroadcastExchange {got} != {expected}"))
+            if "CartesianProduct" in plan:
+                offenders.append((name, "CartesianProduct"))
+            if "BroadcastNestedLoopJoin" in plan and name not in _SWEEP_NLJ_OK:
+                offenders.append((name, "BroadcastNestedLoopJoin"))
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert not offenders, offenders
+
+
+def test_q5_aqe_still_broadcasts_at_bench_scale(spark, sf_dir, registry):
+    """Dropping the supplier hint must not cost the bench-scale plan:
+    with the default threshold, AQE/CBO still picks broadcast for
+    supplier at sf0.001 — the hint was redundant where it was safe and
+    dangerous where it wasn't."""
+    df = registry["q5_local_supplier_volume"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
 
 
 def test_pq_adc_broadcasts_codebook_and_query_table(spark, sf_dir, registry):
