@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.storagelevel import StorageLevel
 
 
@@ -199,7 +200,10 @@ def simhash_expr(text_col: Column | str, bits: int = 16) -> Column:
         s = F.aggregate(toks, F.lit(0).cast("long"), _vote_folder(i))
         term = F.when(s > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return fp.cast("bigint")
+    # batch simhash() yields NO row for a token-less doc (the explode
+    # produces nothing); emit NULL here instead of fingerprint 0 so the
+    # two forms can never disagree on empty/whitespace-only docs
+    return F.when(F.size(toks) > 0, fp.cast("bigint"))
 
 
 def ngram_jaccard_pairs(
@@ -303,6 +307,14 @@ def connected_components(
     et al. trims worst-case chains; not needed here).
     """
     spark = edges.sparkSession
+    # vertex ids keep whatever type the caller's edge list carries (long
+    # doc ids, string content hashes, ...) — both branches must agree
+    id_type = StructType(
+        [
+            StructField("id", edges.schema[src].dataType),
+            StructField("lab", edges.schema[src].dataType),
+        ]
+    )
     # the pair pipeline upstream (LSH joins + exact verify) is expensive:
     # cache it so the size probe and the consuming path read it once
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -314,15 +326,15 @@ def connected_components(
         edges.unpersist()
         labels = _union_find_local(pairs)
         if not labels:
-            return spark.createDataFrame([], "id long, lab long")
-        return spark.createDataFrame(
-            sorted(labels.items()), "id long, lab long"
-        )
+            return spark.createDataFrame([], id_type)
+        return spark.createDataFrame(sorted(labels.items()), id_type)
     sym = (
         edges.select(F.col(src).alias("id"), F.col(dst).alias("nbr"))
         .union(edges.select(F.col(dst).alias("id"), F.col(src).alias("nbr")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # sym carries the edges forward; the input cache has served its probe
+    edges.unpersist()
     # init = the first propagation round for free: a vertex's starting
     # label is min(own id, min neighbor id), computed in the same groupBy
     # that would otherwise just dedup the vertex list.

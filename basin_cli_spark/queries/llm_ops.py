@@ -346,12 +346,27 @@ def q_similarity_ann_multiprobe(spark, sf_dir):
     return S.cosine_topk_lsh_multiprobe(e, query_vec_id=0, k=5)
 
 
-@register("q_text_compression_ratio", None)
+from basin_cli_spark.queries._golden import COMPRESSION_RATIO as _CR_GOLD
+
+_CR_ORACLE = (
+    "WITH g(key, doc_id, compression_ratio) AS (VALUES "
+    + ", ".join(
+        f"({k}, {doc_id}, CAST({ratio!r} AS DOUBLE))"
+        for k, rows in sorted(_CR_GOLD.items())
+        for doc_id, ratio in rows
+    )
+    + ") SELECT doc_id, compression_ratio FROM g"
+    " WHERE key = (SELECT SUM(LENGTH(text)) FROM documents)"
+)
+
+
+@register("q_text_compression_ratio", _CR_ORACLE)
 def q_text_compression_ratio(spark, sf_dir):
     """Deflate compression ratio per document (repetition/boilerplate
-    proxy).  Rows-only: deflate output length is implementation-defined,
-    so the contract (repetitive << prose << random ordering) is pinned in
-    tests/test_curation.py rather than a value oracle."""
+    proxy).  Deflate output length is implementation-defined, so the
+    oracle is a golden per-doc constant pinned per fixture corpus by
+    scripts/gen_golden_oracles.py; the behavioral contract (repetitive
+    << prose << random ordering) is pinned in tests/test_curation.py."""
     d = load_table(spark, sf_dir, "documents")
     return TX.compression_ratio(d, "text", "doc_id")
 

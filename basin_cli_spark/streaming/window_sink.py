@@ -164,7 +164,8 @@ class WindowedVaultSink:
         all-null types and break downstream filters."""
         schema = (
             "batch_id long, table string, path string, cid string, "
-            "signature string, timestamp long, is_archived boolean"
+            "signature string, timestamp long, is_archived boolean, "
+            "ecmh_digest string"
         )
         return spark.read.json(self.manifest_path, schema=schema).where(
             "table IS NOT NULL"
