@@ -208,3 +208,61 @@ class ReplicationSession:
     def drain(self) -> list[bytes]:
         out, self.outbox = self.outbox, []
         return out
+
+
+# -- session orchestration --------------------------------------------------
+
+
+def start_replication_session(transport, publication: str, tables=None):
+    """Order the connect->slot->stream handshake exactly like the
+    reference's StartReplication (replicator.go:61-133): resume from the
+    slot's confirmed_flush_lsn when the slot already exists, otherwise
+    create it and start from 0/0; discover the publication's tables when
+    the caller doesn't pin them (conn.go:18-44); then START_REPLICATION
+    with the wal2json v2 options.
+
+    `transport` is duck-typed — anything with
+        exec_query(sql: str) -> list[tuple]
+        exec_command(cmd: str) -> None
+    works: a psycopg connection shim in production, a scripted fake in
+    tests.  Returns (primed ReplicationSession, tables).
+    """
+    slot = slot_name(publication)
+    rows = transport.exec_query(confirmed_flush_lsn_sql(slot))
+    if rows and rows[0][0] is not None:
+        lsn = parse_lsn(rows[0][0])
+    else:
+        transport.exec_command(create_slot_command(slot))
+        lsn = 0
+    if tables is None:
+        tables = [
+            f"{s}.{t}"
+            for s, t in transport.exec_query(publication_tables_sql(publication))
+        ]
+    transport.exec_command(start_replication_command(slot, lsn, tables))
+    return ReplicationSession(commit_lsn=lsn, committed_lsn=lsn), tables
+
+
+def pump(session: ReplicationSession, transport):
+    """Synchronous receive loop around a primed session: recv one CopyData
+    frame, feed it, flush any queued acks (keepalive replies AND commit
+    acks the consumer queued since the last frame), yield wal2json
+    payload bytes.  Ends when the transport yields None (the reference's
+    ctx-cancel, replicator.go:235-254).
+
+    The consumer calls session.commit(lsn) between yields; the resulting
+    StandbyStatusUpdate goes out before the next payload is read, so the
+    walsender's view of the consumed-up-to LSN is never more than one
+    frame behind — the reference's ack cadence.
+    """
+    while True:
+        for out in session.drain():
+            transport.send(out)
+        frame = transport.recv()
+        if frame is None:
+            break
+        payload = session.feed(frame)
+        for out in session.drain():
+            transport.send(out)
+        if payload is not None:
+            yield payload
