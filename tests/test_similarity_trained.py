@@ -129,3 +129,37 @@ def test_ivf_partitioned_probe_prunes(spark, emb, tmp_path):
         r.cent_id for r in probe.select("cent_id").distinct().collect()
     }
     assert got_lists <= {3, 7}
+
+
+def test_retraining_reproduces_frozen_artifact(emb):
+    """The committed index artifact (fixtures/codebooks.json) is what
+    serving loads and what the DuckDB oracles replay; this pins that the
+    TRAINING path still produces it — deterministic seeded init + fixed
+    Lloyd iterations — so the artifact can never silently drift from the
+    code that claims to have built it.  Regenerate with
+    scripts/gen_codebooks.py after intentional kernel changes."""
+    import json
+    import os
+
+    import numpy as np
+
+    from basin_cli_spark.operators import kmeans as KM
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "codebooks.json",
+    )
+    with open(path) as f:
+        art = json.load(f)
+    import pyspark.sql.functions as F
+
+    key = str(
+        emb.agg(F.sum(F.col("vec_id") * F.col("label")).cast("long"))
+        .collect()[0][0]
+    )
+    assert key in art, f"no frozen codebook for corpus key {key}"
+    entry = art[key]
+    ivf = KM.train_kmeans(emb, **entry["ivf_params"])
+    assert np.allclose(ivf, np.asarray(entry["ivf"]), rtol=0, atol=1e-9)
+    pq = KM.train_pq_codebooks(emb, **entry["pq_params"])
+    assert np.allclose(pq, np.asarray(entry["pq"]), rtol=0, atol=1e-9)
