@@ -33,7 +33,12 @@ Throughput engineering (the digest must survive a 100 TB scan):
 
 Net, measured: ~860 -> ~4,100 rows/s/core (~130k rows/s on 32 cores);
 the map side is embarrassingly parallel (each partition folds
-independently; partials merge by point addition).
+independently; partials merge by point addition).  ~4,100 rows/s/core is
+the DOCUMENTED capability limit for this path (SCALE.md "Multiset-digest
+throughput") — the sqrt pow is irreducible in pure CPython.  For 100 TB
+digest jobs use functions/muhash.py: the same multiset algebra over a
+3072-bit multiplicative group at ~30K rows/s/core (one mulmod per row
+instead of a modular sqrt).
 """
 
 from __future__ import annotations

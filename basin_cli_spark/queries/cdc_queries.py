@@ -98,6 +98,8 @@ def q_cdc_record_stream(spark, sf_dir):
 from basin_cli_spark.queries._golden import (
     ECMH_DIGEST as _ECMH_GOLD,
     ECMH_DIGEST_BY_GROUP as _ECMH_GROUP_GOLD,
+    MUHASH_DIGEST as _MUHASH_GOLD,
+    MUHASH_DIGEST_BY_GROUP as _MUHASH_GROUP_GOLD,
 )
 
 _ECMH_ORACLE = (
@@ -147,3 +149,49 @@ def q_ecmh_digest_by_group(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return ecmh_digest_by_group(d, "lang", "text").orderBy("lang")
+
+
+_MUHASH_ORACLE = (
+    "SELECT CASE (SELECT SUM(LENGTH(text)) FROM documents) "
+    + " ".join(f"WHEN {k} THEN '{v}'" for k, v in sorted(_MUHASH_GOLD.items()))
+    + " END AS muhash_digest"
+)
+
+_MUHASH_GROUP_ORACLE = (
+    "WITH g(key, lang, digest) AS (VALUES "
+    + ", ".join(
+        f"({k}, '{lang}', '{d}')"
+        for k, rows in sorted(_MUHASH_GROUP_GOLD.items())
+        for lang, d in rows
+    )
+    + ") SELECT lang, digest FROM g"
+    " WHERE key = (SELECT SUM(LENGTH(text)) FROM documents) ORDER BY lang"
+)
+
+
+@register("q_muhash_digest", _MUHASH_ORACLE)
+def q_muhash_digest(spark, sf_dir):
+    """MuHash multiset digest of documents.text — the multiplicative-group
+    scale path for the reference's digest role (functions/muhash.py: same
+    insert/remove/union/difference algebra as ECMH at ~7.5x the pure-
+    CPython throughput; see SCALE.md).  Known-answer oracle pinned per
+    fixture corpus by scripts/gen_golden_oracles.py; algebraic properties
+    in tests/test_muhash.py."""
+    from basin_cli_spark.functions.muhash import muhash_digest
+    from basin_cli_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    digest = muhash_digest(d, "text")
+    return spark.createDataFrame([(digest,)], ["muhash_digest"])
+
+
+@register("q_muhash_digest_by_group", _MUHASH_GROUP_ORACLE)
+def q_muhash_digest_by_group(spark, sf_dir):
+    """Per-language MuHash digests — the per-vault window digest with the
+    multiplicative group.  Known-answer oracle; partition-independence is
+    proven in tests/test_muhash.py."""
+    from basin_cli_spark.functions.muhash import muhash_digest_by_group
+    from basin_cli_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return muhash_digest_by_group(d, "lang", "text").orderBy("lang")
