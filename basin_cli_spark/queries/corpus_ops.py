@@ -370,15 +370,10 @@ FROM folded
 """
 
 
-@register("q_text_bigram_logprob", _BIGRAM_ORACLE)
-def q_text_bigram_logprob(spark, sf_dir):
-    """Statistical-LM fluency signal: per-document mean bigram log
-    probability under the corpus's own MLE bigram model,
-    ln c(w1 w2) - ln c(w1 ·) — the perplexity-proxy filter for
-    gibberish/boilerplate.  Two hash-aggs build the model (bigram and
-    left-context counts); scoring is a join back keyed on the gram.
-    The per-doc sum folds in gram-sorted order on both engines so the
-    doubles match bit-for-bit before rounding."""
+def _bigram_logprob_scores(spark, sf_dir):
+    """Shared builder: (doc_id, n_bigrams, avg_logprob) under the
+    corpus's own MLE bigram model — used by q_text_bigram_logprob (the
+    raw signal) and q_corpus_lm_prune (the CCNet-style filter)."""
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     toks = d.repartition(par).select(
@@ -416,6 +411,73 @@ def q_text_bigram_logprob(spark, sf_dir):
         "doc_id",
         "n_bigrams",
         F.round(F.col("s") / F.col("n_bigrams"), 9).alias("avg_logprob"),
+    )
+
+
+@register("q_text_bigram_logprob", _BIGRAM_ORACLE)
+def q_text_bigram_logprob(spark, sf_dir):
+    """Statistical-LM fluency signal: per-document mean bigram log
+    probability under the corpus's own MLE bigram model,
+    ln c(w1 w2) - ln c(w1 ·) — the perplexity-proxy filter for
+    gibberish/boilerplate.  Two hash-aggs build the model (bigram and
+    left-context counts); scoring is a join back keyed on the gram.
+    The per-doc sum folds in gram-sorted order on both engines so the
+    doubles match bit-for-bit before rounding."""
+    return _bigram_logprob_scores(spark, sf_dir)
+
+
+_LM_PRUNE_ORACLE = _BIGRAM_ORACLE.replace(
+    """SELECT doc_id, n_bigrams, ROUND(s / n_bigrams, 9) AS avg_logprob
+FROM folded
+""",
+    """scored AS (
+  SELECT f.doc_id, d.lang, f.avg_logprob,
+         PERCENT_RANK() OVER (
+           PARTITION BY d.lang ORDER BY f.avg_logprob, f.doc_id
+         ) AS pr
+  FROM (SELECT doc_id, ROUND(s / n_bigrams, 9) AS avg_logprob
+        FROM folded) f
+  JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, avg_logprob, ROUND(pr, 6) AS pr
+FROM scored WHERE pr >= 0.1
+""",
+).replace(
+    """FROM lp GROUP BY doc_id
+)""",
+    """FROM lp GROUP BY doc_id
+),""",
+)
+
+
+@register("q_corpus_lm_prune", _LM_PRUNE_ORACLE)
+def q_corpus_lm_prune(spark, sf_dir):
+    """CCNet-style LM fluency pruning: score every document by mean
+    bigram log probability under the corpus's own model, then drop the
+    least-fluent decile PER LANGUAGE (per-language thresholds are the
+    CCNet design — absolute logprob is not comparable across languages).
+    percent_rank over (avg_logprob, doc_id) is a total order, identical
+    IEEE arithmetic in both engines.
+
+    Scale shape: the model build is two hash-aggs; scoring joins on the
+    gram; the prune window is per-language sort-within-partition — the
+    same shape as q_corpus_quantile_prune, with the same two-pass
+    approx-quantile escape if one language dwarfs the cluster.  Docs
+    with fewer than two tokens carry no bigram evidence and are not
+    scored (both engines drop them)."""
+    from pyspark.sql import Window
+
+    scores = _bigram_logprob_scores(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("avg_logprob", "doc_id")
+    pr = F.percent_rank().over(w)
+    return (
+        scores.join(d, "doc_id")
+        .select("doc_id", "lang", "avg_logprob", pr.alias("pr"))
+        .where(F.col("pr") >= 0.1)
+        .select(
+            "doc_id", "lang", "avg_logprob", F.round("pr", 6).alias("pr")
+        )
     )
 
 

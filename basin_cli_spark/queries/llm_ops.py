@@ -906,6 +906,92 @@ LIMIT 10
 """
 
 
+def _semantic_ivf_oracle() -> str:
+    """Replay frozen-centroid assignment, then exact-cosine verify within
+    each cluster (SemDeDup's candidate structure)."""
+    art = _codebook_artifact()
+    rows = ", ".join(
+        f"({key}, {ci}, {_list_lit(cv)})"
+        for key, entry in sorted(art.items())
+        for ci, cv in enumerate(entry["ivf"])
+    )
+    cos_ec = _cosine_sql("e.embedding", "c.cvec")
+    cos_ab = _cosine_sql("ea.embedding", "eb.embedding")
+    return f"""
+WITH cents_all(key, cent_id, cvec) AS (VALUES {rows}),
+ck AS (
+  SELECT cent_id, cvec FROM cents_all
+  WHERE key = (SELECT CAST(SUM(vec_id * label) AS BIGINT) FROM embeddings)
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.cent_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN ck c
+  ) WHERE rn = 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({cos_ab}, 6) AS score
+FROM assign a
+JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE ROUND({cos_ab}, 6) >= 0.40
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("q_dedup_semantic_ivf", _semantic_ivf_oracle())
+def q_dedup_semantic_ivf(spark, sf_dir):
+    """SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023,
+    public): assign every vector to its frozen IVF cell, generate
+    candidate pairs ONLY within a cell, verify with exact cosine at the
+    same >= 0.40 fixture threshold as q_dedup_embedding.
+
+    This is the alternative candidate structure to banded sign-LSH: the
+    cluster id IS the partition key, so at 100 TB the self-join is
+    per-cell co-partitioned work with zero bands and zero signature
+    state — the shape SemDeDup runs at web scale.  Cell width is bounded
+    by k (cells average n/k vectors; a pathological hot cell is capped
+    the same way similarity.py's hot-bucket guard caps LSH buckets —
+    re-train with larger k).  Recall differs from LSH by design: LSH
+    finds any-band collisions across the whole corpus; cluster scoping
+    only compares within a cell — the standard recall/cost trade both
+    families document."""
+    from basin_cli_spark.operators import kmeans as KM
+    from pyspark import StorageLevel
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _frozen_ivf_codebook(e)
+    assigned = KM.assign_ids(e, cents, metric="cos").select(
+        "vec_id", "embedding", "cent_id"
+    )
+    # both self-join sides read the assignment; persist so the pandas_udf
+    # runs once (same rationale as _embedding_dedup_pairs' signature table)
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    score = F.round(
+        S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            score.alias("score"),
+        )
+        .where(F.col("score") >= 0.40)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 _L2SQ_SQL = (
     "LIST_REDUCE(LIST_TRANSFORM(RANGE(1, LEN({a}) + 1), "
     "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
