@@ -966,27 +966,49 @@ def q_dedup_semantic_ivf(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = _frozen_ivf_codebook(e)
-    assigned = KM.assign_ids(e, cents, metric="cos").select(
-        "vec_id", "embedding", "cent_id"
+    # slim (vec_id, cent_id) assignment feeds both self-join sides;
+    # persisted so the Arrow assignment kernel runs once (same rationale
+    # as _embedding_dedup_pairs' signature table) — 16 bytes/row
+    assigned = (
+        KM.assign_ids(e, cents, metric="cos")
+        .select("vec_id", "cent_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # both self-join sides read the assignment; persist so the pandas_udf
-    # runs once (same rationale as _embedding_dedup_pairs' signature table)
-    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cent_id") == F.col("b.cent_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+    )
+    # verify exactly like _embedding_dedup_pairs: ids-only pairs, norms
+    # folded per VECTOR (not per pair), Arrow dot kernel per pair
+    normed = e.select(
+        "vec_id", "embedding", S.norm_sq(F.col("embedding")).alias("_n2")
+    )
+    scored = pairs.join(
+        normed.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("_emb_a"),
+            F.col("_n2").alias("_n2_a"),
+        ),
+        "vec_a",
+    ).join(
+        normed.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("_emb_b"),
+            F.col("_n2").alias("_n2_b"),
+        ),
+        "vec_b",
+    )
     score = F.round(
-        S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+        S.dot_arrow(F.col("_emb_a"), F.col("_emb_b"))
+        / F.sqrt(F.col("_n2_a") * F.col("_n2_b")),
+        6,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.cent_id") == F.col("b.cent_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            score.alias("score"),
-        )
+        scored.select("vec_a", "vec_b", score.alias("score"))
         .where(F.col("score") >= 0.40)
         .orderBy("vec_a", "vec_b")
     )

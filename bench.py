@@ -49,14 +49,22 @@ HEADLINE = [
     "q_window_tumbling",
     "q_timeseries_gapfill",  # added r4
     "q_text_quality_stats",
+    "q_dedup_semantic_ivf",  # added r5
+    "q_corpus_lm_prune",  # added r5
+    "q_muhash_digest",  # added r5
 ]
 
-# queries added to the headline in round 4 — summed out of
-# total_pre_r4_subset so round-over-round totals stay comparable
+# queries added to the headline per round — summed out of the
+# total_pre_r{N}_subset keys so round-over-round totals stay comparable
 _R4_ADDED = {
     "q_dedup_embedding_keep_one",
     "q_similarity_ann_multiprobe",
     "q_timeseries_gapfill",
+}
+_R5_ADDED = {
+    "q_dedup_semantic_ivf",
+    "q_corpus_lm_prune",
+    "q_muhash_digest",
 }
 
 
@@ -118,7 +126,15 @@ def main() -> None:
                 "queries": times,
                 "spread": spreads,
                 "total_pre_r4_subset": round(
-                    sum(v for k, v in times.items() if k not in _R4_ADDED), 3
+                    sum(
+                        v
+                        for k, v in times.items()
+                        if k not in _R4_ADDED | _R5_ADDED
+                    ),
+                    3,
+                ),
+                "total_pre_r5_subset": round(
+                    sum(v for k, v in times.items() if k not in _R5_ADDED), 3
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
