@@ -906,6 +906,88 @@ LIMIT 10
 """
 
 
+
+_SPAN_K = 6
+
+_REPEATED_SPANS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS tokens FROM documents
+),
+sp AS (
+  SELECT doc_id, UNNEST(
+    CASE WHEN LEN(tokens) >= {_SPAN_K} THEN
+      LIST_TRANSFORM(RANGE(1, LEN(tokens) - {_SPAN_K} + 2),
+        i -> ARRAY_TO_STRING(LIST_SLICE(tokens, i, i + {_SPAN_K} - 1), ' '))
+    ELSE [] END) AS span
+  FROM toks
+),
+rep AS (
+  SELECT span FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id),
+r AS (
+  SELECT doc_id, COUNT(*) AS n_repeated
+  FROM sp WHERE span IN (SELECT span FROM rep)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_spans,
+       COALESCE(r.n_repeated, 0) AS n_repeated,
+       ROUND(CAST(COALESCE(r.n_repeated, 0) AS DOUBLE) / t.n_spans, 6)
+         AS repeated_ratio
+FROM tot t LEFT JOIN r USING (doc_id)
+"""
+
+
+@register("q_dedup_repeated_spans", _REPEATED_SPANS_ORACLE)
+def q_dedup_repeated_spans(spark, sf_dir):
+    """Exact-substring (span-level) dedup signal, the Lee et al. 2021
+    'Deduplicating Training Data' shape via a shingle inverted index:
+    every 6-token span that occurs in >= 2 distinct documents is a
+    cross-document repeat (boilerplate/template text); each doc reports
+    its span count, repeated-span count, and repeated ratio — the metric
+    pipelines threshold to cut template spam that whole-doc MinHash
+    misses.  Fixed-length spans make this EXACT for length 6
+    (variable-length maximal repeats need suffix arrays — the
+    single-node formulation the paper uses; the inverted index is its
+    standard distributed approximation).
+
+    Scale shape: one token explode, two hash-aggs (span -> distinct-doc
+    count; doc -> span counts) and one span-keyed left-semi join.  The
+    repeated-span set scales with the corpus, so the join carries no
+    broadcast hint — AQE decides."""
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = d.repartition(par).select(
+        "doc_id", D.tokens("text").alias("_toks")
+    )
+    sp = toks.select(
+        "doc_id",
+        F.explode(D.shingles(F.col("_toks"), _SPAN_K)).alias("span"),
+    )
+    rep = (
+        sp.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("span")
+    )
+    tot = sp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    r = (
+        sp.join(rep, "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_rep"))
+    )
+    return tot.join(r, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce(F.col("_n_rep"), F.lit(0)).alias("n_repeated"),
+        F.round(
+            F.coalesce(F.col("_n_rep"), F.lit(0)).cast("double")
+            / F.col("n_spans"),
+            6,
+        ).alias("repeated_ratio"),
+    )
+
+
 def _semantic_ivf_oracle() -> str:
     """Replay frozen-centroid assignment, then exact-cosine verify within
     each cluster (SemDeDup's candidate structure)."""
