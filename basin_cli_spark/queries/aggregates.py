@@ -407,3 +407,56 @@ def q_corr_covar(spark, sf_dir):
         F.round(cov, 6).alias("covar_qty_price"),
         F.round(corr, 9).alias("corr_qty_price"),
     )
+
+
+@register(
+    "q_approx_percentile",
+    """
+WITH exact AS (
+  SELECT l_returnflag, COUNT(*) AS n_rows,
+         QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.5) AS p50,
+         QUANTILE_CONT(CAST(l_extendedprice AS DOUBLE), 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+),
+approx AS (
+  SELECT l_returnflag,
+         APPROX_QUANTILE(CAST(l_extendedprice AS DOUBLE), 0.5) AS a50,
+         APPROX_QUANTILE(CAST(l_extendedprice AS DOUBLE), 0.95) AS a95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT e.l_returnflag, e.n_rows,
+       ABS(a.a50 - e.p50) <= 0.05 * e.p50 AS p50_ok,
+       ABS(a.a95 - e.p95) <= 0.05 * e.p95 AS p95_ok
+FROM exact e JOIN approx a USING (l_returnflag)
+""",
+)
+def q_approx_percentile(spark, sf_dir):
+    """Sketch-based percentile with a tolerance-as-boolean oracle (the
+    q_approx_count_distinct pattern): Spark's percentile_approx
+    (Greenwald-Khanna) and DuckDB's t-digest produce different
+    estimates — and even the two engines' EXACT continuous quantiles
+    differ in the last float bit (interpolation order) — so each engine
+    emits the bit-identical group counts plus its own
+    approx-within-5%-of-its-own-exact booleans.  Exact percentile values
+    are separately hash-verified by q_median_percentile."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "percentile(cast(l_extendedprice as double), 0.5)"
+        ).alias("_e50"),
+        F.expr(
+            "percentile(cast(l_extendedprice as double), 0.95)"
+        ).alias("_e95"),
+        F.percentile_approx(price, 0.5, 10000).alias("_a50"),
+        F.percentile_approx(price, 0.95, 10000).alias("_a95"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        (F.abs(F.col("_a50") - F.col("_e50")) <= 0.05 * F.col("_e50"))
+            .alias("p50_ok"),
+        (F.abs(F.col("_a95") - F.col("_e95")) <= 0.05 * F.col("_e95"))
+            .alias("p95_ok"),
+    )

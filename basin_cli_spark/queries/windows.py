@@ -485,3 +485,48 @@ def q_hypertable_rollup(spark, sf_dir):
         .unionAll(level(daily, "day", "d"))
         .unionAll(level(monthly, "month", "m"))
     )
+
+
+@register(
+    "q_window_nth_value",
+    """
+SELECT o_orderpriority, o_orderkey,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_key,
+       FIRST_VALUE(o_orderkey) OVER w AS top_key,
+       LAST_VALUE(o_orderkey) OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS bottom_key
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_nth_value(spark, sf_dir):
+    """Navigation value functions (nth_value / first_value / last_value)
+    with explicit frames: the growing default frame for nth/first, and an
+    unbounded frame for last_value (with the default frame last_value is
+    just the current row — the classic gotcha both engines share).  The
+    (price desc, key) order is total, so every navigated value is
+    deterministic."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    grow = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    full = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(grow).alias("second_key"),
+        F.first_value("o_orderkey").over(grow).alias("top_key"),
+        F.last_value("o_orderkey").over(full).alias("bottom_key"),
+    )
