@@ -44,18 +44,25 @@ class WindowedVaultSink:
         vault: str = "ns.relation",
         private_key_hex: str | None = None,
         window_digest: bool = False,
+        digest_algo: str = "ecmh",
     ) -> None:
         self.out_dir = out_dir
         self.schemas = schemas
         self.vault = vault
         self.private_key_hex = private_key_hex
-        # Opt-in per-window ECMH multiset digest of the exported rows
-        # (functions/ecmh.py — the reference ships ecmh as a library with
-        # no wired consumer; stamping each window makes it useful: two
-        # windows diff by point subtraction, a vault's total content
-        # digest is the sum of its window digests, independent of window
-        # boundaries).  Off by default: hash-to-point costs ~250 us/row.
+        # Opt-in per-window multiset digest of the exported rows (the
+        # reference ships ecmh as a library with no wired consumer;
+        # stamping each window makes it useful: two windows diff by group
+        # subtraction, a vault's total content digest is the combination
+        # of its window digests, independent of window boundaries).  Off
+        # by default.  digest_algo picks the group: "ecmh"
+        # (functions/ecmh.py, reference parity, ~4.1K rows/s/core) or
+        # "muhash" (functions/muhash.py, the scale path at ~30K
+        # rows/s/core — see SCALE.md "Multiset-digest throughput").
+        if digest_algo not in ("ecmh", "muhash"):
+            raise ValueError(f"unknown digest_algo: {digest_algo!r}")
         self.window_digest = window_digest
+        self.digest_algo = digest_algo
         self.manifest_path = os.path.join(out_dir, "manifest.jsonl")
         os.makedirs(out_dir, exist_ok=True)
 
@@ -119,19 +126,27 @@ class WindowedVaultSink:
             else keccak256(b"".join(part_digests))
         )
         cid = "0x" + cid_bytes.hex()
-        ecmh = None
+        digest = None
         if self.window_digest:
-            from basin_cli_spark.functions.ecmh import ecmh_digest
             from basin_cli_spark.session import get_spark
+
+            if self.digest_algo == "muhash":
+                from basin_cli_spark.functions.muhash import (
+                    muhash_digest as _digest_fn,
+                )
+            else:
+                from basin_cli_spark.functions.ecmh import (
+                    ecmh_digest as _digest_fn,
+                )
 
             spark = get_spark(app_name="vault-window-digest")
             win = spark.read.parquet(path)
             # digest the canonical JSON of each row — schema-aware,
-            # order-independent (point addition commutes)
+            # order-independent (the group operation commutes)
             canon = win.select(
                 F.to_json(F.struct(*sorted(win.columns))).alias("_j")
             )
-            ecmh = ecmh_digest(canon, "_j")
+            digest = _digest_fn(canon, "_j")
         signature = (
             b"".join(sign_file(p, self.private_key_hex) for p in parts).hex()
             if self.private_key_hex
@@ -146,8 +161,9 @@ class WindowedVaultSink:
             "timestamp": int(time.time()),
             "is_archived": False,
         }
-        if ecmh is not None:
-            row["ecmh_digest"] = ecmh
+        if digest is not None:
+            row["ecmh_digest"] = digest
+            row["digest_algo"] = self.digest_algo
         return row
 
     def events(self, spark) -> DataFrame:
@@ -165,7 +181,7 @@ class WindowedVaultSink:
         schema = (
             "batch_id long, table string, path string, cid string, "
             "signature string, timestamp long, is_archived boolean, "
-            "ecmh_digest string"
+            "ecmh_digest string, digest_algo string"
         )
         return spark.read.json(self.manifest_path, schema=schema).where(
             "table IS NOT NULL"
