@@ -157,7 +157,50 @@ def main() -> None:
 
     timed(f"embedding sign-LSH pair gen ({COPIES}x vectors, sized bits)",
           emb_pairs, ne, results)
+
+    # Cluster-scoped (SemDeDup) candidate generation at 10x vectors with a
+    # 10x-wider codebook (k scales with the corpus so cells stay ~constant
+    # width — the property that keeps within-cell verify linear).
+    from basin_cli_spark.operators import kmeans as KM
+
+    def semantic_pairs():
+        k10 = 160  # k scales with corpus: cells stay ~n/k = ~125 wide
+        cents = KM.init_centroids(emb10, k10, "vec_id", "embedding", seed=7)
+        assigned = KM.assign_ids(emb10, cents, metric="cos").select(
+            "vec_id", "cent_id"
+        )
+        a, b = assigned.alias("a"), assigned.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.cent_id") == F.col("b.cent_id"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            ).count()
+        )
+
+    timed(f"semantic-IVF cell pair gen ({COPIES}x vectors, scaled k)",
+          semantic_pairs, ne, results)
     emb10.unpersist()
+
+    # MuHash digest of 10x documents: the digest scale path — one partial
+    # product per partition, driver combine (SCALE.md digest section).
+    from basin_cli_spark.functions.muhash import muhash_digest
+
+    docs10b = load_table(spark, SF_DIR, "documents").withColumn(
+        "_copy", F.explode(F.array(*[F.lit(i) for i in range(COPIES)]))
+    ).withColumn(
+        "doc_id", F.col("doc_id") * COPIES + F.col("_copy")
+    ).drop("_copy").repartition(
+        spark.sparkContext.defaultParallelism
+    ).persist()
+    ndb = docs10b.count()
+
+    def muhash_docs():
+        muhash_digest(docs10b, "text")
+        return 1
+
+    timed(f"MuHash digest ({COPIES}x docs)", muhash_docs, ndb, results)
+    docs10b.unpersist()
 
     # Skew: ~14% of the fact rows collapse onto ONE join key.  Broadcast
     # would sidestep skew entirely (and is the right plan when the dim
@@ -211,6 +254,52 @@ def main() -> None:
         "all three shown — salting replicates the dim `salt` times, so it",
         "only pays off when the skewed side dwarfs the other).",
         "The curation rows are per-document workloads (keyed on shingle/band buckets), so their rows/s counts corpus documents, not fact rows.",
+        "",
+        "## Multiset-digest throughput — the documented capability limit (round 5)",
+        "",
+        "The digest family is CPU-bound Python, not Spark-bound; both operators",
+        "distribute perfectly (one partial per partition + a driver combine), so",
+        "machine throughput = per-core rate x cores.  Measured on this container",
+        "(CPython 3.11, no C bignum/EC bindings available):",
+        "",
+        "| digest | group | per-row cost | rows/s/core | 32-core rows/s |",
+        "|---|---|---|---|---|",
+        "| ECMH (functions/ecmh.py) | secp256k1 | hash-to-curve modular sqrt (~130 us `pow((p+1)/4)`) | ~4,100 | ~130K |",
+        "| MuHash (functions/muhash.py) | Z_p^*, 3072-bit (RFC 3526) | one 3072-bit mulmod (~30 us) + SHAKE-256 | ~30,000 | ~950K |",
+        "",
+        "The round-3 \"100K rows/s/core\" bar for ECMH is RETIRED as infeasible in",
+        "pure CPython: the modular sqrt is the hash-to-curve cost itself and has",
+        "no batch trick (batch inversion doesn't apply; lazy/tree product",
+        "reduction was measured and LOSES to sequential mulmod because CPython",
+        "big-int multiplication grows superlinearly).  The escape hatch, if the",
+        "deployment image allows native wheels, is `gmpy2` (GMP bindings) for",
+        "~20-40x on both paths, or `coincurve`/`libsecp256k1` for the EC path —",
+        "neither ships in this container, so the pure-CPython numbers above are",
+        "the honest floor and are regression-guarded in tests/test_muhash.py.",
+        "",
+        "MuHash (Maxwell/Wuille's rolling multiset hash, deployed in Bitcoin",
+        "Core's assumeutxo) carries the exact same insert/remove/union/difference",
+        "algebra as the reference's ECMH, so it is the recommended digest for",
+        "100 TB jobs; ECMH remains for parity with the reference's digest role.",
+        "A 100 TB corpus at ~1 KB/row is ~10^11 rows: ~36 core-days with MuHash",
+        "(an hour on a 1000-core cluster) vs ~280 core-days with ECMH.",
+        "The MuHash smoke row above runs the real distributed aggregate at 10x",
+        "docs; its rows/s is machine-wide (32 cores busy on one small corpus",
+        "pass, dominated by per-partition Python startup at this tiny scale).",
+        "",
+        "## q_dedup_embedding_keep_one bench variance — root cause (round 5)",
+        "",
+        "Stage-level profiling at sf0.1 (5 reps, cache cleared per rep):",
+        "LSH pair generation 1.6-4.7 s, connected components 1.0-2.0 s,",
+        "anti-join 0.4-1.2 s.  The spread is concentrated in each rep's FIRST",
+        "execution after `clearCache()`: the query persists its band-signature",
+        "and edge tables, so run 1 of the bench's min-of-3 pays the cold build",
+        "(plus whatever sandbox load coincides with it) while runs 2-3 re-hit",
+        "the plan-matched cache.  min() therefore measures the warm steady",
+        "state — the number that tracks plan regressions — and the spread",
+        "measures cold-build + sandbox noise by construction, not instability in",
+        "the operator.  No plan change is warranted; the 8.6 s spread seen in",
+        "round 4 was one loaded cold build.",
     ]
     with open(OUT, "w") as f:
         f.write("\n".join(lines) + "\n")
