@@ -460,3 +460,35 @@ def q_approx_percentile(spark, sf_dir):
         (F.abs(F.col("_a95") - F.col("_e95")) <= 0.05 * F.col("_e95"))
             .alias("p95_ok"),
     )
+
+
+@register(
+    "q_histogram",
+    """
+SELECT CAST(LEAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 10000), 9) AS BIGINT)
+         AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM lineitem
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram (10 x 10K price buckets, top bucket open):
+    the binning arithmetic is FLOOR(x / width) clamped — identical IEEE
+    ops in both engines, so bucket boundaries can't drift.  One hash-agg
+    with map-side partials; the decimal sum keeps per-bucket totals
+    order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice").cast("double") / 10000), F.lit(9)
+    ).cast("bigint")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum(dec("l_extendedprice"), "total"),
+        )
+        .orderBy("bucket")
+    )

@@ -656,3 +656,78 @@ def q_similarity_pq_adc(spark, sf_dir):
         .limit(10)
         .select("vec_id", F.round("dist", 6).alias("adc_dist"))
     )
+
+
+_OOV_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tokens
+  FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(tokens) AS token FROM toks),
+vocab AS (
+  SELECT token FROM (
+    SELECT token,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rn
+    FROM tok GROUP BY token
+  ) WHERE rn <= 500
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
+oov AS (
+  SELECT doc_id, COUNT(*) AS n_oov
+  FROM tok WHERE token NOT IN (SELECT token FROM vocab)
+  GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_tokens,
+       COALESCE(o.n_oov, 0) AS n_oov,
+       ROUND(CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / p.n_tokens, 6)
+         AS oov_rate
+FROM per_doc p LEFT JOIN oov o USING (doc_id)
+"""
+
+
+@register("q_vocab_oov_rate", _OOV_ORACLE)
+def q_vocab_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-500 token vocabulary (ties cut on the token string, so the
+    vocabulary boundary is deterministic) — the rare-token/gibberish
+    signal tokenizer audits threshold on.
+
+    Scale shape: the vocab build is a token hash-agg plus one top-V
+    selection (a single-partition sort of the vocabulary TYPE count, not
+    the corpus — fine up to ~10^8 types; past that, swap the exact cut
+    for a count-threshold); membership is a token-keyed left-anti join
+    with no broadcast hint (a 500-row vocab broadcasts via AQE anyway,
+    but the shape stays safe if V scales)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = (
+        d.repartition(par)
+        .select("doc_id", D.tokens("text").alias("_toks"))
+        .select("doc_id", F.explode("_toks").alias("token"))
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+    rn = F.row_number().over(
+        W.orderBy(F.col("_c").desc(), F.col("token"))
+    )
+    vocab = counts.select("token", rn.alias("_rn")).where(
+        F.col("_rn") <= 500
+    ).select("token")
+    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    oov = (
+        tok.join(vocab, "token", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_oov"))
+    )
+    return per_doc.join(oov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("_n_oov"), F.lit(0)).alias("n_oov"),
+        F.round(
+            F.coalesce(F.col("_n_oov"), F.lit(0)).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("oov_rate"),
+    )
