@@ -291,3 +291,76 @@ def test_session_payloads_reach_spark_cdc(spark, tmp_path):
     ref = json.loads(lines[0])["records"][0]
     assert first["_table"] == ref["table"]
     assert first["_action"] == ref["action"]
+
+
+def test_full_pipeline_walsender_to_signed_vault(spark, tmp_path):
+    """The reference's whole `vaults stream` flow, end to end with no
+    database: scripted walsender frames -> protocol session pump ->
+    wal2json file channel -> Structured Streaming (read_wal_stream) ->
+    WindowedVaultSink -> signed parquet windows + manifest events.
+    Mirrors internal/app/streamer.go's replicate->buffer->flush pipeline
+    with every seam exercised: the ack LSN sequence on the wire side and
+    the materialized typed rows on the vault side."""
+    from basin_cli_spark.functions.signing import derive_address
+    from basin_cli_spark.sources.cdc import materialize_table
+    from basin_cli_spark.streaming.window_sink import (
+        WindowedVaultSink,
+        run_stream,
+    )
+
+    lines = _wal_lines()
+    frames = []
+    for i, ln in enumerate(lines):
+        frames.append(_xlogdata(900 + i, ln))
+    frames.append(_keepalive(2000, reply=True))
+
+    server = ScriptedWalsender(resume_lsn=None, frames=frames)
+    session, _ = R.start_replication_session(
+        server, "pub", tables=["public.t"]
+    )
+    wal_dir = tmp_path / "wal"
+    wal_dir.mkdir()
+    received = []
+    for payload in R.pump(session, server):
+        rec = json.loads(payload)
+        received.append(rec)
+        # one file per tx, the reference's channel->buffer handoff
+        (wal_dir / f"tx_{rec['commit_lsn']}.jsonl").write_bytes(
+            payload + b"\n"
+        )
+        session.commit(rec["commit_lsn"])
+
+    # every tx acked in commit order; final keepalive echoes the last LSN
+    acks = [f.hex() for f in server.sent]
+    expected = [_ssu_hex(r["commit_lsn"]) for r in received]
+    expected.append(_ssu_hex(received[-1]["commit_lsn"]))
+    assert acks == expected
+
+    key = "01" * 32
+    sink = WindowedVaultSink(
+        str(tmp_path / "out"),
+        {"t": [("id", "integer"), ("name", "text")]},
+        vault="ns.t",
+        private_key_hex=key,
+    )
+    q = run_stream(spark, str(wal_dir), sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    events = sink.events(spark)
+    rows = events.collect()
+    assert len(rows) >= 1
+    assert all(r.signature for r in rows)
+    # replay the raw WAL through the batch path: the streamed vault must
+    # contain exactly the same typed insert rows
+    from basin_cli_spark.sources.cdc import read_wal_batch
+
+    batch = materialize_table(
+        read_wal_batch(spark, str(wal_dir)),
+        "t",
+        [("id", "integer"), ("name", "text")],
+    )
+    streamed = spark.read.parquet(
+        *[r.path for r in rows if r.table == "t"]
+    ).select("id", "name")
+    assert sorted(streamed.collect()) == sorted(batch.collect())
+    assert derive_address(key).startswith("0x")  # signing identity resolves
