@@ -271,3 +271,36 @@ def q_stream_session_window(spark, sf_dir):
         F.col("w.end").alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "q_stream_dedup_within_watermark",
+    """
+SELECT user_id, event_type, COUNT(*) AS n_kept
+FROM (
+  SELECT DISTINCT user_id, event_type FROM events
+)
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+""",
+)
+def q_stream_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark — the production form of streaming
+    dedup: state for a key is dropped once the watermark passes it, so
+    state size is bounded by the watermark horizon instead of growing
+    with total distinct keys (plain dropDuplicates keeps every key
+    forever).  With an AvailableNow drain over the bounded fixture and a
+    horizon wider than the fixture's time span, the kept set equals
+    batch DISTINCT — which is what the oracle states; the semantic
+    difference is purely the state-eviction bound, which is the 100 TB
+    property this query exists to pin."""
+    ev = _read_events_stream(spark, sf_dir)
+    dd = ev.withWatermark("ts", "100 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = _drain(dd.select("user_id", "event_type"), "append")
+    return (
+        out.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("user_id", "event_type")
+    )
