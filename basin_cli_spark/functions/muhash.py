@@ -113,11 +113,13 @@ class MulMultisetHash:
         )
 
 
-def muhash_digest(df: DataFrame, col: str) -> str:
-    """Distributed MuHash digest of a column: one partial product per
-    partition (mapInPandas), driver multiplies the <= numPartitions
-    partials.  Same shape as ecmh.ecmh_digest — the map side moves one
-    384-byte hex row per partition regardless of corpus size."""
+def muhash_accumulate(df: DataFrame, col: str) -> MulMultisetHash:
+    """Distributed MuHash fold of a column into an accumulator: one
+    partial product per partition (mapInPandas), driver multiplies the
+    <= numPartitions partials.  Returning the accumulator (not just the
+    hex digest) lets callers compose digests algebraically — union two
+    corpora, or difference an erasure batch out of a stored digest
+    (q_corpus_delete_digest)."""
     import pandas as pd
 
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -135,7 +137,15 @@ def muhash_digest(df: DataFrame, col: str) -> str:
     total = MulMultisetHash()
     for row in partials:
         total.union(MulMultisetHash(num=int(row.num, 16)))
-    return total.digest()
+    return total
+
+
+def muhash_digest(df: DataFrame, col: str) -> str:
+    """Distributed MuHash digest of a column — the hex face of
+    muhash_accumulate; same shape as ecmh.ecmh_digest (the map side
+    moves one 384-byte hex row per partition regardless of corpus
+    size)."""
+    return muhash_accumulate(df, col).digest()
 
 
 def muhash_digest_by_group(df: DataFrame, key_col: str, col: str) -> DataFrame:

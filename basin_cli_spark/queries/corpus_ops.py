@@ -731,3 +731,53 @@ def q_vocab_oov_rate(spark, sf_dir):
             6,
         ).alias("oov_rate"),
     )
+
+
+@register(
+    "q_corpus_delete_digest",
+    """
+SELECT COUNT(*) AS n_total,
+       COUNT(*) FILTER (doc_id % 50 = 0) AS n_removed,
+       COUNT(*) FILTER (doc_id % 50 <> 0) AS n_kept,
+       TRUE AS digest_consistent
+FROM documents
+""",
+)
+def q_corpus_delete_digest(spark, sf_dir):
+    """Delete propagation with a verifiable content digest — the
+    data-lifecycle operation the reference's multiset Difference exists
+    for (pkg/ecmh/ecmh.go:45-48): given a deletion set (here doc_id % 50,
+    standing in for a GDPR erasure batch), remove it from the corpus and
+    PROVE the removal by algebra: digest(corpus) - digest(removed) must
+    equal digest(kept), computed independently from the surviving rows.
+
+    The proof means a vault can certify an erasure without re-reading
+    history: the stored corpus digest, minus the digests of the erased
+    rows, must equal the digest of what remains — any stale copy or
+    missed row breaks the equality.  MuHash is used (the scale path;
+    the same identity holds for ECMH).  Each digest is one corpus pass
+    (partition partials + driver combine); the tolerance-boolean oracle
+    pattern applies: DuckDB cannot compute group digests, but both
+    engines agree the identity HOLDS (TRUE) plus the exact partition
+    counts."""
+    from basin_cli_spark.functions.muhash import muhash_accumulate, muhash_digest
+
+    d = load_table(spark, sf_dir, "documents")
+    removed = d.where(F.col("doc_id") % 50 == 0)
+    kept = d.where(F.col("doc_id") % 50 != 0)
+
+    total_acc = muhash_accumulate(d, "text")
+    removed_acc = muhash_accumulate(removed, "text")
+    kept_digest = muhash_digest(kept, "text")
+    consistent = (
+        total_acc.difference(removed_acc).digest() == kept_digest
+    )
+    counts = d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("doc_id") % 50 == 0).cast("long")).alias("n_removed"),
+        F.sum((F.col("doc_id") % 50 != 0).cast("long")).alias("n_kept"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(counts.n_total, counts.n_removed, counts.n_kept, consistent)],
+        "n_total long, n_removed long, n_kept long, digest_consistent boolean",
+    )
