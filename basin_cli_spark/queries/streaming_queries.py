@@ -304,3 +304,73 @@ def q_stream_dedup_within_watermark(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_kept"))
         .orderBy("user_id", "event_type")
     )
+
+
+def _ivf_assign_stream_oracle() -> str:
+    """Batch replay of the streaming cell assignment: same frozen
+    centroid literals, same argmax-cosine, grouped to per-cell stats."""
+    from basin_cli_spark.queries.llm_ops import (
+        _codebook_artifact,
+        _cosine_sql,
+        _list_lit,
+    )
+
+    art = _codebook_artifact()
+    rows = ", ".join(
+        f"({key}, {ci}, {_list_lit(cv)})"
+        for key, entry in sorted(art.items())
+        for ci, cv in enumerate(entry["ivf"])
+    )
+    cos_ec = _cosine_sql("e.embedding", "c.cvec")
+    return f"""
+WITH cents_all(key, cent_id, cvec) AS (VALUES {rows}),
+ck AS (
+  SELECT cent_id, cvec FROM cents_all
+  WHERE key = (SELECT CAST(SUM(vec_id * label) AS BIGINT) FROM embeddings)
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.cent_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN ck c
+  ) WHERE rn = 1
+)
+SELECT cent_id, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+FROM assign GROUP BY cent_id ORDER BY cent_id
+"""
+
+
+@register("q_stream_ivf_assign", _ivf_assign_stream_oracle())
+def q_stream_ivf_assign(spark, sf_dir):
+    """Streaming index maintenance: embeddings arrive as a stream, each
+    is assigned to its frozen IVF cell (the Arrow argmax kernel runs
+    per micro-batch), and per-cell occupancy stats aggregate in
+    complete mode — the live view an index operator watches to decide
+    when a cell is hot enough to retrain/split.  The serving pattern:
+    the codebook is a loaded artifact, assignment is append-only, and
+    the expensive retrain stays an offline batch job
+    (scripts/gen_codebooks.py).  Oracle replays the assignment in
+    batch SQL from the same frozen centroid literals."""
+    import os as _os
+
+    from basin_cli_spark.operators import kmeans as KM
+    from basin_cli_spark.queries.llm_ops import _frozen_ivf_codebook
+
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    e_batch = load_table(spark, sf_dir, "embeddings")
+    cents = _frozen_ivf_codebook(e_batch)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    assigned = KM.assign_ids(stream, cents, metric="cos")
+    stats = assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+    return _drain(stats, "complete").orderBy("cent_id")
