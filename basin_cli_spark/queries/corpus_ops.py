@@ -387,18 +387,20 @@ def _bigram_logprob_scores(spark, sf_dir):
         b.groupBy(F.split("gram", " ")[0].alias("w1"))
         .agg(F.sum("c2").alias("c1"))
     )
-    lp = (
-        bg.join(b, "gram")
-        .join(left, F.split(bg["gram"], " ")[0] == F.col("w1"))
-        .select(
-            "doc_id",
-            "gram",
-            (
-                F.log(F.col("c2").cast("double"))
-                - F.log(F.col("c1").cast("double"))
-            ).alias("lp"),
-        )
+    # fold the model into one vocab-sized (gram -> lp) table first, so
+    # the corpus-sized bg relation joins ONCE instead of twice — at
+    # 100 TB the doc-level join is the expensive one, the model join is
+    # vocab-sized
+    lp_model = b.join(
+        left, F.split(F.col("gram"), " ")[0] == F.col("w1")
+    ).select(
+        "gram",
+        (
+            F.log(F.col("c2").cast("double"))
+            - F.log(F.col("c1").cast("double"))
+        ).alias("lp"),
     )
+    lp = bg.join(lp_model, "gram").select("doc_id", "gram", "lp")
     folded = lp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.aggregate(
