@@ -123,3 +123,60 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col),
         F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio"),
     )
+
+
+def hash_embedding(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 64
+) -> DataFrame:
+    """Feature-hashed bag-of-words document embedding (the hashing trick,
+    Weinberger et al. 2009 — public): each token hashes to a dimension
+    (md5 nibbles 3-4 mod dim) with a sign bit (nibble 5), signed counts
+    accumulate per (doc, dim), and the dense vector is L2-normalized.
+    Gives a corpus an embedding column with no model, so the whole
+    similarity/dedup family (cosine top-k, LSH, SemDeDup) applies to raw
+    text out of the box.
+
+    Determinism: cell weights are exact integer sums (order-free); only
+    the final normalize divides doubles, rounded to 6 — so the DuckDB
+    oracle replays it value-for-value with the same nibble arithmetic
+    the SimHash oracle already uses.  Scale: one token explode, one
+    (doc, dim) hash-agg (<= dim rows per doc), one per-doc assembly agg."""
+    assert dim <= 256 and dim & (dim - 1) == 0, "dim must be a power of 2 <= 256"
+    src = df
+    if not df.isStreaming:
+        src = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    tok = src.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+    )
+    h = F.md5(F.col("_tok"))
+
+    def nib(i: int):
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+
+    d = (nib(3) * 16 + nib(4)) % dim
+    sign = F.when(nib(5) % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    cells = (
+        tok.select(F.col(id_col), d.alias("_dim"), sign.alias("_s"))
+        .groupBy(id_col, "_dim")
+        .agg(F.sum("_s").alias("_w"))
+    )
+    assembled = cells.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_dim", "_w"))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0)),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            dense, F.lit(0.0), lambda a, x: a + (x * x).cast("double")
+        )
+    )
+    unit = F.transform(
+        dense, lambda x: F.round(x.cast("double") / norm, 6)
+    )
+    return assembled.select(
+        F.col(id_col), unit.alias("embedding")
+    )

@@ -1875,3 +1875,97 @@ def q_embedding_quantize(spark, sf_dir):
         F.round(F.col("mn") + 255 * F.col("sc"), 6).alias("qmax"),
         F.round(mae, 8).alias("mean_abs_err"),
     )
+
+
+_HASH_EMB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKENS.format(c='text')} AS tokens FROM documents
+),
+tok AS (SELECT doc_id, UNNEST(tokens) AS t FROM toks),
+hashed AS (
+  SELECT doc_id,
+         ((STRPOS('0123456789abcdef', SUBSTRING(MD5(t), 3, 1)) - 1) * 16
+          + STRPOS('0123456789abcdef', SUBSTRING(MD5(t), 4, 1)) - 1) % 64
+           AS dim,
+         CASE WHEN (STRPOS('0123456789abcdef', SUBSTRING(MD5(t), 5, 1)) - 1)
+                   % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM tok
+),
+cells AS (
+  SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS w
+  FROM hashed GROUP BY doc_id, dim
+),
+dense AS (
+  SELECT c.doc_id, d.i AS dim, COALESCE(MAX(cells.w), 0) AS w
+  FROM (SELECT DISTINCT doc_id FROM cells) c
+  CROSS JOIN RANGE(0, 64) d(i)
+  LEFT JOIN cells ON cells.doc_id = c.doc_id AND cells.dim = d.i
+  GROUP BY c.doc_id, d.i
+),
+norms AS (
+  SELECT doc_id, SQRT(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+  FROM dense GROUP BY doc_id
+)
+SELECT d.doc_id,
+       LIST(ROUND(CAST(d.w AS DOUBLE) / n.nrm, 6) ORDER BY d.dim)
+         AS embedding
+FROM dense d JOIN norms n USING (doc_id)
+GROUP BY d.doc_id
+"""
+
+
+@register("q_text_hash_embedding", _HASH_EMB_ORACLE)
+def q_text_hash_embedding(spark, sf_dir):
+    """Feature-hashed 64-dim document embeddings (operators/text.py
+    hash_embedding — the hashing trick): signed token counts per hashed
+    dimension, L2-normalized.  Gives raw text the embedding column the
+    whole similarity/dedup family consumes, with no model dependency.
+    Exact integer cell sums keep the values order-independent; the
+    oracle replays the same md5-nibble arithmetic the SimHash oracle
+    uses."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.hash_embedding(d, "text", "doc_id", dim=64)
+
+
+_TEXT_SIM_ORACLE = f"""
+WITH emb AS ({_HASH_EMB_ORACLE.strip()}),
+q AS (SELECT embedding AS q_emb FROM emb WHERE doc_id = 0)
+SELECT e.doc_id,
+       ROUND({{dot}}, 6) AS score
+FROM emb e CROSS JOIN q
+WHERE e.doc_id <> 0
+ORDER BY score DESC, e.doc_id
+LIMIT 10
+""".format(dot=_DOT_SQL.format(a="e.embedding", b="q_emb"))
+
+
+@register("q_similarity_text_hash", _TEXT_SIM_ORACLE)
+def q_similarity_text_hash(spark, sf_dir):
+    """Model-free text similarity end to end: feature-hashed document
+    embeddings (q_text_hash_embedding) scored brute-force against doc 0
+    by dot product (vectors are unit-normalized, so dot == cosine),
+    top-10.  The pipeline composition this exists to prove: raw text ->
+    hashed embedding -> the same similarity machinery trained embeddings
+    use.  Both engines fold the dot product sequentially over the same
+    rounded unit values, so scores match bit-for-bit."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = TX.hash_embedding(d, "text", "doc_id", dim=64).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    q = emb.where(F.col("doc_id") == 0).select(
+        F.col("embedding").alias("_q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "_q_emb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.where(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", F.round(dot, 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
