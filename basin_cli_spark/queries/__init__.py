@@ -103,13 +103,13 @@ REPRESENTATIVE_HEAD = [
     # sources/sinks
     "q_csv_roundtrip", "q_in_memory_rows",
     # CDC + multiset digest
-    "q_cdc_record_stream", "q_ecmh_digest", "q_ecmh_digest_by_group",
+    "q_cdc_record_stream", "q_ecmh_digest", "q_muhash_digest",
     # events surface
     "q_events_before_after", "q_events_latest_n",
     # deduplication
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_semantic_ivf",
     "q_dedup_embedding", "q_dedup_embedding_keep_one", "q_dedup_keep_one",
-    "q_dedup_provenance",
+    "q_dedup_repeated_spans",
     # similarity search
     "q_similarity_bruteforce", "q_similarity_ann_lsh",
     "q_similarity_ann_multiprobe", "q_similarity_ann_ivf",
@@ -117,7 +117,7 @@ REPRESENTATIVE_HEAD = [
     # text analysis
     "q_text_quality_stats", "q_text_compression_ratio", "q_text_language_id",
     # curation
-    "q_decontaminate", "q_sample_stratified", "q_token_budget_pack",
+    "q_decontaminate", "q_corpus_lm_prune", "q_corpus_delete_digest",
     # streaming
     "q_stream_near_dedup", "q_stream_tumbling_agg",
     # multimodal plumbing
