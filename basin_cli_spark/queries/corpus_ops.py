@@ -783,3 +783,75 @@ def q_corpus_delete_digest(spark, sf_dir):
         [(counts.n_total, counts.n_removed, counts.n_kept, consistent)],
         "n_total long, n_removed long, n_kept long, digest_consistent boolean",
     )
+
+
+_DATASHEET_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, source, n_chars,
+         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0)
+           AS tokens,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g'))
+           AS n_punct,
+         LENGTH(text) AS len_text
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(CAST(SUM(n_chars) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*)
+         AS mean_chars,
+       CAST(SUM(LEN(tokens)) AS BIGINT) AS total_tokens,
+       CAST(CAST(SUM(LEN(tokens)) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*)
+         AS mean_tokens,
+       ROUND(CAST(CAST(SUM(n_punct) AS DECIMAL(18,6)) AS DOUBLE)
+             / CAST(CAST(SUM(len_text) AS DECIMAL(18,6)) AS DOUBLE), 9)
+         AS punct_ratio
+FROM toks
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("q_corpus_datasheet", _DATASHEET_ORACLE)
+def q_corpus_datasheet(spark, sf_dir):
+    """The corpus datasheet: one summary row per language — document and
+    source counts, size and token totals/means, corpus-level punctuation
+    ratio — the first page of the 'datasheets for datasets' report every
+    curated corpus ships.  All signals are exact integer/decimal sums
+    (order-free), means divide as doubles identically in both engines.
+    One token pass, one hash-agg keyed on lang."""
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    base = d.repartition(par).select(
+        "doc_id", "lang", "source", "n_chars",
+        F.size(D.tokens("text")).alias("_n_toks"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+        ).alias("_n_punct"),
+        F.length("text").alias("_len_text"),
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (
+                F.sum("n_chars").cast("decimal(18,2)").cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_chars"),
+            F.sum("_n_toks").cast("long").alias("total_tokens"),
+            (
+                F.sum("_n_toks").cast("decimal(18,2)").cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_tokens"),
+            F.round(
+                F.sum("_n_punct").cast("decimal(18,6)").cast("double")
+                / F.sum("_len_text").cast("decimal(18,6)").cast("double"),
+                9,
+            ).alias("punct_ratio"),
+        )
+        .orderBy("lang")
+    )
