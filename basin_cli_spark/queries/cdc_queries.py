@@ -195,3 +195,94 @@ def q_muhash_digest_by_group(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return muhash_digest_by_group(d, "lang", "text").orderBy("lang")
+
+
+_APPLY_ORACLE = f"""
+WITH lines AS (
+  SELECT * FROM read_json('{_FIXTURE}', format='newline_delimited',
+                          columns={{commit_lsn: 'BIGINT', records: 'JSON[]'}})
+),
+rec AS (
+  SELECT commit_lsn,
+         UNNEST(LIST_ZIP(records, RANGE(0, LEN(records)))) AS z
+  FROM lines
+),
+t AS (
+  SELECT commit_lsn, CAST(z[2] AS INT) AS pos,
+         (z[1]->>'$.action') AS action,
+         COALESCE((z[1]->>'$.columns[0].value'),
+                  (z[1]->>'$.identity[0].value')) AS key,
+         (z[1]->>'$.columns[1].value') AS name
+  FROM rec WHERE (z[1]->>'$.table') = 't'
+),
+latest AS (
+  SELECT * FROM (
+    SELECT t.*, ROW_NUMBER() OVER (
+      PARTITION BY key ORDER BY commit_lsn DESC, pos DESC) AS rn
+    FROM t
+  ) WHERE rn = 1 AND action <> 'D'
+)
+SELECT CAST(key AS INTEGER) AS id, name FROM latest
+"""
+
+
+@register("q_cdc_apply_upserts", _APPLY_ORACLE)
+def q_cdc_apply_upserts(spark, sf_dir):
+    """Last-writer-wins CDC apply over the full I/U/D stream: the FINAL
+    table state (sources/cdc.apply_changes) — inserts applied, the update
+    replacing bob with bobby, the delete removing alice.  The general
+    merge consumers need beyond the reference's append-only materialize
+    (README.md:146); one pk-keyed shuffle, MERGE INTO semantics without a
+    mutable table format."""
+    from basin_cli_spark.sources.cdc import apply_changes
+
+    rec = read_wal_batch(spark, _FIXTURE)
+    return apply_changes(
+        rec, "t", [("id", "integer"), ("name", "text")], pk="id"
+    )
+
+
+_SCD2_ORACLE = f"""
+WITH lines AS (
+  SELECT * FROM read_json('{_FIXTURE}', format='newline_delimited',
+                          columns={{commit_lsn: 'BIGINT', records: 'JSON[]'}})
+),
+rec AS (
+  SELECT commit_lsn,
+         UNNEST(LIST_ZIP(records, RANGE(0, LEN(records)))) AS z
+  FROM lines
+),
+t AS (
+  SELECT commit_lsn, CAST(z[2] AS INT) AS pos,
+         (z[1]->>'$.action') AS action,
+         COALESCE((z[1]->>'$.columns[0].value'),
+                  (z[1]->>'$.identity[0].value')) AS key,
+         (z[1]->>'$.columns[1].value') AS name
+  FROM rec WHERE (z[1]->>'$.table') = 't'
+),
+evts AS (
+  SELECT t.*, LEAD(commit_lsn) OVER (
+    PARTITION BY key ORDER BY commit_lsn, pos) AS next_lsn
+  FROM t
+)
+SELECT CAST(key AS INTEGER) AS id, name,
+       commit_lsn AS valid_from_lsn,
+       next_lsn AS valid_to_lsn,
+       next_lsn IS NULL AS is_current
+FROM evts WHERE action <> 'D'
+"""
+
+
+@register("q_cdc_scd2_history", _SCD2_ORACLE)
+def q_cdc_scd2_history(spark, sf_dir):
+    """SCD type-2 historization from the CDC stream
+    (sources/cdc.scd2_history): every I/U opens a version valid from its
+    commit LSN, closed by the next event on the same key (the delete
+    closes alice's version; bobby's stays current).  The audit/history
+    table warehouses derive from the same WAL the vault publishes."""
+    from basin_cli_spark.sources.cdc import scd2_history
+
+    rec = read_wal_batch(spark, _FIXTURE)
+    return scd2_history(
+        rec, "t", [("id", "integer"), ("name", "text")], pk="id"
+    )
