@@ -374,3 +374,77 @@ def q_stream_ivf_assign(spark, sf_dir):
         F.min("vec_id").alias("min_vec_id"),
     )
     return _drain(stats, "complete").orderBy("cent_id")
+
+
+@register(
+    "q_stream_cdc_apply",
+    """
+WITH lines AS (
+  SELECT * FROM read_json('{fixture}', format='newline_delimited',
+                          columns={{commit_lsn: 'BIGINT', records: 'JSON[]'}})
+),
+rec AS (
+  SELECT commit_lsn,
+         UNNEST(LIST_ZIP(records, RANGE(0, LEN(records)))) AS z
+  FROM lines
+),
+t AS (
+  SELECT commit_lsn, CAST(z[2] AS INT) AS pos,
+         (z[1]->>'$.action') AS action,
+         COALESCE((z[1]->>'$.columns[0].value'),
+                  (z[1]->>'$.identity[0].value')) AS key,
+         (z[1]->>'$.columns[1].value') AS name
+  FROM rec WHERE (z[1]->>'$.table') = 't'
+),
+latest AS (
+  SELECT * FROM (
+    SELECT t.*, ROW_NUMBER() OVER (
+      PARTITION BY key ORDER BY commit_lsn DESC, pos DESC) AS rn
+    FROM t
+  ) WHERE rn = 1 AND action <> 'D'
+)
+SELECT CAST(key AS INTEGER) AS id, name FROM latest
+""".format(fixture=__import__("os").path.join(
+        __import__("os").path.dirname(__import__("os").path.dirname(
+            __import__("os").path.dirname(
+                __import__("os").path.abspath(__file__)))),
+        "fixtures", "wal.jsonl")),
+)
+def q_stream_cdc_apply(spark, sf_dir):
+    """STREAMING last-writer-wins CDC merge: the WAL records arrive as a
+    file stream, per-key state in the engine state store holds the
+    winning record, and the drained output materializes the same final
+    table state the batch apply_changes produces (the oracle replays
+    exactly that).  Bounded state: one tuple per live key, forever."""
+    import os as _os
+
+    from basin_cli_spark.sources.cdc import _typed, parse_wal_records
+    from basin_cli_spark.streaming.stateful import cdc_apply_stream
+
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__)))),
+        "fixtures",
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("pathGlobFilter", "wal.jsonl")
+        .load(fixture)
+    )
+    merged = cdc_apply_stream(parse_wal_records(stream), "t", pk="id")
+    out = _drain(merged, "update")
+    # latest state per key (one AvailableNow batch -> one row per key),
+    # tombstones dropped, columns pivoted exactly like materialize_table
+    kv = F.map_from_entries(
+        F.transform(
+            F.from_json(
+                "columns_json", "array<array<string>>"
+            ),
+            lambda c: F.struct(c[0].alias("k"), c[1].alias("v")),
+        )
+    )
+    alive = out.where(F.col("action") != "D").withColumn("_kv", kv)
+    return alive.select(
+        _typed(F.element_at("_kv", "id"), "integer").alias("id"),
+        F.element_at("_kv", "name").alias("name"),
+    )
