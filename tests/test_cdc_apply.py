@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import json
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -99,13 +98,6 @@ def test_apply_and_scd2_match_python_fold(spark, ops):
     for r in hist:
         if not r.is_current:
             assert r.valid_to_lsn >= r.valid_from_lsn
-
-
-@pytest.fixture(scope="module")
-def _spark_for_stream(request):
-    from basin_cli_spark.session import get_spark
-
-    return get_spark(app_name="cdc_apply_tests", shuffle_partitions=4)
 
 
 def test_stream_apply_matches_batch(spark, tmp_path):
