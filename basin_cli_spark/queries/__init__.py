@@ -103,9 +103,10 @@ REPRESENTATIVE_HEAD = [
     # sources/sinks
     "q_csv_roundtrip", "q_in_memory_rows",
     # CDC + multiset digest
-    "q_cdc_record_stream", "q_ecmh_digest", "q_muhash_digest",
+    "q_cdc_record_stream", "q_cdc_apply_upserts", "q_ecmh_digest",
+    "q_muhash_digest",
     # events surface
-    "q_events_before_after", "q_events_latest_n",
+    "q_events_before_after",
     # deduplication
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_semantic_ivf",
     "q_dedup_embedding", "q_dedup_embedding_keep_one", "q_dedup_keep_one",
