@@ -1969,3 +1969,94 @@ def q_similarity_text_hash(spark, sf_dir):
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+_PIPELINE_V2_ORACLE = f"""
+WITH RECURSIVE {_shingle_cte()},
+gated AS (
+  SELECT doc_id FROM toks
+  WHERE LEN(tokens) >= 10 AND doc_id % 20 <> 0
+),
+eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+),
+train_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM sh
+  WHERE doc_id IN (SELECT doc_id FROM gated)
+),
+contam AS (
+  SELECT t.doc_id, COUNT(*) AS n_shingles, COUNT(e.shingle) AS n_shared
+  FROM train_sh t LEFT JOIN eval_sh e USING (shingle)
+  GROUP BY t.doc_id
+),
+clean AS (
+  SELECT doc_id FROM gated
+  WHERE doc_id NOT IN (
+    SELECT doc_id FROM contam
+    WHERE CAST(n_shared AS DOUBLE) / n_shingles > 0.5
+  )
+),
+mh AS (
+  SELECT doc_id, {_MINHASH_MINS}
+  FROM sh WHERE doc_id IN (SELECT doc_id FROM clean)
+  GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS id FROM edges),
+walk(id, lab) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id
+),
+cc AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id)
+SELECT d.doc_id, d.source, d.n_chars, LEN(t.tokens) AS n_tokens
+FROM documents d
+JOIN toks t USING (doc_id)
+WHERE d.doc_id IN (SELECT doc_id FROM clean)
+  AND d.doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)
+"""
+
+
+@register("q_llm_prep_pipeline_v2", _PIPELINE_V2_ORACLE)
+def q_llm_prep_pipeline_v2(spark, sf_dir):
+    """The FULL modern prep recipe, composed end to end and hash-verified
+    as one query: held-out eval split (doc_id % 20) -> token-count
+    quality gate (>= 10) -> n-gram decontamination (drop docs whose
+    distinct-shingle overlap with the eval set exceeds 0.5) ->
+    MinHash-LSH near-dedup with connected-components keep-one.  Each
+    stage is the registered operator a user runs standalone
+    (q_contamination_score, q_dedup_keep_one); this entry pins that they
+    COMPOSE — the corpus is scanned once per stage, eval shingles stay
+    the broadcast side, the dup graph stays ids-only, and no stage
+    shuffles the full text."""
+    from basin_cli_spark.operators import curation as C
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 20 != 0)
+    eval_docs = d.where(F.col("doc_id") % 20 == 0)
+    gated = train.withColumn("_tk", D.tokens("text")).where(
+        F.size("_tk") >= 10
+    )
+    contam = C.contamination_score(gated, eval_docs)
+    drop_leaky = contam.where(F.col("contamination") > 0.5).select("doc_id")
+    clean = gated.join(drop_leaky, "doc_id", "left_anti")
+    pairs = D.minhash_lsh_pairs(clean, "text", "doc_id", n_hashes=8, band_size=2)
+    cc = D.connected_components(pairs, "doc_a", "doc_b")
+    drop_dup = cc.where(F.col("id") != F.col("lab")).select(
+        F.col("id").alias("doc_id")
+    )
+    return clean.join(drop_dup, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars", F.size("_tk").alias("n_tokens")
+    )
