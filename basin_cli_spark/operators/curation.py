@@ -20,8 +20,13 @@ Scale shapes:
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from basin_cli_spark.operators.dedup import shingle_rows
 
@@ -80,6 +85,99 @@ def decontaminate(
     )
     return (
         train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
+    )
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n·ln p / ln²2 bits, k = (m/n)·ln 2
+    probes.  Floors keep degenerate inputs (empty eval set) well-formed."""
+    n = max(n, 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_set_bits(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+                    m: int, k: int) -> None:
+    """Set the k double-hash positions (h1 + i·h2 mod m) for each element.
+    Must mirror the probe loop in bloom_decontaminate exactly."""
+    a = h1.astype(np.int64).view(np.uint64)
+    b = h2.astype(np.int64).view(np.uint64)
+    for i in range(k):
+        idx = (a + np.uint64(i) * b) % np.uint64(m)
+        np.bitwise_or.at(
+            bits,
+            (idx >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+        )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """decontaminate() with a Bloom prefilter — the 100 TB scale path.
+
+    Exact decontamination broadcasts the full eval shingle *strings*; at
+    1e7 eval shingles that's GBs of broadcast and every train shingle
+    probes a hash relation.  Here the driver builds a Bloom filter over
+    the eval shingles' xxhash64 pairs (~10 bits/element at fpp=0.01, so
+    ~12 MB for 1e7 shingles), broadcasts only the bit array, and the
+    train side drops ~99% of its shingles in an Arrow-batched membership
+    test before the exact broadcast join kills the false positives.  The
+    result is bit-identical to decontaminate() — the Bloom layer can only
+    let extra rows *through* to the exact join, never drop a true hit —
+    so both share one oracle.
+
+    Both hash columns are computed JVM-side (xxhash64 with two distinct
+    seeds via the extra literal argument); the Python kernel only does
+    vectorized numpy bit tests on int64 batches — no per-row Python."""
+    spark = docs.sparkSession
+    eval_sh = (
+        shingle_rows(eval_docs, text_col, id_col, k)
+        .select("shingle")
+        .distinct()
+    )
+    h1c = F.xxhash64("shingle")
+    h2c = F.xxhash64(F.lit(1), F.col("shingle"))
+    hashed = eval_sh.select(h1c.alias("h1"), h2c.alias("h2")).toPandas()
+    m, nk = _bloom_params(len(hashed), fpp)
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    if len(hashed):
+        _bloom_set_bits(
+            bits, hashed["h1"].to_numpy(np.int64),
+            hashed["h2"].to_numpy(np.int64), m, nk,
+        )
+    bc = spark.sparkContext.broadcast((bits, m, nk))
+
+    @pandas_udf("boolean")
+    def maybe_in_bloom(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        fbits, fm, fk = bc.value
+        a = h1.to_numpy(np.int64).view(np.uint64)
+        b = h2.to_numpy(np.int64).view(np.uint64)
+        ok = np.ones(len(a), dtype=bool)
+        for i in range(fk):
+            idx = (a + np.uint64(i) * b) % np.uint64(fm)
+            byte = fbits[(idx >> np.uint64(3)).astype(np.int64)]
+            bit = (idx & np.uint64(7)).astype(np.uint8)
+            ok &= ((byte >> bit) & np.uint8(1)) == 1
+        return pd.Series(ok)
+
+    train_sh = shingle_rows(docs, text_col, id_col, k)
+    survivors = train_sh.withColumn("_h1", h1c).withColumn(
+        "_h2", h2c
+    ).where(maybe_in_bloom("_h1", "_h2")).select(id_col, "shingle")
+    # exact verify: the (small, benchmark-scale) eval shingle set is
+    # recomputed rather than persisted — a cached copy would outlive the
+    # returned plan and leak executor storage across registry runs.
+    return (
+        survivors.join(F.broadcast(eval_sh), "shingle")
         .groupBy(id_col)
         .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
     )

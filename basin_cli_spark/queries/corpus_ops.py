@@ -7,6 +7,7 @@ hash-match bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from basin_cli_spark.operators import curation as C
@@ -143,6 +144,61 @@ def q_decontaminate(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 20 == 0
     return C.decontaminate(d.where(~is_eval), d.where(is_eval))
+
+
+@register("q_decontaminate_bloom", _DECON_ORACLE)
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination — same result as
+    q_decontaminate (they share the oracle), different 100 TB plan: the
+    driver builds a ~10-bits/element Bloom filter over the eval shingle
+    hashes, broadcasts the bit array instead of the shingle strings, and
+    the train side drops non-members in an Arrow-batched numpy bit test
+    before the exact broadcast join removes false positives."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 20 == 0
+    return C.bloom_decontaminate(d.where(~is_eval), d.where(is_eval))
+
+
+# -- deterministic shard packing ---------------------------------------------
+
+_SHARD_PACK_ORACLE = """
+WITH s AS (
+  SELECT doc_id, MD5(text) AS h,
+         CAST(('0x' || SUBSTRING(MD5(text), 1, 8)) AS BIGINT) % 8 AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) - 1 AS position
+FROM s
+"""
+
+
+@register("q_corpus_shard_pack", _SHARD_PACK_ORACLE)
+def q_corpus_shard_pack(spark, sf_dir):
+    """Deterministic shuffle-and-shard for training output: every document
+    gets a shard in [0, 8) from its content md5 (content-keyed, so
+    re-ingesting the same corpus reproduces the same shards — no RNG) and
+    a dense position within the shard ordered by (md5, doc_id), which is
+    a cheap uniform scramble of the source order so each shard is an
+    unbiased sample of the corpus.
+
+    Scale shape: one shuffle, partitioned BY the shard key — exactly what
+    `repartition(n, "shard").sortWithinPartitions("h", "doc_id")` feeds a
+    per-shard writer; the row_number window reuses that same hash
+    partitioning so assignment and numbering are a single exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    s = d.select(
+        "doc_id", h.alias("h"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 8)
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return s.select(
+        "doc_id", "shard",
+        (F.row_number().over(w).cast("long") - 1).alias("position"),
+    )
 
 
 # -- document chunking --------------------------------------------------------

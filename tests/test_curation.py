@@ -89,6 +89,49 @@ def test_decontaminate_counts_shared_trigrams(spark):
     assert got == {0: 1}  # only 'quick brown fox' overlaps; doc 1 clean
 
 
+def test_bloom_decontaminate_matches_exact(spark, sf_dir):
+    """The Bloom layer is a prefilter only — the exact verify join must
+    make the result bit-identical to plain decontaminate(), including at
+    a deliberately terrible fpp where nearly everything passes the bloom."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    train, ev = d.where(F.col("doc_id") % 20 != 0), d.where(F.col("doc_id") % 20 == 0)
+    exact = sorted(map(tuple, C.decontaminate(train, ev).collect()))
+    for fpp in (0.01, 0.5):
+        bloom = sorted(map(tuple, C.bloom_decontaminate(train, ev, fpp=fpp).collect()))
+        assert bloom == exact
+
+
+def test_bloom_decontaminate_empty_eval(spark):
+    train = _docs(spark, ["the quick brown fox jumps"])
+    ev = _docs(spark, []).where(F.lit(False))
+    assert C.bloom_decontaminate(train, ev).count() == 0
+
+
+def test_bloom_params_sizing():
+    m, k = C._bloom_params(10_000, 0.01)
+    assert 9 <= m / 10_000 <= 10.5  # ~9.6 bits/element at 1% fpp
+    assert k == 7
+    # degenerate inputs stay well-formed
+    assert C._bloom_params(0, 0.01)[0] >= 64
+
+
+def test_shard_pack_positions_dense(spark, sf_dir):
+    """Every shard's positions must be exactly 0..n_i-1 and the same doc
+    must land on the same shard under re-runs (content-keyed, no RNG)."""
+    from basin_cli_spark.queries import load_all
+
+    reg = load_all()
+    out = reg["q_corpus_shard_pack"].fn(spark, sf_dir).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    assert set(by_shard) <= set(range(8))
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(len(pos)))
+    again = reg["q_corpus_shard_pack"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 # -- PQ self-coding sanity ----------------------------------------------------
 
 def test_pq_codebook_vectors_code_to_themselves(spark, sf_dir):
