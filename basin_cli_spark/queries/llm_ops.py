@@ -1626,6 +1626,46 @@ def q_sample_stratified(spark, sf_dir):
     return d.where(bucket < rate).select("doc_id", "source", "lang", "n_chars")
 
 
+_WEIGHTED_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         LN((CAST(('0x' || SUBSTRING(MD5(text), 1, 8)) AS BIGINT) + 1)
+            / 4294967296.0) / n_chars AS k
+  FROM documents
+  WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, ROUND(k, 6) AS sample_key
+FROM keyed
+ORDER BY k DESC, doc_id
+LIMIT 100
+"""
+
+
+@register("q_sample_weighted", _WEIGHTED_ORACLE)
+def q_sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each doc gets key = ln(u)/w with u in (0,1] derived
+    from its content md5 and w its length; the top-k keys are a weighted
+    sample — the 'mix by quality weight' draw a corpus-mixture stage
+    runs.  Hash-derived u makes the draw a pure function of content:
+    reproducible across runs, engines, and cluster sizes, no RNG state.
+
+    Scale shape: narrow per-row key expression then a global top-k,
+    which Spark executes as TakeOrderedAndProject (per-partition heaps,
+    k rows to the driver) — no global sort, no shuffle of the corpus.
+    ln/division are IEEE-identical in both engines; the key is rounded
+    only for display."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") + 1) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "source", "n_chars", F.round("k", 6).alias("sample_key"))
+    )
+
+
 _QPRUNE_ORACLE = """
 SELECT doc_id, source, n_chars, ROUND(pr, 6) AS pr
 FROM (
