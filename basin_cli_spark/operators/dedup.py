@@ -93,6 +93,84 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*mins)
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band_id, sig) LSH band rows: the minhash signature split into
+    n_hashes/band_size concatenated bands.  A band's signature depends
+    only on the document's own shingles, so bands computed over any
+    superset/subset of a corpus agree row-for-row — the property the
+    incremental (new-vs-corpus) dedup relies on."""
+    sig = minhash_signatures(df, text_col, id_col, n_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat(
+                *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
+            ).alias("sig"),
+        )
+        for b in range(n_hashes // band_size)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.sig")
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Dedup a fresh batch AGAINST an existing corpus — the asymmetric
+    shape an ingest pipeline actually runs at 100 TB, instead of
+    re-running the full corpus self-join per crawl.
+
+    Verdict per new document:
+      'exact' — its content md5 already exists in the corpus;
+      'near'  — some LSH band bucket collides with a corpus document;
+      'keep'  — neither.
+
+    Scale shape: two semi-joins keyed on (hash) and (band_id, sig).  The
+    corpus side is reduced to hashes / band rows (never full text) and
+    streamed; the new-batch side is crawl-sized, so AQE broadcasts it and
+    the corpus is never shuffled.  No hint is forced — a backfill-sized
+    'new' batch must be allowed to fall back to a shuffle join."""
+    new_ids = new_docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    corpus_h = corpus.select(F.md5(F.col(text_col)).alias("_h")).distinct()
+    exact = (
+        new_ids.join(corpus_h, "_h", "left_semi")
+        .select(id_col)
+        .withColumn("_exact", F.lit(True))
+    )
+    new_bands = minhash_bands(new_docs, text_col, id_col, n_hashes, band_size)
+    corpus_bands = minhash_bands(corpus, text_col, id_col, n_hashes, band_size)
+    near = (
+        new_bands.join(corpus_bands, ["band_id", "sig"], "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    return (
+        new_docs.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_exact"), F.lit("exact"))
+            .when(F.col("_near"), F.lit("near"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -108,19 +186,7 @@ def minhash_lsh_pairs(
     the same bucket ever meet — the scale path for dedup at 100 TB.
     """
     assert n_hashes % band_size == 0
-    sig = minhash_signatures(df, text_col, id_col, n_hashes)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat(
-                *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)]
-            ).alias("sig"),
-        )
-        for b in range(n_hashes // band_size)
-    ]
-    bands = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "band.band_id", "band.sig")
+    bands = minhash_bands(df, text_col, id_col, n_hashes, band_size)
     # Persist: both sides of the self-join read `bands`; without it Spark
     # recomputes the whole shingle->signature pipeline twice.  Signatures
     # are ~bands rows per doc — tiny relative to the corpus, safe to cache

@@ -105,6 +105,51 @@ def q_dedup_minhash(spark, sf_dir):
     return D.minhash_lsh_pairs(d, "text", "doc_id", n_hashes=8, band_size=2)
 
 
+_INCREMENTAL_ORACLE = f"""
+WITH {_shingle_cte()},
+mh AS (
+  SELECT doc_id, {_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS}
+),
+corpus_h AS (
+  SELECT DISTINCT MD5(text) AS h FROM documents WHERE doc_id % 10 <> 7
+),
+new_docs AS (
+  SELECT doc_id, MD5(text) AS h FROM documents WHERE doc_id % 10 = 7
+),
+near AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb
+  JOIN bands cb ON nb.band_id = cb.band_id AND nb.sig = cb.sig
+              AND cb.doc_id % 10 <> 7
+  WHERE nb.doc_id % 10 = 7
+)
+SELECT n.doc_id,
+       CASE WHEN n.h IN (SELECT h FROM corpus_h) THEN 'exact'
+            WHEN n.doc_id IN (SELECT doc_id FROM near) THEN 'near'
+            ELSE 'keep' END AS verdict
+FROM new_docs n
+"""
+
+
+@register("q_dedup_incremental", _INCREMENTAL_ORACLE)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental (new-batch-vs-corpus) dedup: the doc_id % 10 == 7
+    slice stands in for a fresh crawl checked against the rest of the
+    corpus.  Each new doc gets 'exact' (content hash already present),
+    'near' (an LSH band bucket collides), or 'keep'.  The asymmetric
+    semi-join shape is the point: per ingest the corpus is reduced to
+    hashes/band rows and streamed once — never self-joined, never
+    shuffled against itself.  Band signatures are per-document, so the
+    oracle computes them over the full table and splits afterward."""
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 7
+    return D.incremental_dedup(d.where(is_new), d.where(~is_new))
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     vote_cols = []
     for i in range(bits):

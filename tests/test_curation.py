@@ -132,6 +132,24 @@ def test_shard_pack_positions_dense(spark, sf_dir):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_incremental_dedup_verdicts(spark):
+    """A new batch checked against a corpus: an exact copy is 'exact', a
+    one-token extension (shares nearly all shingles, so some LSH band
+    collides — deterministic given md5) is 'near', fresh text is 'keep'."""
+    from basin_cli_spark.operators.dedup import incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = _docs(spark, [base, "completely different corpus material here"])
+    new = spark.createDataFrame(
+        [(100, base, len(base)),
+         (101, base + " tonight", len(base) + 8),
+         (102, "utterly novel never seen content words", 38)],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {r.doc_id: r.verdict for r in incremental_dedup(new, corpus).collect()}
+    assert got == {100: "exact", 101: "near", 102: "keep"}
+
+
 # -- PQ self-coding sanity ----------------------------------------------------
 
 def test_pq_codebook_vectors_code_to_themselves(spark, sf_dir):
