@@ -45,6 +45,43 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# Fixed linear-probe weights for quality_score — a documented stand-in
+# for a trained quality classifier (fastText-style): the engine part is
+# the feature assembly + vectorized scoring; swapping in learned weights
+# changes only these constants.
+QUALITY_WEIGHTS = {
+    "bias": -10.0,
+    "stopword_ratio": 15.0,
+    "punct_ratio": -4.0,
+    "mean_token_len": 2.0,
+}
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality probability: sigmoid of a fixed linear probe
+    over the quality_stats features, gated into keep / flag / drop
+    (p >= 0.6 / >= 0.4 / below).  Narrow per-row JVM expressions — the
+    same no-shuffle shape as quality_stats; at 100 TB this is a pure
+    map stage fused into the scan."""
+    w = QUALITY_WEIGHTS
+    feats = quality_stats(df, text_col, id_col)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["mean_token_len"]) * F.col("mean_token_len")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        id_col,
+        F.round(p, 9).alias("quality_p"),
+        F.when(p >= 0.6, F.lit("keep"))
+        .when(p >= 0.4, F.lit("flag"))
+        .otherwise(F.lit("drop"))
+        .alias("gate"),
+    )
+
+
 def language_pred(toks: Column) -> Column:
     """Argmax-stopword-hits language prediction over a token array column
     (ties broken by fixed language order, 'und' for no hits at all)."""

@@ -159,6 +159,57 @@ def q_decontaminate_bloom(spark, sf_dir):
     return C.bloom_decontaminate(d.where(~is_eval), d.where(is_eval))
 
 
+# -- corpus mixture rebalancing ----------------------------------------------
+
+_REBALANCE_ORACLE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_langs FROM counts),
+rates AS (
+  SELECT c.lang, LEAST(1.0, (t.total / t.n_langs) / c.n) AS rate
+  FROM counts c CROSS JOIN tot t
+)
+SELECT d.doc_id, d.lang, ROUND(r.rate, 9) AS rate
+FROM documents d JOIN rates r USING (lang)
+WHERE (CAST(('0x' || SUBSTRING(MD5(d.text), 1, 4)) AS BIGINT) % 10000)
+      < r.rate * 10000
+"""
+
+
+@register("q_corpus_rebalance", _REBALANCE_ORACLE)
+def q_corpus_rebalance(spark, sf_dir):
+    """Mixture rebalancing toward a target (here: equal share per
+    language): measure the current per-language counts, derive a keep
+    rate capped at 1.0, and downsample each over-represented language
+    deterministically by content-hash bucket — the static form of the
+    mixture-reweighting step (DoReMi-style targets plug in as a weights
+    table in place of the uniform target).
+
+    Scale shape: pass 1 is a languages-sized hash-agg (map-side
+    partials); the rates table is bounded by language cardinality, so
+    the broadcast hint is safe at any corpus size; pass 2 is a streamed
+    filter — the corpus is never shuffled, and the hash-bucket draw
+    makes the sample reproducible across runs and appends."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), (F.col("total") / F.col("n_langs")) / F.col("n")
+        ).alias("rate"),
+    )
+    bucket = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 10000
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(bucket < F.col("rate") * 10000)
+        .select("doc_id", "lang", F.round("rate", 9).alias("rate"))
+    )
+
+
 # -- deterministic shard packing ---------------------------------------------
 
 _SHARD_PACK_ORACLE = """

@@ -443,6 +443,46 @@ def q_text_quality_stats(spark, sf_dir):
     return TX.quality_stats(d, "text", "doc_id")
 
 
+_QSCORE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_SQL_TOKENS.format(c='text')} AS tokens FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+           / LENGTH(text) AS punct_ratio,
+         CAST(LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({_STOP_EN}, t))) AS DOUBLE)
+           / LEN(tokens) AS stopword_ratio,
+         CAST(LIST_REDUCE(LIST_PREPEND(0, LIST_TRANSFORM(tokens, t -> LENGTH(t))), (a, b) -> a + b) AS DOUBLE)
+           / LEN(tokens) AS mean_token_len
+  FROM toks
+),
+scored AS (
+  SELECT doc_id,
+         1.0 / (1.0 + EXP(-(-10.0 + 15.0 * stopword_ratio - 4.0 * punct_ratio
+                            + 2.0 * mean_token_len))) AS p
+  FROM feats
+)
+SELECT doc_id, ROUND(p, 9) AS quality_p,
+       CASE WHEN p >= 0.6 THEN 'keep'
+            WHEN p >= 0.4 THEN 'flag'
+            ELSE 'drop' END AS gate
+FROM scored
+"""
+
+
+@register("q_text_quality_score", _QSCORE_ORACLE)
+def q_text_quality_score(spark, sf_dir):
+    """Quality-classifier gate: sigmoid of a fixed linear probe over the
+    quality_stats features, thresholded keep/flag/drop.  The weights are
+    a documented stand-in for a trained fastText-style classifier
+    (operators/text.py QUALITY_WEIGHTS); the engine part — per-row
+    feature assembly and vectorized scoring fused into the scan, no
+    shuffle — is what carries to 100 TB unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.quality_score(d, "text", "doc_id")
+
+
 def _langid_oracle() -> str:
     hit = (
         "LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({words}, t)))"
