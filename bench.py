@@ -52,6 +52,8 @@ HEADLINE = [
     "q_dedup_semantic_ivf",  # added r5
     "q_corpus_lm_prune",  # added r5
     "q_muhash_digest",  # added r5
+    "q_dedup_incremental",  # added r5
+    "q_decontaminate_bloom",  # added r5
 ]
 
 # queries added to the headline per round — summed out of the
@@ -65,6 +67,8 @@ _R5_ADDED = {
     "q_dedup_semantic_ivf",
     "q_corpus_lm_prune",
     "q_muhash_digest",
+    "q_dedup_incremental",
+    "q_decontaminate_bloom",
 }
 
 

@@ -112,9 +112,25 @@ def main() -> None:
             docs10.where(~is_eval), docs10.where(is_eval)
         ).count()
 
+    def decon_bloom():
+        is_eval = F.col("doc_id") % 200 == 0
+        return CUR.bloom_decontaminate(
+            docs10.where(~is_eval), docs10.where(is_eval)
+        ).count()
+
+    def incremental():
+        is_new = F.col("doc_id") % 10 == 7
+        return DD.incremental_dedup(
+            docs10.where(is_new), docs10.where(~is_new)
+        ).count()
+
     timed(f"minhash-LSH pair gen ({COPIES}x docs)", minhash_pairs, nd, results)
     timed(f"decontamination vs broadcast eval set ({COPIES}x docs)",
           decon, nd, results)
+    timed(f"decontamination, Bloom-prefiltered ({COPIES}x docs)",
+          decon_bloom, nd, results)
+    timed(f"incremental new-vs-corpus dedup ({COPIES}x docs)",
+          incremental, nd, results)
     docs10.unpersist()
 
     # Embedding near-dup candidate generation at 10x vectors: band_bits
@@ -254,6 +270,16 @@ def main() -> None:
         "all three shown — salting replicates the dim `salt` times, so it",
         "only pays off when the skewed side dwarfs the other).",
         "The curation rows are per-document workloads (keyed on shingle/band buckets), so their rows/s counts corpus documents, not fact rows.",
+        "",
+        "The Bloom-prefiltered decontamination row is SLOWER than the plain",
+        "broadcast here, and that is the expected crossover, not a defect: at",
+        "this scale the eval shingle set is a few thousand strings, so its",
+        "broadcast is cheaper than the driver-side Bloom build plus the extra",
+        "Arrow membership pass.  The bloom path wins when the eval suite's",
+        "shingle set is too large to broadcast as strings (1e7+ shingles ->",
+        "GBs of broadcast vs ~12 MB of bloom bits) — the regime the operator",
+        "exists for; both paths return bit-identical results so the choice is",
+        "purely a size threshold.",
         "",
         "## Multiset-digest throughput — the documented capability limit (round 5)",
         "",

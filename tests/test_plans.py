@@ -121,6 +121,7 @@ _NLJ_ALLOWED = {
     "q11_important_parts",  # 1-row broadcast of the (total, n_parts) scalar
     "q_embedding_center_normalize",  # 1-row broadcast of the centroid array
     "q_tfidf_topterms",  # 1-row broadcast of the corpus-count scalar
+    "q_corpus_rebalance",  # 1-row broadcast of the (total, n_langs) scalar
 }
 
 
