@@ -150,6 +150,42 @@ def test_incremental_dedup_verdicts(spark):
     assert got == {100: "exact", 101: "near", 102: "keep"}
 
 
+def test_quality_score_monotone_in_stopword_ratio(spark):
+    """More stopwords (holding punctuation ~fixed) must not lower the
+    quality probability — the probe's sign contract."""
+    from basin_cli_spark.operators.text import quality_score
+
+    d = _docs(spark, [
+        "zzz qqq vvv kkk xxx www yyy mmm nnn ppp",
+        "the and of to a the and of to a",
+    ])
+    got = {r.doc_id: r.quality_p for r in quality_score(d, "text", "doc_id").collect()}
+    assert got[1] > got[0]
+
+
+def test_rebalance_moves_mix_toward_parity(spark, sf_dir):
+    """After rebalancing, the max/min per-language share must be closer
+    to 1 than before, and no language may be upsampled (rate <= 1)."""
+    from basin_cli_spark.queries import load_all
+    from basin_cli_spark.sources import load_table
+
+    reg = load_all()
+    before = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = reg["q_corpus_rebalance"].fn(spark, sf_dir).collect()
+    after = {}
+    for r in out:
+        after[r.lang] = after.get(r.lang, 0) + 1
+        assert r.rate <= 1.0
+    for lang, n in after.items():
+        assert n <= before[lang]
+    ratio = lambda d: max(d.values()) / min(d.values())  # noqa: E731
+    assert ratio(after) < ratio(before)
+
+
 # -- PQ self-coding sanity ----------------------------------------------------
 
 def test_pq_codebook_vectors_code_to_themselves(spark, sf_dir):
