@@ -159,6 +159,61 @@ def q_decontaminate_bloom(spark, sf_dir):
     return C.bloom_decontaminate(d.where(~is_eval), d.where(is_eval))
 
 
+# -- split leakage detection --------------------------------------------------
+
+_LEAK_ORACLE = f"""
+WITH {_shingle_cte()},
+mh AS (
+  SELECT doc_id, {_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS}
+),
+split AS (
+  SELECT doc_id,
+         STRPOS('0123456789abcdef',
+                SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 < 13
+           AS is_train
+  FROM documents
+)
+SELECT tb.doc_id, COUNT(DISTINCT hb.doc_id) AS n_leak_partners
+FROM bands tb
+JOIN split ts ON ts.doc_id = tb.doc_id AND ts.is_train
+JOIN bands hb ON hb.band_id = tb.band_id AND hb.sig = tb.sig
+JOIN split hs ON hs.doc_id = hb.doc_id AND NOT hs.is_train
+GROUP BY tb.doc_id
+"""
+
+
+@register("q_split_leakage", _LEAK_ORACLE)
+def q_split_leakage(spark, sf_dir):
+    """Split-leakage audit: train documents that near-duplicate a
+    val/test document (any shared MinHash-LSH band) with the count of
+    distinct held-out partners — the check a pipeline runs AFTER split
+    assignment, because hash-based splits separate exact copies'
+    provenance but happily put two near-identical crawls of one page on
+    opposite sides of the train/eval fence.
+
+    Scale shape: band signatures are per-document, computed once over
+    the full corpus and split AFTERWARD, so the join is the standard
+    LSH bucket join (never all-pairs) with a band-key shuffle — the
+    same plan family as q_dedup_minhash, plus a doc-keyed count."""
+    d = load_table(spark, sf_dir, "documents")
+    bands = D.minhash_bands(d, "text", "doc_id").withColumn(
+        "is_train", C.split_bucket("doc_id") < 13
+    )
+    tb = bands.where(F.col("is_train")).select("doc_id", "band_id", "sig")
+    hb = bands.where(~F.col("is_train")).select(
+        F.col("doc_id").alias("h_id"), "band_id", "sig"
+    )
+    return (
+        tb.join(hb, ["band_id", "sig"])
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h_id").alias("n_leak_partners"))
+    )
+
+
 # -- corpus mixture rebalancing ----------------------------------------------
 
 _REBALANCE_ORACLE = """
