@@ -241,6 +241,49 @@ def q_stream_near_dedup(spark, sf_dir):
     return _drain(agg, "complete")
 
 
+def _stream_quality_oracle() -> str:
+    """Wrap the batch quality-score oracle: gate counts plus min/max
+    probability (order-independent aggregates — a float avg would depend
+    on fold order and be un-oracle-able)."""
+    from basin_cli_spark.queries import QUERIES
+    from basin_cli_spark.queries import llm_ops as _llm_ops  # noqa: F401
+
+    inner = QUERIES["q_text_quality_score"].oracle
+    return f"""
+WITH q AS ({inner})
+SELECT gate, COUNT(*) AS n,
+       ROUND(MIN(quality_p), 9) AS min_p,
+       ROUND(MAX(quality_p), 9) AS max_p
+FROM q GROUP BY gate
+"""
+
+
+@register("q_stream_quality_gate", _stream_quality_oracle())
+def q_stream_quality_gate(spark, sf_dir):
+    """STREAMING ingest quality gate: the quality-classifier probe
+    applied to a document stream, rolled up into per-gate counts and
+    probability bounds — the live monitor a crawl pipeline keeps on its
+    intake.  The probe itself is stateless per-row JVM expressions, so
+    the only stateful operator is the 3-row gate aggregation; state is
+    O(gates), not O(documents)."""
+    from basin_cli_spark.operators.text import quality_score
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scored = quality_score(docs, "text", "doc_id")
+    agg = scored.groupBy("gate").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("quality_p"), 9).alias("min_p"),
+        F.round(F.max("quality_p"), 9).alias("max_p"),
+    )
+    return _drain(agg, "complete")
+
+
 def _session_oracle() -> str:
     """Reuse the batch session-window oracle (same result by construction:
     AvailableNow processes the whole fixture in one batch, so update-mode
