@@ -105,6 +105,66 @@ def q_dedup_minhash(spark, sf_dir):
     return D.minhash_lsh_pairs(d, "text", "doc_id", n_hashes=8, band_size=2)
 
 
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH {_shingle_cte()},
+mh AS (
+  SELECT doc_id, {_MINHASH_MINS}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {_MINHASH_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+             AND a.doc_id < b.doc_id
+),
+lab AS (
+  SELECT da.source AS s_a, db.source AS s_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT LEAST(s_a, s_b) AS source_a, GREATEST(s_a, s_b) AS source_b,
+       COUNT(*) AS n_pairs
+FROM lab GROUP BY 1, 2
+"""
+
+
+@register("q_dedup_source_overlap", _SOURCE_OVERLAP_ORACLE)
+def q_dedup_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix: near-dup candidate pairs rolled
+    up by unordered (source, source) — the datasheet signal that tells a
+    pipeline which crawls/snapshot dumps duplicate each other (and how
+    much of a 'new' source is recycled from an old one).
+
+    Scale shape: the LSH pair list is the small output of the bucketed
+    self-join; labeling joins it against an ids-only (doc_id, source)
+    projection — two slim equi-joins and a sources²-bounded rollup, the
+    corpus text never moves."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", n_hashes=8, band_size=2)
+    src = d.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("s_a")),
+            "doc_a",
+        ).join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("s_b")),
+            "doc_b",
+        )
+    )
+    return (
+        lab.select(
+            F.least("s_a", "s_b").alias("source_a"),
+            F.greatest("s_a", "s_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 _INCREMENTAL_ORACLE = f"""
 WITH {_shingle_cte()},
 mh AS (
