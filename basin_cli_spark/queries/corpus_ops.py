@@ -159,6 +159,53 @@ def q_decontaminate_bloom(spark, sf_dir):
     return C.bloom_decontaminate(d.where(~is_eval), d.where(is_eval))
 
 
+# -- robust (MAD) outlier pruning ---------------------------------------------
+
+_MAD_PRUNE_ORACLE = """
+WITH med AS (
+  SELECT source, MEDIAN(n_chars) AS med FROM documents GROUP BY source
+),
+mad AS (
+  SELECT d.source, m.med, MEDIAN(ABS(d.n_chars - m.med)) AS mad
+  FROM documents d JOIN med m USING (source)
+  GROUP BY d.source, m.med
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN mad USING (source)
+WHERE ABS(d.n_chars - mad.med) <= 3.0 * mad.mad
+"""
+
+
+@register("q_corpus_mad_prune", _MAD_PRUNE_ORACLE)
+def q_corpus_mad_prune(spark, sf_dir):
+    """Robust per-source outlier pruning: keep documents within 3 MADs
+    (median absolute deviations) of their source's median length — the
+    outlier gate that, unlike the quantile prune, does not move when a
+    crawl dumps a tail of garbage into one source (median and MAD have a
+    50% breakdown point; mean/stddev have 0%).
+
+    Scale shape: two source-keyed exact-median aggs over a slim
+    (source, n_chars) projection, producing a sources-sized thresholds
+    table that joins back as a filter; the document text never moves.
+    Both engines interpolate medians over sorted values identically.
+    At 100 TB with a skewed giant source, the medians switch to the
+    approx-percentile + broadcast-thresholds two-pass, same as the
+    quantile prune."""
+    d = load_table(spark, sf_dir, "documents")
+    slim = d.select("source", "n_chars")
+    med = slim.groupBy("source").agg(F.median("n_chars").alias("med"))
+    mad = (
+        slim.join(med, "source")
+        .groupBy("source", "med")
+        .agg(F.median(F.abs(F.col("n_chars") - F.col("med"))).alias("mad"))
+    )
+    return (
+        d.join(mad, "source")
+        .where(F.abs(F.col("n_chars") - F.col("med")) <= 3.0 * F.col("mad"))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 # -- split leakage detection --------------------------------------------------
 
 _LEAK_ORACLE = f"""
