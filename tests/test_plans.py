@@ -196,10 +196,24 @@ _HINTED_BX = {
     "q_dedup_keep_one": 0,
     "q_dedup_embedding_keep_one": 0,
     "q_dedup_provenance": 0,
+    # r5 curation surface: only bloom-decon's exact-verify hint (eval
+    # suites are benchmark-sized) and rebalance's bounded scalar/rates
+    # broadcasts are constant-size; everything else must not broadcast
+    # when auto-broadcast is off.
+    "q_dedup_incremental": 0,
+    "q_decontaminate_bloom": 2,      # exact-verify join on the eval shingles
+    "q_split_leakage": 0,
+    "q_dedup_source_overlap": 0,
+    "q_corpus_mad_prune": 0,
+    "q_corpus_rebalance": 4,         # (total, n_langs) scalar + rates table
 }
 # Scalar 1-row broadcast singletons plan as BroadcastNestedLoopJoin even
 # with the threshold off — by design (see _NLJ_ALLOWED).
-_SWEEP_NLJ_OK = {"q11_important_parts", "q22_dormant_customers"}
+_SWEEP_NLJ_OK = {
+    "q11_important_parts",
+    "q22_dormant_customers",
+    "q_corpus_rebalance",
+}
 
 
 def test_no_scaling_side_broadcast_hints(spark, sf_dir, registry):
