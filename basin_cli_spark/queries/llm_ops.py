@@ -1811,6 +1811,40 @@ def q_sample_weighted(spark, sf_dir):
     )
 
 
+_PER_SOURCE_CAP_ORACLE = """
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY MD5(text), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 50
+"""
+
+
+@register("q_sample_per_source_cap", _PER_SOURCE_CAP_ORACLE)
+def q_sample_per_source_cap(spark, sf_dir):
+    """Per-source cap: keep at most k documents per source, chosen by
+    content-hash order — the 'no single crawl may dominate' guard.  The
+    md5 sort key is a uniform scramble of each source's docs, so the
+    kept set is an unbiased k-sample of the source, reproducible across
+    runs and engines (no RNG), and stable under appends of OTHER
+    sources.  One shuffle keyed on source; per-partition sort feeds the
+    rank, and rows ranked past k short-circuit — the same top-k-per-
+    group shape as q_topk_per_group, with the skewed-giant-source escape
+    being a pre-filter on a per-partition partial rank."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 50)
+        .select("doc_id", "source")
+    )
+
+
 _QPRUNE_ORACLE = """
 SELECT doc_id, source, n_chars, ROUND(pr, 6) AS pr
 FROM (
