@@ -282,6 +282,30 @@ def drop_hot_buckets(
     )
 
 
+def drop_hot_cells(
+    assigned: DataFrame,
+    max_cell: int,
+    cell_col: str = "cent_id",
+) -> DataFrame:
+    """Remove rows belonging to IVF cells wider than `max_cell`.
+
+    The cluster-scoped (SemDeDup-style) candidate structure self-joins
+    within a cell, so pair count is |cell|^2 — the same quadratic blowup
+    as an LSH hot bucket, with the same pathological trigger: a
+    duplicate-heavy crawl whose vectors all land in one centroid.  Same
+    doctrine as drop_hot_buckets: cells past the cap are near-identical
+    template content whose duplicates exact-hash dedup already catches
+    at linear cost, so they're dropped from the quadratic path rather
+    than re-training with larger k mid-job.  One extra aggregation on
+    the slim (id, cell) table; wide cells never reach the self-join."""
+    sizes = assigned.groupBy(cell_col).agg(F.count(F.lit(1)).alias("_cw"))
+    return (
+        assigned.join(sizes, cell_col)
+        .where(F.col("_cw") <= max_cell)
+        .drop("_cw")
+    )
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     query_vec_id: int,

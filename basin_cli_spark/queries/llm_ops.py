@@ -1172,7 +1172,7 @@ ORDER BY vec_a, vec_b
 
 
 @register("q_dedup_semantic_ivf", _semantic_ivf_oracle())
-def q_dedup_semantic_ivf(spark, sf_dir):
+def q_dedup_semantic_ivf(spark, sf_dir, max_cell=4096):
     """SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023,
     public): assign every vector to its frozen IVF cell, generate
     candidate pairs ONLY within a cell, verify with exact cosine at the
@@ -1181,14 +1181,20 @@ def q_dedup_semantic_ivf(spark, sf_dir):
     This is the alternative candidate structure to banded sign-LSH: the
     cluster id IS the partition key, so at 100 TB the self-join is
     per-cell co-partitioned work with zero bands and zero signature
-    state — the shape SemDeDup runs at web scale.  Cell width is bounded
-    by k (cells average n/k vectors; a pathological hot cell is capped
-    the same way similarity.py's hot-bucket guard caps LSH buckets —
-    re-train with larger k).  Recall differs from LSH by design: LSH
+    state — the shape SemDeDup runs at web scale.  Cell width is
+    hard-bounded: similarity.drop_hot_cells removes cells wider than
+    `max_cell` before the quadratic self-join (the exact doctrine the
+    LSH path applies via drop_hot_buckets) — a degenerate hot cell
+    (duplicate-heavy crawl, zero vectors) is template content whose
+    duplicates exact-hash dedup catches at linear cost.  The fixture
+    cells sit far below the default cap, so the oracle is unaffected;
+    the cap behavior is pinned on a synthetic hot cell in
+    tests/test_similarity.py.  Recall differs from LSH by design: LSH
     finds any-band collisions across the whole corpus; cluster scoping
     only compares within a cell — the standard recall/cost trade both
     families document."""
     from basin_cli_spark.operators import kmeans as KM
+    from basin_cli_spark.operators.similarity import drop_hot_cells
     from pyspark import StorageLevel
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1201,6 +1207,7 @@ def q_dedup_semantic_ivf(spark, sf_dir):
         .select("vec_id", "cent_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    assigned = drop_hot_cells(assigned, max_cell)
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,

@@ -161,3 +161,54 @@ def test_hot_bucket_guard_caps_quadratic_blowup(spark):
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).count()
     assert pairs == 1
+
+
+def test_hot_cell_guard_caps_semantic_ivf_blowup(spark):
+    """The IVF-cell analogue of the hot-bucket test: a duplicate-heavy
+    crawl collapses into one giant centroid cell; drop_hot_cells must
+    remove it before the within-cell |cell|^2 self-join while leaving
+    normal cells untouched."""
+    import pyspark.sql.functions as F
+
+    rows = (
+        [(i, 3) for i in range(500)]            # hot cell: 500 vectors
+        + [(1000 + i, 10 + i) for i in range(20)]  # 20 singleton cells
+        + [(2000, 7), (2001, 7)]                 # one normal pair cell
+    )
+    assigned = spark.createDataFrame(rows, "vec_id long, cent_id int")
+    kept = S.drop_hot_cells(assigned, max_cell=64)
+    got = {r.cent_id for r in kept.select("cent_id").distinct().collect()}
+    assert 3 not in got                          # hot cell gone
+    assert 7 in got and 10 in got                # others intact
+    assert kept.count() == 22
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cent_id") == F.col("b.cent_id"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).count()
+    assert pairs == 1
+
+
+def test_semantic_ivf_fixture_cells_below_default_cap(spark, sf_dir):
+    """The fixture embeddings' widest IVF cell sits far below the 4096
+    default cap, so the capped query is byte-identical to the uncapped
+    oracle — pin that precondition so a fixture change can't silently
+    turn the cap into an oracle divergence."""
+    from basin_cli_spark.queries.llm_ops import (
+        _frozen_ivf_codebook,
+        load_table,
+    )
+    from basin_cli_spark.operators import kmeans as KM
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _frozen_ivf_codebook(e)
+    widest = (
+        KM.assign_ids(e, cents, metric="cos")
+        .groupBy("cent_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert widest < 4096
