@@ -146,7 +146,14 @@ def bloom_decontaminate(
     )
     h1c = F.xxhash64("shingle")
     h2c = F.xxhash64(F.lit(1), F.col("shingle"))
-    hashed = eval_sh.select(h1c.alias("h1"), h2c.alias("h2")).toPandas()
+    # ONE driver snapshot feeds both the Bloom bits and the exact-verify
+    # relation: if the bloom were built eagerly here while the exact join
+    # lazily re-read a growing eval source at execution time, fresh eval
+    # shingles would pass the exact join but miss the stale bloom — a
+    # silent break of the 'bit-identical to decontaminate()' contract.
+    hashed = eval_sh.select(
+        "shingle", h1c.alias("h1"), h2c.alias("h2")
+    ).toPandas()
     m, nk = _bloom_params(len(hashed), fpp)
     bits = np.zeros((m + 7) // 8, dtype=np.uint8)
     if len(hashed):
@@ -154,6 +161,9 @@ def bloom_decontaminate(
             bits, hashed["h1"].to_numpy(np.int64),
             hashed["h2"].to_numpy(np.int64), m, nk,
         )
+        eval_sh = spark.createDataFrame(hashed[["shingle"]])
+    else:
+        eval_sh = spark.createDataFrame([], "shingle string")
     bc = spark.sparkContext.broadcast((bits, m, nk))
 
     @pandas_udf("boolean")
@@ -173,9 +183,9 @@ def bloom_decontaminate(
     survivors = train_sh.withColumn("_h1", h1c).withColumn(
         "_h2", h2c
     ).where(maybe_in_bloom("_h1", "_h2")).select(id_col, "shingle")
-    # exact verify: the (small, benchmark-scale) eval shingle set is
-    # recomputed rather than persisted — a cached copy would outlive the
-    # returned plan and leak executor storage across registry runs.
+    # exact verify against the SAME snapshot the bloom was built from (a
+    # local relation, not a re-read of the eval source) — no persist, so
+    # nothing outlives the returned plan.
     return (
         survivors.join(F.broadcast(eval_sh), "shingle")
         .groupBy(id_col)
@@ -251,3 +261,35 @@ def chunk_documents(
             F.col(text_col), F.col("chunk_id") * stride + 1, size
         ).alias("chunk_text"),
     )
+
+
+def per_source_partial_topk(
+    df: DataFrame,
+    k: int,
+    order_cols: list[str],
+    source_col: str = "source",
+) -> DataFrame:
+    """Skew escape for per-source top-k: inside each Arrow batch, keep at
+    most k rows per source (by `order_cols` ascending) BEFORE the global
+    source-keyed window.
+
+    A plain row_number window shuffles the whole corpus on source, so one
+    source holding 30% of a 100 TB corpus lands on a single reducer task.
+    Any row in a source's global top-k is necessarily in the top-k of
+    every batch it appears in, so the per-batch filter is a conservative
+    superset: the rows reaching the global window shrink from |corpus| to
+    at most (batches x k) per source while the final answer is
+    bit-identical.  No shuffle — mapInPandas over the slim projection; the
+    order keys must already be materialized columns (e.g. md5(text)
+    computed JVM-side first) so Python never touches document text."""
+    keys = list(order_cols)
+
+    def gen(batches):
+        for pdf in batches:
+            yield (
+                pdf.sort_values(keys, kind="mergesort")
+                .groupby(source_col, sort=False)
+                .head(k)
+            )
+
+    return df.mapInPandas(gen, df.schema)

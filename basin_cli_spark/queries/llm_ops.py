@@ -18,6 +18,7 @@ from basin_cli_spark.operators import dedup as D
 from basin_cli_spark.operators import similarity as S
 from basin_cli_spark.operators import text as TX
 from basin_cli_spark.queries import register
+from basin_cli_spark.session import persist_once
 from basin_cli_spark.sources import load_table
 
 # Shared SQL fragments mirroring operators/dedup.py
@@ -717,8 +718,6 @@ def q_dedup_embedding(spark, sf_dir):
 def _embedding_dedup_pairs(spark, sf_dir):
     """Shared pair builder for q_dedup_embedding (pairs as the result)
     and q_dedup_embedding_keep_one (pairs as the dup graph's edges)."""
-    from pyspark import StorageLevel
-
     e = load_table(spark, sf_dir, "embeddings")
     band_bits = S.band_bits_for(_corpus_count(e, sf_dir))
     expl = e.select(
@@ -731,7 +730,7 @@ def _embedding_dedup_pairs(spark, sf_dir):
     # read it, and without the cache Spark runs the Arrow signature
     # kernel twice.  ~24 bytes/row x bands — safe at any corpus size
     # (same rationale as operators/dedup.minhash_lsh_pairs).
-    expl = expl.persist(StorageLevel.MEMORY_AND_DISK)
+    expl = persist_once(expl)
     a, b = expl.alias("a"), expl.alias("b")
     pairs = (
         a.join(
@@ -853,15 +852,20 @@ WITH media AS ({_MM_BASE}), d AS (SELECT *, sha256(text) AS sha FROM media)
 SELECT media_id,
        CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
        sha AS content_sha,
-       CAST({_hexpair_sql('sha', 1)} AS INT) AS fake_width,
-       CAST({_hexpair_sql('sha', 3)} AS INT) AS fake_height
+       CAST({_hexpair_sql('sha', 1)} AS INT) AS width,
+       CAST({_hexpair_sql('sha', 3)} AS INT) AS height,
+       'stub' AS decoder
 FROM d
 """
 
 
 @register("q_multimodal_decode", _MM_DECODE_ORACLE)
 def q_multimodal_decode(spark, sf_dir):
-    """Arrow-batched mapInPandas decode-metadata kernel (stub decoder)."""
+    """Arrow-batched mapInPandas decode-metadata kernel.  The fixture's
+    synthesized media are UTF-8 text bytes, which no real image decoder
+    parses, so the output is the deterministic digest-derived stub path
+    in EVERY environment (decoder='stub') — the oracle is stable whether
+    or not a Pillow wheel is installed."""
     from basin_cli_spark.operators import multimodal as MM
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
@@ -1195,17 +1199,14 @@ def q_dedup_semantic_ivf(spark, sf_dir, max_cell=4096):
     families document."""
     from basin_cli_spark.operators import kmeans as KM
     from basin_cli_spark.operators.similarity import drop_hot_cells
-    from pyspark import StorageLevel
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = _frozen_ivf_codebook(e)
     # slim (vec_id, cent_id) assignment feeds both self-join sides;
     # persisted so the Arrow assignment kernel runs once (same rationale
     # as _embedding_dedup_pairs' signature table) — 16 bytes/row
-    assigned = (
-        KM.assign_ids(e, cents, metric="cos")
-        .select("vec_id", "cent_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned = persist_once(
+        KM.assign_ids(e, cents, metric="cos").select("vec_id", "cent_id")
     )
     assigned = drop_hot_cells(assigned, max_cell)
     a, b = assigned.alias("a"), assigned.alias("b")
@@ -1837,16 +1838,29 @@ def q_sample_per_source_cap(spark, sf_dir):
     md5 sort key is a uniform scramble of each source's docs, so the
     kept set is an unbiased k-sample of the source, reproducible across
     runs and engines (no RNG), and stable under appends of OTHER
-    sources.  One shuffle keyed on source; per-partition sort feeds the
-    rank, and rows ranked past k short-circuit — the same top-k-per-
-    group shape as q_topk_per_group, with the skewed-giant-source escape
-    being a pre-filter on a per-partition partial rank."""
+    sources.
+
+    Skew escape (curation.per_source_partial_topk): each Arrow batch
+    keeps at most k rows per source before the global window — a
+    conservative superset filter (a global top-k row is a per-batch
+    top-k row in every batch), so the answer is bit-identical while the
+    source-keyed shuffle shrinks from |corpus| to <= batches x k rows
+    per source.  A giant source holding 30% of a 100 TB corpus now
+    contributes bounded rows to its single reducer task instead of 30 TB.
+    The md5 key is computed JVM-side on the slim projection; Python never
+    touches text.  Equivalence on a skewed multi-partition source is
+    pinned in tests/test_curation.py."""
     from pyspark.sql import Window
+    from basin_cli_spark.operators.curation import per_source_partial_topk
 
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    slim = d.select("doc_id", "source", F.md5("text").alias("_mk"))
+    pre = per_source_partial_topk(slim, 50, ["_mk", "doc_id"])
+    w = Window.partitionBy("source").orderBy("_mk", "doc_id")
     return (
-        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        pre.select(
+            "doc_id", "source", F.row_number().over(w).alias("rn")
+        )
         .where(F.col("rn") <= 50)
         .select("doc_id", "source")
     )
@@ -2174,12 +2188,8 @@ def q_similarity_text_hash(spark, sf_dir):
     hashed embedding -> the same similarity machinery trained embeddings
     use.  Both engines fold the dot product sequentially over the same
     rounded unit values, so scores match bit-for-bit."""
-    from pyspark import StorageLevel
-
     d = load_table(spark, sf_dir, "documents")
-    emb = TX.hash_embedding(d, "text", "doc_id", dim=64).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    emb = persist_once(TX.hash_embedding(d, "text", "doc_id", dim=64))
     q = emb.where(F.col("doc_id") == 0).select(
         F.col("embedding").alias("_q_emb")
     )

@@ -124,7 +124,28 @@ def main() -> None:
             docs10.where(is_new), docs10.where(~is_new)
         ).count()
 
+    def per_source_cap_skewed():
+        # collapse 90% of the corpus into ONE source: the partial-topk
+        # pre-filter must bound what reaches the source-keyed window
+        from pyspark.sql import Window as W
+
+        skewed = docs10.withColumn(
+            "source",
+            F.when(F.col("doc_id") % 10 < 9, F.lit("giant")).otherwise(
+                F.col("source")
+            ),
+        ).select("doc_id", "source", F.md5("text").alias("_mk"))
+        pre = CUR.per_source_partial_topk(skewed, 50, ["_mk", "doc_id"])
+        w = W.partitionBy("source").orderBy("_mk", "doc_id")
+        return (
+            pre.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 50)
+            .count()
+        )
+
     timed(f"minhash-LSH pair gen ({COPIES}x docs)", minhash_pairs, nd, results)
+    timed(f"per-source cap, 90%-skewed source ({COPIES}x docs)",
+          per_source_cap_skewed, nd, results)
     timed(f"decontamination vs broadcast eval set ({COPIES}x docs)",
           decon, nd, results)
     timed(f"decontamination, Bloom-prefiltered ({COPIES}x docs)",

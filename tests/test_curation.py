@@ -230,3 +230,66 @@ def test_compression_ratio_orders_text_quality(spark):
     # empty text -> null, not a crash
     empty = spark.createDataFrame([(9, "")], "doc_id long, text string")
     assert compression_ratio(empty, "text", "doc_id").collect()[0][1] is None
+
+
+def test_per_source_partial_topk_matches_plain_window(spark):
+    """The skew-escape pre-filter must be answer-preserving: a skewed
+    source spread across many input partitions yields the exact rows a
+    plain global row_number window keeps, and the pre-filter output is
+    small (<= partitions x k per source)."""
+    from pyspark.sql import Window
+
+    rows = [(i, "giant", f"t{i:05d}") for i in range(2000)] + [
+        (10000 + i, f"small{i % 5}", f"s{i:03d}") for i in range(50)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).repartition(16)
+    slim = d.select("doc_id", "source", F.md5("text").alias("_mk"))
+
+    k = 7
+    pre = C.per_source_partial_topk(slim, k, ["_mk", "doc_id"])
+    w = Window.partitionBy("source").orderBy("_mk", "doc_id")
+
+    def capped(df):
+        return (
+            df.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= k)
+            .select("doc_id", "source")
+        )
+
+    got = {tuple(r) for r in capped(pre).collect()}
+    want = {tuple(r) for r in capped(slim).collect()}
+    assert got == want
+    # the giant source reaches the global window with bounded rows
+    pre_giant = pre.where(F.col("source") == "giant").count()
+    assert pre_giant <= 16 * 2 * k  # partitions x (arrow batches/part) x k
+    assert pre_giant < 2000
+
+
+def test_mad_prune_zero_mad_floor(spark, tmp_path):
+    """A source where >50% of docs share one length has MAD=0; the
+    floored threshold must keep the near-median docs instead of
+    discarding everything not exactly median-length."""
+    from basin_cli_spark.queries import load_all
+
+    rows = (
+        [(i, "uniform", "x" * 100, 100) for i in range(10)]
+        + [(100, "uniform", "x" * 101, 101)]   # within floor of 1
+        + [(101, "uniform", "x" * 500, 500)]   # genuine outlier
+        + [(200 + i, "varied", "y" * (50 + 10 * i), 50 + 10 * i)
+           for i in range(7)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id
+        for r in load_all()["q_corpus_mad_prune"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(range(10)) <= got       # median-length docs kept
+    assert 100 in got                  # 1-char-off doc kept by the floor
+    assert 101 not in got              # real outlier still pruned
