@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 from pyspark.storagelevel import StorageLevel
 
+from basin_cli_spark.session import persist_once
+
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of lowercased text, empties dropped."""
@@ -105,6 +107,11 @@ def minhash_bands(
     only on the document's own shingles, so bands computed over any
     superset/subset of a corpus agree row-for-row — the property the
     incremental (new-vs-corpus) dedup relies on."""
+    # guard here, not in callers: a non-divisible band_size would silently
+    # truncate the signature (trailing minhashes never banded)
+    assert n_hashes % band_size == 0, (
+        f"n_hashes={n_hashes} not divisible by band_size={band_size}"
+    )
     sig = minhash_signatures(df, text_col, id_col, n_hashes)
     band_structs = [
         F.struct(
@@ -191,7 +198,7 @@ def minhash_lsh_pairs(
     # recomputes the whole shingle->signature pipeline twice.  Signatures
     # are ~bands rows per doc — tiny relative to the corpus, safe to cache
     # even at 100 TB of input text.
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = persist_once(bands)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -284,9 +291,7 @@ def ngram_jaccard_pairs(
     inverted index), never a cross join."""
     # distinct shingle set per doc; persisted because it feeds three plans
     # (both self-join sides + the per-doc set sizes).
-    sh = shingle_rows(df, text_col, id_col, k).distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh = persist_once(shingle_rows(df, text_col, id_col, k).distinct())
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

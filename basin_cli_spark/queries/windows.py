@@ -462,8 +462,10 @@ def q_hypertable_rollup(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum(dec("value")).alias("sv"),  # stay decimal for re-agg
         )
-        .persist()
     )
+    from basin_cli_spark.session import persist_once
+
+    hourly = persist_once(hourly)
     daily = hourly.groupBy(
         F.date_trunc("day", "h").alias("d"), "event_type"
     ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))

@@ -68,3 +68,27 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def persist_once(df, level=None):
+    """``persist()`` that no-ops when an equivalent plan is already cached.
+
+    Queries that persist an intermediate (LSH signatures, IVF assignments,
+    the vocab-sized bigram model) are re-invoked per bench rep and per
+    registry run; Spark's CacheManager matches cache entries by analyzed
+    plan, so the re-run's ``persist()`` call hits an existing entry and
+    logs ``WARN CacheManager: Asked to cache already cached data`` — noisy
+    but harmless.  Probing the cache first keeps re-runs silent AND makes
+    the reuse explicit: the second invocation reads the first's cache, the
+    steady state the persist design intends.  Falls back to a plain
+    persist if the (classic-mode) JVM internals are unavailable."""
+    from pyspark import StorageLevel
+
+    level = level or StorageLevel.MEMORY_AND_DISK
+    try:
+        jcm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        if jcm.lookupCachedData(df._jdf).isDefined():
+            return df
+    except Exception:
+        pass
+    return df.persist(level)

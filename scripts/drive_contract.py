@@ -29,6 +29,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
     con = duckdb_connect(sf_dir)
     failed = []
     for name, fn in qs.items():
+        # scope each query's persisted intermediates to its own run —
+        # orphaned cache entries would otherwise accumulate across the
+        # whole registry (same discipline as bench.py's timing loop)
+        spark.catalog.clearCache()
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         if name in oracles:
