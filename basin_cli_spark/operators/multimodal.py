@@ -5,24 +5,35 @@ an opaque ``binary`` content column plus typed metadata columns, processed
 by Arrow-batched ``mapInPandas`` / ``pandas_udf`` kernels so bytes never
 cross the JVM<->Python boundary row-at-a-time.
 
-The container has no media libraries, so the *decode kernels are
-deterministic stubs* (clearly marked below): real pixel/sample decoding
-raises ``NotImplementedError`` unless the caller opts into the fake
-decoder, which derives metadata/features from the content bytes alone.
-Everything around the kernel — schema, batch iteration, frame explosion,
-fixed-dim feature vectors — is the real Spark plumbing and is what the
-tests assert.
+Image decoding is DUAL-PATH: when a PIL/Pillow wheel is importable the
+kernel parses real pixel dimensions; otherwise (and for bytes PIL cannot
+parse) it falls back to a *deterministic stub* that derives dimensions
+from the content digest — clearly labeled per row via the ``decoder``
+column.  ``allow_stub=False`` demands a real decoder and raises
+``NotImplementedError`` when PIL is absent.  Audio/video decode remains
+stub-only (no libav in any supported image yet).  Everything around the
+kernel — schema, batch iteration, frame explosion, fixed-dim feature
+vectors — is the real Spark plumbing and is what the tests assert.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:  # container without Pillow — stub decode only
+    _PILImage = None
+    HAVE_PIL = False
 
 # Typed metadata carried alongside the opaque blob.
 MEDIA_META_SCHEMA = T.StructType(
@@ -57,21 +68,38 @@ _DECODE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.IntegerType(), True),
         T.StructField("content_sha", T.StringType(), True),
-        T.StructField("fake_width", T.IntegerType(), True),
-        T.StructField("fake_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("decoder", T.StringType(), True),
     ]
 )
 
 
+def _pil_dims(b: bytes):
+    """(width, height) via Pillow, or None when the bytes aren't a
+    parseable image.  ``Image.open`` on a BytesIO reads only the header —
+    no full pixel decode — so this is cheap even for large blobs."""
+    try:
+        with _PILImage.open(io.BytesIO(b)) as im:
+            return im.size
+    except Exception:
+        return None
+
+
 def decode_info(df: DataFrame, *, allow_stub: bool = True) -> DataFrame:
     """Per-blob decode metadata via ``mapInPandas`` (one Arrow batch at a
-    time, never per-row Python).
+    time, never per-row Python loop on the JVM boundary).
 
-    STUB: real decoding (PIL/libav) is unavailable in this container; the
-    fake decoder derives width/height from the first sha256 bytes.  Call
-    with ``allow_stub=False`` to get the honest ``NotImplementedError``.
-    """
-    if not allow_stub:
+    Dual-path: with Pillow importable, parseable images get REAL pixel
+    dimensions (``decoder='pil'``); unparseable bytes — and every blob in
+    a container without Pillow — fall back to the deterministic stub that
+    derives dimensions from the sha256 digest (``decoder='stub'``), so
+    the output is a pure function of content in every environment.
+    ``allow_stub=False`` demands a real decoder: it raises
+    ``NotImplementedError`` when Pillow is absent, and marks unparseable
+    blobs ``decoder='undecodable'`` with null dimensions instead of
+    inventing fake ones."""
+    if not allow_stub and not HAVE_PIL:
         raise NotImplementedError(
             "real media decode requires PIL/libav, not present in this "
             "container — rerun with allow_stub=True for the deterministic "
@@ -83,14 +111,43 @@ def decode_info(df: DataFrame, *, allow_stub: bool = True) -> DataFrame:
             sha = pdf["content"].map(
                 lambda b: hashlib.sha256(bytes(b)).hexdigest()
             )
+            if HAVE_PIL:
+                dims = pdf["content"].map(lambda b: _pil_dims(bytes(b)))
+            else:
+                dims = pd.Series([None] * len(pdf), index=pdf.index)
+            use_stub = dims.isna() & allow_stub
+            width = pd.Series(
+                [
+                    d[0] if d is not None
+                    else (int(h[:2], 16) if st else None)
+                    for d, h, st in zip(dims, sha, use_stub)
+                ],
+                dtype="Int32",
+            )
+            height = pd.Series(
+                [
+                    d[1] if d is not None
+                    else (int(h[2:4], 16) if st else None)
+                    for d, h, st in zip(dims, sha, use_stub)
+                ],
+                dtype="Int32",
+            )
+            decoder = pd.Series(
+                [
+                    "pil" if d is not None
+                    else ("stub" if st else "undecodable")
+                    for d, st in zip(dims, use_stub)
+                ],
+                dtype="object",
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": pdf["content"].map(len).astype("int32"),
                     "content_sha": sha,
-                    # STUB decode: "dimensions" from the digest, not pixels.
-                    "fake_width": sha.map(lambda h: int(h[:2], 16)).astype("int32"),
-                    "fake_height": sha.map(lambda h: int(h[2:4], 16)).astype("int32"),
+                    "width": width,
+                    "height": height,
+                    "decoder": decoder,
                 }
             )
 

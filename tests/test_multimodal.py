@@ -20,15 +20,23 @@ def media(spark, sf_dir):
     return MM.synthesize_media(docs, "text", "doc_id")
 
 
-def test_decode_refuses_real_decode(media):
-    with pytest.raises(NotImplementedError):
-        MM.decode_info(media, allow_stub=False)
+def test_decode_refuses_real_decode_without_pil(media):
+    """allow_stub=False demands a real decoder: NotImplementedError in a
+    container without Pillow; with Pillow it runs, marking unparseable
+    blobs 'undecodable' with null dims instead of inventing fake ones."""
+    if not MM.HAVE_PIL:
+        with pytest.raises(NotImplementedError):
+            MM.decode_info(media, allow_stub=False)
+    else:
+        rows = MM.decode_info(media, allow_stub=False).collect()
+        assert all(r["decoder"] == "undecodable" for r in rows)
+        assert all(r["width"] is None for r in rows)
 
 
 def test_decode_stub_schema_and_values(media):
     out = MM.decode_info(media)
     assert [f.name for f in out.schema.fields] == [
-        "media_id", "n_bytes", "content_sha", "fake_width", "fake_height",
+        "media_id", "n_bytes", "content_sha", "width", "height", "decoder",
     ]
     rows = {r["media_id"]: r for r in out.collect()}
     src = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
@@ -37,7 +45,35 @@ def test_decode_stub_schema_and_values(media):
         sha = hashlib.sha256(src[mid]).hexdigest()
         assert r["content_sha"] == sha
         assert r["n_bytes"] == len(src[mid])
-        assert r["fake_width"] == int(sha[:2], 16)
+        # text bytes parse in no environment -> digest-derived stub dims
+        assert r["decoder"] == "stub"
+        assert r["width"] == int(sha[:2], 16)
+        assert r["height"] == int(sha[2:4], 16)
+
+
+# a valid 1x1 transparent PNG (public constant, e.g. RFC-style minimal file)
+_PNG_1X1 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
+    "0000000d4944415478da63fcff9fa11e00078d027e85fb1f0f0000000049454e44"
+    "ae426082"
+)
+
+
+def test_decode_real_image_when_pil_present(spark):
+    """Dual-path pin: a genuine PNG gets real pixel dims via Pillow when
+    the wheel is installed, and the digest stub otherwise — the same
+    kernel, per-row labeled."""
+    media = spark.createDataFrame(
+        [(1, _PNG_1X1, "image/png", 1)],
+        "media_id long, content binary, media_type string, n_frames int",
+    )
+    r = MM.decode_info(media).collect()[0]
+    if MM.HAVE_PIL:
+        assert (r["width"], r["height"], r["decoder"]) == (1, 1, "pil")
+    else:
+        sha = hashlib.sha256(_PNG_1X1).hexdigest()
+        assert r["decoder"] == "stub"
+        assert r["width"] == int(sha[:2], 16)
 
 
 def test_frame_sampling_row_multiplication(media):
