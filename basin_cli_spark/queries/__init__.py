@@ -85,45 +85,49 @@ def register(name: str, oracle: str | None = None):
 REPRESENTATIVE_HEAD = [
     # aggregation
     "q1_pricing_summary", "q_agg_stats", "q_grouping_sets",
-    "q_approx_count_distinct",
     # TPC-H join/agg shapes (broadcast-doctrine queries included)
     "q3_shipping_priority", "q5_local_supplier_volume",
-    "q7_nation_trade_volume", "q9_product_type_profit",
+    "q9_product_type_profit",
     # projection/filter/expression
-    "q_filter_predicates", "q_case_expr",
+    "q_filter_predicates",
     # joins
-    "q_join_inner_broadcast", "q_join_anti", "q_join_range", "q_join_asof",
+    "q_join_inner_broadcast", "q_join_anti", "q_join_asof",
     # windows / time series
-    "q_topk_per_group", "q_window_tumbling", "q_hypertable_rollup",
-    "q_timeseries_gapfill",
+    "q_topk_per_group", "q_window_tumbling", "q_timeseries_gapfill",
     # set ops
     "q_except_all",
     # scalar function families
-    "q_string_funcs", "q_json_funcs",
+    "q_json_funcs",
     # sources/sinks
     "q_csv_roundtrip",
-    # r5 curation flagships (q_interval_arith / q_in_memory_rows rotated
-    # out of the sample; still covered by the in-repo all-queries suite)
+    # curation flagships
     "q_dedup_incremental", "q_decontaminate_bloom",
-    # CDC + multiset digest
-    "q_cdc_record_stream", "q_cdc_apply_upserts", "q_ecmh_digest",
-    "q_muhash_digest",
+    # CDC + multiset digest (r6 rotation: SCD2 historization in)
+    "q_cdc_record_stream", "q_cdc_apply_upserts", "q_cdc_scd2_history",
+    "q_ecmh_digest", "q_muhash_digest",
     # events surface
     "q_events_before_after",
     # deduplication
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_semantic_ivf",
+    "q_dedup_minhash", "q_dedup_semantic_ivf",
     "q_dedup_embedding", "q_dedup_embedding_keep_one", "q_dedup_keep_one",
     "q_dedup_repeated_spans",
-    # similarity search
-    "q_similarity_bruteforce", "q_similarity_ann_lsh",
-    "q_similarity_ann_multiprobe", "q_similarity_ann_ivf",
-    "q_similarity_pq_adc",
+    # similarity search (r6 rotation: TRAINED IVF/PQ variants in)
+    "q_similarity_bruteforce", "q_similarity_ann_multiprobe",
+    "q_similarity_ann_ivf", "q_similarity_pq_adc",
+    "q_similarity_ann_ivf_trained", "q_similarity_pq_adc_trained",
     # text analysis
-    "q_text_quality_stats", "q_text_compression_ratio", "q_text_language_id",
-    # curation
-    "q_decontaminate", "q_corpus_lm_prune", "q_corpus_delete_digest",
-    # streaming
-    "q_stream_near_dedup", "q_stream_tumbling_agg",
+    "q_text_quality_stats", "q_text_language_id",
+    # curation (r6 rotation: leakage audit, rebalance, MAD prune, shard
+    # pack, per-source cap in; previously-attested r5 rows — approx-cd,
+    # q7, case-expr, range join, hypertable rollup, string funcs, exact
+    # dedup, ann-lsh, compression ratio, plain decontaminate — rotate
+    # out of the sample, still covered by the in-repo all-queries suite)
+    "q_corpus_lm_prune", "q_corpus_delete_digest", "q_split_leakage",
+    "q_corpus_rebalance", "q_corpus_mad_prune", "q_corpus_shard_pack",
+    "q_sample_per_source_cap",
+    # streaming (r6 rotation: CDC-merge and quality gate in)
+    "q_stream_near_dedup", "q_stream_tumbling_agg", "q_stream_cdc_apply",
+    "q_stream_quality_gate",
     # multimodal plumbing
     "q_multimodal_meta",
 ]

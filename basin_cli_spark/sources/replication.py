@@ -10,8 +10,9 @@ LSNs with StandbyStatusUpdate messages.
 This module re-expresses every protocol artifact as PURE functions over
 bytes — the walsender wire format is public Postgres documentation
 (protocol §55.4, "Streaming Replication Protocol") — so the sandbox can
-golden-test exact frame bytes without a live server, and a thin socket
-shim is all that's missing for live use.  The Spark side consumes the
+golden-test exact frame bytes without a live server.  The socket carrier
+lives in sources/pgwire.py (Postgres v3 wire client, loopback-tested
+against an in-process fake walsender).  The Spark side consumes the
 resulting wal2json records through sources/cdc.py exactly as it consumes
 file-based streams; this layer's output is that layer's input.
 

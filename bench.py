@@ -121,6 +121,15 @@ def main() -> None:
         spreads[name] = round(max(runs) - min(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Environment marker: round-over-round totals have shifted uniformly
+    # across untouched queries before (r4->r5 ~40%), which is sandbox load,
+    # not plan changes.  Recording the 1/5/15-min load average and core
+    # count alongside the numbers lets a cross-round comparison carry that
+    # caveat explicitly instead of guessing.
+    env = {
+        "load_avg": [round(v, 2) for v in os.getloadavg()],
+        "cpus": os.cpu_count(),
+    }
     print(
         json.dumps(
             {
@@ -129,6 +138,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "spread": spreads,
+                "env": env,
                 "total_pre_r4_subset": round(
                     sum(
                         v
