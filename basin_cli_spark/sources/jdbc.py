@@ -9,10 +9,15 @@ must supply (or let us derive) a numeric partition column + bounds, which
 Spark turns into one WHERE-range query per partition.
 
 No Postgres runs in this container: unit tests cover the discovery SQL
-and reader-option construction; the connection path is exercised only
+and reader-option construction; the PG connection path is exercised only
 when a ``SPARK_GRAFT_PG_URL`` integration environment provides a server
 (mirroring the reference's docker-gated integration tests,
-reference pkg/pgrepl/replicator_test.go:37-94).
+reference pkg/pgrepl/replicator_test.go:37-94).  The *JDBC snapshot
+machinery itself* — real DriverManager connection, partitioned range
+queries, filter pushdown into the remote scan — IS executed live in
+sandbox tests against the embedded Derby database that ships in Spark's
+jars (tests/test_sources.py), so only the PG-specific discovery SQL
+remains golden-tested-but-not-live here.
 """
 
 from __future__ import annotations
@@ -70,14 +75,18 @@ def snapshot_options(
     upper_bound: int | None = None,
     num_partitions: int = 32,
     fetch_size: int = 10_000,
+    driver: str = "org.postgresql.Driver",
 ) -> dict[str, str]:
     """JDBC reader options for a parallel snapshot.  With a partition
     column Spark issues ``numPartitions`` range-bounded queries; without
-    one the scan is single-connection (only acceptable for dim tables)."""
+    one the scan is single-connection (only acceptable for dim tables).
+    ``driver`` defaults to Postgres (the reference's source database);
+    any JDBC driver on the classpath works — tests use Spark's bundled
+    embedded Derby to run this path live without a server."""
     opts = {
         "url": url,
         "dbtable": table,
-        "driver": "org.postgresql.Driver",
+        "driver": driver,
         "fetchsize": str(fetch_size),
     }
     if partition_column is not None:

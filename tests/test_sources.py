@@ -161,3 +161,52 @@ def test_schema_discovery_against_live_postgres():
         ("tags", "integer[]", True, False),
         ("note", "text", False, False),
     ]
+
+
+# -- live JDBC snapshot against embedded Derby (round-6) ---------------------
+#
+# Spark ships Derby jars, so the snapshot machinery — a REAL DriverManager
+# connection, partitioned range queries, filter pushdown into the remote
+# scan — runs live in the sandbox with no server.  Only the PG-specific
+# information_schema discovery SQL stays golden-tested + env-gated above.
+
+def _derby_conn(spark, url):
+    return spark._jvm.java.sql.DriverManager.getConnection(url)
+
+
+def test_jdbc_snapshot_live_embedded_derby(spark, tmp_path):
+    from basin_cli_spark.sources.jdbc import postgres_snapshot
+
+    url = f"jdbc:derby:{tmp_path}/itdb;create=true"
+    conn = _derby_conn(spark, url)
+    st = conn.createStatement()
+    st.execute("CREATE TABLE snap_t (id INT PRIMARY KEY, grp INT, name VARCHAR(20))")
+    for i in range(100):
+        st.execute(
+            f"INSERT INTO snap_t VALUES ({i}, {i % 4}, 'name_{i:03d}')"
+        )
+    st.close()
+    conn.close()
+
+    df = postgres_snapshot(
+        spark,
+        url=url,
+        table="snap_t",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    )
+    # partitioned read: Spark issues one range-bounded query per partition
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+    assert {r["GRP"] for r in df.select("GRP").distinct().collect()} == {0, 1, 2, 3}
+
+    # filter pushdown reaches the remote scan: the JDBC relation's plan
+    # carries PushedFilters, so a 100 TB source table ships only matching
+    # rows — the property the snapshot design depends on at scale
+    filtered = df.where(df["ID"] < 10)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan" in plan
+    assert filtered.count() == 10
