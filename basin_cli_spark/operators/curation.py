@@ -263,33 +263,11 @@ def chunk_documents(
     )
 
 
-def per_source_partial_topk(
-    df: DataFrame,
-    k: int,
-    order_cols: list[str],
-    source_col: str = "source",
-) -> DataFrame:
-    """Skew escape for per-source top-k: inside each Arrow batch, keep at
-    most k rows per source (by `order_cols` ascending) BEFORE the global
-    source-keyed window.
-
-    A plain row_number window shuffles the whole corpus on source, so one
-    source holding 30% of a 100 TB corpus lands on a single reducer task.
-    Any row in a source's global top-k is necessarily in the top-k of
-    every batch it appears in, so the per-batch filter is a conservative
-    superset: the rows reaching the global window shrink from |corpus| to
-    at most (batches x k) per source while the final answer is
-    bit-identical.  No shuffle — mapInPandas over the slim projection; the
-    order keys must already be materialized columns (e.g. md5(text)
-    computed JVM-side first) so Python never touches document text."""
-    keys = list(order_cols)
-
-    def gen(batches):
-        for pdf in batches:
-            yield (
-                pdf.sort_values(keys, kind="mergesort")
-                .groupby(source_col, sort=False)
-                .head(k)
-            )
-
-    return df.mapInPandas(gen, df.schema)
+# NOTE on per-source top-k skew: an Arrow partial-top-k pre-filter
+# (mapInPandas keeping k rows per source per batch before the global
+# window) was implemented here and then REMOVED: Catalyst already infers
+# the identical filter natively — a rank-limit filter over a window makes
+# InferWindowGroupLimit (SPARK-37099) plant ``WindowGroupLimit(...,
+# Partial)`` below the Exchange, bounding what each map partition ships
+# per source without leaving the JVM.  See q_sample_per_source_cap and
+# its plan test for the pinned contract.

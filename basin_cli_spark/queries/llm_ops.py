@@ -1840,25 +1840,25 @@ def q_sample_per_source_cap(spark, sf_dir):
     runs and engines (no RNG), and stable under appends of OTHER
     sources.
 
-    Skew escape (curation.per_source_partial_topk): each Arrow batch
-    keeps at most k rows per source before the global window — a
-    conservative superset filter (a global top-k row is a per-batch
-    top-k row in every batch), so the answer is bit-identical while the
-    source-keyed shuffle shrinks from |corpus| to <= batches x k rows
-    per source.  A giant source holding 30% of a 100 TB corpus now
-    contributes bounded rows to its single reducer task instead of 30 TB.
-    The md5 key is computed JVM-side on the slim projection; Python never
-    touches text.  Equivalence on a skewed multi-partition source is
-    pinned in tests/test_curation.py."""
+    Skew escape — NATIVE and JVM-side: because the plan filters on
+    row_number() <= k, Catalyst's InferWindowGroupLimit (SPARK-37099,
+    public Spark) inserts ``WindowGroupLimit(..., row_number(), k,
+    Partial)`` BELOW the source-keyed Exchange — a per-map-partition
+    rank <= k pre-filter — so the shuffle moves at most
+    map_partitions x k rows per source, never the corpus.  A source
+    holding 30% of a 100 TB corpus contributes bounded rows to its
+    single reducer task instead of 30 TB.  A hand-rolled Arrow
+    partial-top-k kernel was measured equivalent and removed: the
+    built-in operator is the same filter without leaving the JVM.
+    Pinned by the plan test
+    test_per_source_cap_partial_limit_before_exchange."""
     from pyspark.sql import Window
-    from basin_cli_spark.operators.curation import per_source_partial_topk
 
     d = load_table(spark, sf_dir, "documents")
     slim = d.select("doc_id", "source", F.md5("text").alias("_mk"))
-    pre = per_source_partial_topk(slim, 50, ["_mk", "doc_id"])
     w = Window.partitionBy("source").orderBy("_mk", "doc_id")
     return (
-        pre.select(
+        slim.select(
             "doc_id", "source", F.row_number().over(w).alias("rn")
         )
         .where(F.col("rn") <= 50)

@@ -54,6 +54,10 @@ HEADLINE = [
     "q_muhash_digest",  # added r5
     "q_dedup_incremental",  # added r5
     "q_decontaminate_bloom",  # added r5
+    "q_sample_per_source_cap",  # added r6 (skew-escape partial top-k)
+    "q_corpus_mad_prune",  # added r6
+    "q_cdc_scd2_history",  # added r6
+    "q_similarity_pq_adc_trained",  # added r6
 ]
 
 # queries added to the headline per round — summed out of the
@@ -69,6 +73,12 @@ _R5_ADDED = {
     "q_muhash_digest",
     "q_dedup_incremental",
     "q_decontaminate_bloom",
+}
+_R6_ADDED = {
+    "q_sample_per_source_cap",
+    "q_corpus_mad_prune",
+    "q_cdc_scd2_history",
+    "q_similarity_pq_adc_trained",
 }
 
 
@@ -143,12 +153,20 @@ def main() -> None:
                     sum(
                         v
                         for k, v in times.items()
-                        if k not in _R4_ADDED | _R5_ADDED
+                        if k not in _R4_ADDED | _R5_ADDED | _R6_ADDED
                     ),
                     3,
                 ),
                 "total_pre_r5_subset": round(
-                    sum(v for k, v in times.items() if k not in _R5_ADDED), 3
+                    sum(
+                        v
+                        for k, v in times.items()
+                        if k not in _R5_ADDED | _R6_ADDED
+                    ),
+                    3,
+                ),
+                "total_pre_r6_subset": round(
+                    sum(v for k, v in times.items() if k not in _R6_ADDED), 3
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -125,8 +125,10 @@ def main() -> None:
         ).count()
 
     def per_source_cap_skewed():
-        # collapse 90% of the corpus into ONE source: the partial-topk
-        # pre-filter must bound what reaches the source-keyed window
+        # collapse 90% of the corpus into ONE source: Catalyst's native
+        # WindowGroupLimit(Partial) below the Exchange bounds what each
+        # map partition ships per source, so the giant source's reducer
+        # task receives <= map_partitions x k rows, not 90% of the corpus
         from pyspark.sql import Window as W
 
         skewed = docs10.withColumn(
@@ -135,10 +137,9 @@ def main() -> None:
                 F.col("source")
             ),
         ).select("doc_id", "source", F.md5("text").alias("_mk"))
-        pre = CUR.per_source_partial_topk(skewed, 50, ["_mk", "doc_id"])
         w = W.partitionBy("source").orderBy("_mk", "doc_id")
         return (
-            pre.withColumn("rn", F.row_number().over(w))
+            skewed.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 50)
             .count()
         )

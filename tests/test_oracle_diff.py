@@ -20,6 +20,10 @@ def oracle_con(sf_dir):
 
 @pytest.mark.parametrize("name", ORACLE_BACKED)
 def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
+    # scope each query's persisted intermediates to its own run (same
+    # discipline as bench.py / drive_contract.py) — 180 queries on one
+    # session would otherwise accumulate orphaned cache entries
+    spark.catalog.clearCache()
     spec = QUERIES[name]
     sdf = spec.fn(spark, sf_dir)
     opdf = oracle_con.execute(spec.oracle).df()

@@ -282,3 +282,27 @@ def test_dedup_embedding_shuffle_shape(spark, sf_dir, registry):
     # candidate generation joins on the exploded band/sig keys
     assert "band" in plan and "sig" in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_per_source_cap_partial_limit_before_exchange(spark, sf_dir, registry):
+    """The per-source-cap skew escape is NATIVE: the rank<=k filter makes
+    Catalyst plant WindowGroupLimit(..., row_number(), k, Partial) BELOW
+    the source-keyed Exchange (InferWindowGroupLimit, SPARK-37099), so
+    each map partition ships at most k rows per source into the shuffle
+    — a giant source cannot flood its reducer task.  Formatted plans
+    number operators bottom-up (children smaller), so the Partial limit's
+    id must be below the Exchange's."""
+    import re
+
+    df = registry["q_sample_per_source_cap"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    partial = re.search(
+        r"\((\d+)\) WindowGroupLimit\nInput[^\n]*\nArguments: [^\n]*Partial",
+        plan,
+    )
+    exch = re.search(r"\((\d+)\) Exchange", plan)
+    assert partial, "no partial WindowGroupLimit in plan:\n" + plan
+    assert exch, "no Exchange in plan:\n" + plan
+    assert int(partial.group(1)) < int(exch.group(1))
+    # and nothing Python-side: the whole query stays in the JVM
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
