@@ -190,8 +190,9 @@ def q_corpus_mad_prune(spark, sf_dir):
     table that joins back as a filter; the document text never moves.
     Both engines interpolate medians over sorted values identically.
     At 100 TB with a skewed giant source, the medians switch to the
-    approx-percentile + broadcast-thresholds two-pass, same as the
-    quantile prune.
+    approx-percentile + broadcast-thresholds two-pass, IMPLEMENTED as
+    q_corpus_quantile_prune_2pass (median = percentile 0.5 in the same
+    sketch aggregation).
 
     Degenerate-MAD floor: when >50% of a source's docs share one length,
     MAD is 0 and a bare 3*mad gate would keep only exactly-median-length
@@ -211,6 +212,69 @@ def q_corpus_mad_prune(spark, sf_dir):
         d.join(mad, "source")
         .where(F.abs(F.col("n_chars") - F.col("med")) <= thresh)
         .select("doc_id", "source", "n_chars")
+    )
+
+
+_QPRUNE_2PASS_ORACLE = """
+WITH th AS (
+  SELECT source,
+         QUANTILE_DISC(n_chars, 0.1) AS lo,
+         QUANTILE_DISC(n_chars, 0.9) AS hi,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT d.source,
+       MAX(th.n_docs) AS n_docs,
+       COUNT(*) FILTER (WHERE d.n_chars BETWEEN th.lo AND th.hi)
+         BETWEEN 0.70 * MAX(th.n_docs) AND 0.92 * MAX(th.n_docs) AS kept_ok
+FROM documents d JOIN th USING (source)
+GROUP BY d.source
+"""
+
+
+@register("q_corpus_quantile_prune_2pass", _QPRUNE_2PASS_ORACLE)
+def q_corpus_quantile_prune_2pass(spark, sf_dir):
+    """The skewed-giant-source escape the exact quantile prune documents —
+    implemented, not promised: per-source p10/p90 come from ONE hash
+    aggregation whose percentile sketches partial-aggregate map-side
+    (no per-source sort, no single reducer owning a giant source), the
+    sources-sized threshold table broadcasts back, and the corpus streams
+    through a stateless range filter — document text never shuffles at
+    all, where the percent_rank window must move every row of a source
+    to one task.
+
+    Oracle is tolerance-as-boolean (the q_approx_count_distinct
+    convention): Spark's GK percentile_approx and DuckDB's quantile_disc
+    may pick adjacent order statistics, so each engine asserts its own
+    kept fraction lands in [0.70, 0.92] of the source (the exact-window
+    answer keeps ~80%); the per-source doc counts must match
+    bit-for-bit.  Exactness of the quantile gate itself is covered by
+    q_corpus_quantile_prune."""
+    d = load_table(spark, sf_dir, "documents")
+    slim = d.select("source", "n_chars")
+    th = slim.groupBy("source").agg(
+        F.percentile_approx("n_chars", 0.1, 100000).alias("lo"),
+        F.percentile_approx("n_chars", 0.9, 100000).alias("hi"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    kept = (
+        slim.join(F.broadcast(th), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_chars").between(F.col("lo"), F.col("hi")), 1
+                ).otherwise(0)
+            ).alias("_kept"),
+        )
+    )
+    return kept.select(
+        "source",
+        "n_docs",
+        F.col("_kept")
+        .between(0.70 * F.col("n_docs"), 0.92 * F.col("n_docs"))
+        .alias("kept_ok"),
     )
 
 
@@ -689,8 +753,9 @@ def q_corpus_lm_prune(spark, sf_dir):
 
     Scale shape: the model build is two hash-aggs; scoring joins on the
     gram; the prune window is per-language sort-within-partition — the
-    same shape as q_corpus_quantile_prune, with the same two-pass
-    approx-quantile escape if one language dwarfs the cluster.  Docs
+    same shape as q_corpus_quantile_prune, with the same implemented
+    two-pass approx-quantile escape (q_corpus_quantile_prune_2pass)
+    if one language dwarfs the cluster.  Docs
     with fewer than two tokens carry no bigram evidence and are not
     scored (both engines drop them)."""
     from pyspark.sql import Window

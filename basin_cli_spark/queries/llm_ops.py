@@ -1885,8 +1885,9 @@ def q_corpus_quantile_prune(spark, sf_dir):
     percent_rank is (rank-1)/(n-1), identical IEEE arithmetic in both
     engines, and the (n_chars, doc_id) order is total so ranks are
     deterministic.  One shuffle keyed on source; at 100 TB the window is
-    per-source sort-within-partition, and a skewed giant source would
-    switch to the two-pass approx-quantile + broadcast-thresholds plan."""
+    per-source sort-within-partition, and for a skewed giant source the
+    two-pass approx-quantile + broadcast-thresholds plan is IMPLEMENTED
+    as q_corpus_quantile_prune_2pass (corpus_ops.py)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")

@@ -293,6 +293,13 @@ def main() -> None:
         "only pays off when the skewed side dwarfs the other).",
         "The curation rows are per-document workloads (keyed on shingle/band buckets), so their rows/s counts corpus documents, not fact rows.",
         "",
+        "The 90%-skewed per-source-cap row runs the capped window with one",
+        "source holding 90% of the corpus: Catalyst's InferWindowGroupLimit",
+        "plants a partial rank<=k filter below the source-keyed Exchange, so",
+        "the giant source's reducer receives <= map_partitions x k rows —",
+        "the plan property pinned by",
+        "tests/test_plans.py::test_per_source_cap_partial_limit_before_exchange.",
+        "",
         "The Bloom-prefiltered decontamination row is SLOWER than the plain",
         "broadcast here, and that is the expected crossover, not a defect: at",
         "this scale the eval shingle set is a few thousand strings, so its",
@@ -319,11 +326,20 @@ def main() -> None:
         "pure CPython: the modular sqrt is the hash-to-curve cost itself and has",
         "no batch trick (batch inversion doesn't apply; lazy/tree product",
         "reduction was measured and LOSES to sequential mulmod because CPython",
-        "big-int multiplication grows superlinearly).  The escape hatch, if the",
-        "deployment image allows native wheels, is `gmpy2` (GMP bindings) for",
-        "~20-40x on both paths, or `coincurve`/`libsecp256k1` for the EC path —",
-        "neither ships in this container, so the pure-CPython numbers above are",
-        "the honest floor and are regression-guarded in tests/test_muhash.py.",
+        "big-int multiplication grows superlinearly).  As of round 6 both modules",
+        "TRY-IMPORT `gmpy2` (GMP bindings) and route the hot operation through it",
+        "when present — the ECMH sqrt pow via `gmpy2.powmod` + `gmpy2.jacobi`,",
+        "the MuHash accumulator via `mpz` mulmod and `gmpy2.invert` — for the",
+        "documented ~20-40x, falling back to pure CPython bit-identically (same",
+        "known-answer oracles; backend status recorded by",
+        "tests/test_muhash.py::test_native_backend_status_and_digest_stability).",
+        "`gmpy2` does NOT ship in this container (`HAVE_GMPY2 = False` here), so",
+        "the pure-CPython numbers above remain the measured floor and are",
+        "regression-guarded in tests/test_muhash.py.  `coincurve` was evaluated",
+        "and rejected for the EC path: it wraps libsecp256k1's ECDSA/combine",
+        "surface, not hash-to-curve, and point addition is already cheap",
+        "(Jacobian, no per-add inversion) — the sqrt inside the point mapping is",
+        "the cost, which gmpy2 covers.",
         "",
         "MuHash (Maxwell/Wuille's rolling multiset hash, deployed in Bitcoin",
         "Core's assumeutxo) carries the exact same insert/remove/union/difference",
