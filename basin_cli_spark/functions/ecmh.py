@@ -27,9 +27,9 @@ Throughput engineering (the digest must survive a 100 TB scan):
   Jacobian multiplications); ONE inversion happens at digest() time;
 * residuosity per attempt is a GCD-style Jacobi symbol (~37 us), so the
   one expensive step — the ~130 us sqrt modular pow — runs once per row,
-  not once per attempt; that pow is the pure-CPython floor (a production
-  deployment would swap hash-to-point for a C secp256k1 binding, which
-  this module isolates behind _hash_to_point).
+  not once per attempt; that pow is the pure-CPython floor, and it is
+  the operation the opportunistic gmpy2 path below accelerates when a
+  GMP wheel is present (see the try-import note).
 
 Net, measured: ~860 -> ~4,100 rows/s/core (~130k rows/s on 32 cores);
 the map side is embarrassingly parallel (each partition folds

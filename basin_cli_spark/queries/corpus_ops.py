@@ -278,6 +278,102 @@ def q_corpus_quantile_prune_2pass(spark, sf_dir):
     )
 
 
+# -- Gopher-rules composite quality gate --------------------------------------
+
+_GOPHER_STOPWORDS = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
+
+_GOPHER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tokens
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         LEN(tokens) AS n_words,
+         LIST_REDUCE(LIST_TRANSFORM(tokens, t -> LENGTH(t)), (x, y) -> x + y)
+           AS sum_len,
+         LEN(LIST_FILTER(tokens, t -> t LIKE '%#%' OR t LIKE '%...%'))
+           AS n_symbol,
+         LEN(LIST_FILTER(tokens, t -> REGEXP_MATCHES(t, '[a-z]')))
+           AS n_alpha,
+         LEN(LIST_FILTER(tokens, t -> LIST_CONTAINS({_GOPHER_STOPWORDS}, t)))
+           AS n_stop
+  FROM toks WHERE LEN(tokens) > 0
+)
+SELECT doc_id, n_words,
+       ROUND(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+       n_stop,
+       n_words BETWEEN 50 AND 100000
+         AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+         AND CAST(n_symbol AS DOUBLE) / n_words < 0.1
+         AND CAST(n_alpha AS DOUBLE) / n_words > 0.8
+         AND n_stop >= 2
+       AS passes
+FROM m
+"""
+
+
+@register("q_corpus_gopher_rules", _GOPHER_ORACLE)
+def q_corpus_gopher_rules(spark, sf_dir):
+    """Gopher-rules composite quality gate (Rae et al. 2021 Appendix A,
+    public): word-count bounds, mean-word-length band, symbol-to-word
+    ratio, alphabetic-word fraction, and minimum stopword evidence,
+    combined into one per-document pass/fail — the classic rule stack
+    between raw crawl and dedup.
+
+    Emits the per-rule signals plus the verdict (not a filtered subset)
+    so the oracle pins every rule's arithmetic, not just the survivors.
+
+    Scale shape: one narrow pass — tokenize once, fold counts with
+    higher-order array functions entirely in the JVM (no UDF, no
+    shuffle); the gate composes with q_corpus_split/q_llm_prep_pipeline
+    the way the stub-threshold quality score does.  Uses the same
+    whitespace tokenization as the dedup family (operators/dedup.tokens
+    / _SQL_TOKENS) so rule counts and shingle counts agree."""
+    from basin_cli_spark.operators.dedup import tokens as tok_expr
+
+    d = load_table(spark, sf_dir, "documents")
+    stop = [s.strip("'") for s in
+            _GOPHER_STOPWORDS.strip("[]").split(", ")]
+    toks = d.select("doc_id", tok_expr("text").alias("_t"))
+    m = toks.where(F.size("_t") > 0).select(
+        "doc_id",
+        F.size("_t").alias("n_words"),
+        F.aggregate(
+            F.transform("_t", lambda t: F.length(t)), F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(
+            F.filter("_t", lambda t: t.contains("#") | t.contains("..."))
+        ).alias("n_symbol"),
+        F.size(F.filter("_t", lambda t: t.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(
+            F.filter(
+                "_t",
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(s) for s in stop]), t
+                ),
+            )
+        ).alias("n_stop"),
+    )
+    mwl = F.col("sum_len").cast("double") / F.col("n_words")
+    passes = (
+        F.col("n_words").between(50, 100000)
+        & mwl.between(3.0, 10.0)
+        & ((F.col("n_symbol").cast("double") / F.col("n_words")) < 0.1)
+        & ((F.col("n_alpha").cast("double") / F.col("n_words")) > 0.8)
+        & (F.col("n_stop") >= 2)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round(mwl, 6).alias("mean_word_len"),
+        "n_stop",
+        passes.alias("passes"),
+    )
+
+
 # -- split leakage detection --------------------------------------------------
 
 _LEAK_ORACLE = f"""
