@@ -206,6 +206,13 @@ _HINTED_BX = {
     "q_dedup_source_overlap": 0,
     "q_corpus_mad_prune": 0,
     "q_corpus_rebalance": 4,         # (total, n_langs) scalar + rates table
+    # r6: the two-pass prune hints its per-source threshold table —
+    # sources are operational units (crawl batches), bounded like the
+    # rebalance rates table, ~24 B/row; NOT an SF-scaling relation.
+    "q_corpus_quantile_prune_2pass": 2,
+    "q_corpus_gopher_rules": 0,
+    "q_sample_per_source_cap": 0,
+    "q_dedup_semantic_ivf": 0,       # hot-cell cap adds no broadcast
 }
 # Scalar 1-row broadcast singletons plan as BroadcastNestedLoopJoin even
 # with the threshold off — by design (see _NLJ_ALLOWED).
