@@ -535,3 +535,60 @@ def test_loopback_tcp_session_resume():
     assert [a.hex() for a in server.received_acks] == [
         _ssu_hex(R.parse_lsn(resume))
     ]
+
+
+def test_loopback_tcp_reconnect_resumes_from_acked_lsn():
+    """Connection-drop recovery round-trip (the reference replicator's
+    restart path): session 1 consumes and acks two transactions, the
+    server goes away; session 2 connects to a fresh walsender whose
+    slot's confirmed_flush_lsn is what session 1 acked — and must START_
+    REPLICATION exactly there, with its first keepalive echo acking the
+    resume point."""
+    lines = _wal_lines()[:2]
+    tx = [json.loads(ln) for ln in lines]
+    server1 = LoopbackWalsender(
+        resume_lsn=None,
+        frames=[_xlogdata(900, lines[0]), _xlogdata(950, lines[1])],
+    )
+    server1.start()
+    client1 = W.PgWireReplicationClient("127.0.0.1", server1.port)
+    try:
+        session1, _ = R.start_replication_session(
+            client1, "pub", tables=["public.t"]
+        )
+        for payload in R.pump(session1, client1):
+            session1.commit(json.loads(payload)["commit_lsn"])
+    finally:
+        client1.close()
+    server1.join(timeout=10)
+
+    # the slot's confirmed_flush_lsn is the last StandbyStatusUpdate's
+    # write position — parse it from the ack bytes the server recorded
+    last_ack = server1.received_acks[-1]
+    acked = int.from_bytes(last_ack[1:9], "big")
+    assert acked == tx[1]["commit_lsn"]
+
+    resume_text = R.format_lsn(acked)
+    server2 = LoopbackWalsender(
+        resume_lsn=resume_text, frames=[_keepalive(acked, reply=True)]
+    )
+    server2.start()
+    client2 = W.PgWireReplicationClient("127.0.0.1", server2.port)
+    try:
+        session2, _ = R.start_replication_session(
+            client2, "pub", tables=["public.t"]
+        )
+        assert session2.commit_lsn == acked
+        assert list(R.pump(session2, client2)) == []
+    finally:
+        client2.close()
+    server2.join(timeout=10)
+    assert not any(
+        c.startswith("CREATE_REPLICATION_SLOT") for c in server2.executed
+    )
+    assert (
+        f"START_REPLICATION SLOT basin_pub LOGICAL {resume_text} ("
+        in server2.executed[-1]
+    )
+    # nothing re-consumed; the keepalive echo acks the resume point
+    assert [a.hex() for a in server2.received_acks] == [_ssu_hex(acked)]
