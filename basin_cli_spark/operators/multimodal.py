@@ -5,14 +5,17 @@ an opaque ``binary`` content column plus typed metadata columns, processed
 by Arrow-batched ``mapInPandas`` / ``pandas_udf`` kernels so bytes never
 cross the JVM<->Python boundary row-at-a-time.
 
-Image decoding is DUAL-PATH: when a PIL/Pillow wheel is importable the
-kernel parses real pixel dimensions; otherwise (and for bytes PIL cannot
-parse) it falls back to a *deterministic stub* that derives dimensions
-from the content digest — clearly labeled per row via the ``decoder``
-column.  ``allow_stub=False`` demands a real decoder and raises
-``NotImplementedError`` when PIL is absent.  Audio/video decode remains
-stub-only (no libav in any supported image yet).  Everything around the
-kernel — schema, batch iteration, frame explosion, fixed-dim feature
+Image metadata decode is THREE-TIER, most-real first: (1) PNG/GIF/JPEG
+dimensions parsed from the public container headers in pure stdlib —
+REAL in every environment, no wheels, the same public-format-parsing
+approach as sources/carv1.py; (2) Pillow, when a wheel is importable,
+for other formats; (3) a *deterministic stub* deriving dimensions from
+the content digest — each row labeled via the ``decoder`` column.
+``allow_stub=False`` forbids tier 3 (unparseable blobs get null dims,
+'undecodable').  Full pixel decode / audio / video remain out of scope
+(no libav in any supported image); frame/feature kernels below stand in
+with digest-derived values, honestly labeled.  Everything around the
+kernels — schema, batch iteration, frame explosion, fixed-dim feature
 vectors — is the real Spark plumbing and is what the tests assert.
 """
 
@@ -75,6 +78,40 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
+def _header_dims(b: bytes):
+    """(width, height) parsed straight from the PUBLIC container header —
+    PNG (IHDR), GIF87a/89a (logical screen descriptor), JPEG (SOF frame
+    scan) — pure stdlib, the same public-format-parsing approach as
+    sources/carv1.py.  Returns None for anything else.  This makes image
+    metadata decode REAL in every environment; Pillow (when installed)
+    only extends coverage to formats not parsed here."""
+    import struct as _s
+
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            return _s.unpack(">II", b[16:24])
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = _s.unpack("<HH", b[6:10])
+            return (w, h)
+        if b[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOF frame
+            off = 2
+            while off + 9 < len(b):
+                if b[off] != 0xFF:
+                    return None
+                marker = b[off + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    off += 2
+                    continue
+                (seglen,) = _s.unpack(">H", b[off + 2 : off + 4])
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = _s.unpack(">HH", b[off + 5 : off + 9])
+                    return (w, h)
+                off += 2 + seglen
+    except Exception:
+        return None
+    return None
+
+
 def _pil_dims(b: bytes):
     """(width, height) via Pillow, or None when the bytes aren't a
     parseable image.  ``Image.open`` on a BytesIO reads only the header —
@@ -90,31 +127,33 @@ def decode_info(df: DataFrame, *, allow_stub: bool = True) -> DataFrame:
     """Per-blob decode metadata via ``mapInPandas`` (one Arrow batch at a
     time, never per-row Python loop on the JVM boundary).
 
-    Dual-path: with Pillow importable, parseable images get REAL pixel
-    dimensions (``decoder='pil'``); unparseable bytes — and every blob in
-    a container without Pillow — fall back to the deterministic stub that
-    derives dimensions from the sha256 digest (``decoder='stub'``), so
-    the output is a pure function of content in every environment.
-    ``allow_stub=False`` demands a real decoder: it raises
-    ``NotImplementedError`` when Pillow is absent, and marks unparseable
-    blobs ``decoder='undecodable'`` with null dimensions instead of
-    inventing fake ones."""
-    if not allow_stub and not HAVE_PIL:
-        raise NotImplementedError(
-            "real media decode requires PIL/libav, not present in this "
-            "container — rerun with allow_stub=True for the deterministic "
-            "fake decoder"
-        )
+    Three-tier decode, most-real first:
+    1. ``decoder='header'`` — PNG/GIF/JPEG dimensions parsed from the
+       public container header in pure stdlib (real in EVERY
+       environment, no wheels);
+    2. ``decoder='pil'`` — Pillow, when importable, for formats the
+       header parser doesn't cover;
+    3. ``decoder='stub'`` — deterministic sha256-derived dimensions for
+       anything unparseable, so output stays a pure function of content
+       in every environment.
+    ``allow_stub=False`` forbids tier 3: unparseable blobs get null
+    dimensions and ``decoder='undecodable'`` instead of invented ones
+    (and without Pillow the reduced format coverage is the caller's
+    explicit choice)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sha = pdf["content"].map(
                 lambda b: hashlib.sha256(bytes(b)).hexdigest()
             )
+            dims = pdf["content"].map(lambda b: _header_dims(bytes(b)))
+            tier = dims.map(lambda d: "header" if d is not None else None)
             if HAVE_PIL:
-                dims = pdf["content"].map(lambda b: _pil_dims(bytes(b)))
-            else:
-                dims = pd.Series([None] * len(pdf), index=pdf.index)
+                pil = pdf["content"].map(
+                    lambda b: _pil_dims(bytes(b))
+                ).where(dims.isna(), None)
+                tier = tier.where(pil.isna(), "pil")
+                dims = dims.where(pil.isna(), pil)
             use_stub = dims.isna() & allow_stub
             width = pd.Series(
                 [
@@ -134,9 +173,9 @@ def decode_info(df: DataFrame, *, allow_stub: bool = True) -> DataFrame:
             )
             decoder = pd.Series(
                 [
-                    "pil" if d is not None
+                    t if d is not None
                     else ("stub" if st else "undecodable")
-                    for d, st in zip(dims, use_stub)
+                    for d, t, st in zip(dims, tier, use_stub)
                 ],
                 dtype="object",
             )

@@ -20,17 +20,13 @@ def media(spark, sf_dir):
     return MM.synthesize_media(docs, "text", "doc_id")
 
 
-def test_decode_refuses_real_decode_without_pil(media):
-    """allow_stub=False demands a real decoder: NotImplementedError in a
-    container without Pillow; with Pillow it runs, marking unparseable
-    blobs 'undecodable' with null dims instead of inventing fake ones."""
-    if not MM.HAVE_PIL:
-        with pytest.raises(NotImplementedError):
-            MM.decode_info(media, allow_stub=False)
-    else:
-        rows = MM.decode_info(media, allow_stub=False).collect()
-        assert all(r["decoder"] == "undecodable" for r in rows)
-        assert all(r["width"] is None for r in rows)
+def test_decode_no_stub_marks_text_undecodable(media):
+    """allow_stub=False forbids invented dimensions: the text-bytes
+    fixture parses in no tier, so every blob comes back 'undecodable'
+    with null dims — never digest-derived fakes."""
+    rows = MM.decode_info(media, allow_stub=False).collect()
+    assert all(r["decoder"] == "undecodable" for r in rows)
+    assert all(r["width"] is None and r["height"] is None for r in rows)
 
 
 def test_decode_stub_schema_and_values(media):
@@ -59,21 +55,39 @@ _PNG_1X1 = bytes.fromhex(
 )
 
 
-def test_decode_real_image_when_pil_present(spark):
-    """Dual-path pin: a genuine PNG gets real pixel dims via Pillow when
-    the wheel is installed, and the digest stub otherwise — the same
-    kernel, per-row labeled."""
+# a valid 2x1 GIF89a header (public constant, logical screen 2x1)
+_GIF_2X1 = b"GIF89a" + (2).to_bytes(2, "little") + (1).to_bytes(2, "little") + b"\x00" * 5
+
+# a minimal JPEG: SOI, SOF0 frame (height 3, width 4), EOI — enough for
+# the public-format header scan (no entropy-coded data needed)
+_JPEG_4X3 = (
+    b"\xff\xd8"
+    + b"\xff\xc0" + (11).to_bytes(2, "big")
+    + b"\x08" + (3).to_bytes(2, "big") + (4).to_bytes(2, "big")
+    + b"\x01" + b"\x11\x00"
+    + b"\xff\xd9"
+)
+
+
+def test_decode_real_image_headers_every_environment(spark):
+    """Header-tier pin: genuine PNG/GIF/JPEG containers decode to REAL
+    pixel dimensions via pure-stdlib public-format parsing — no Pillow
+    required, same answer in every environment."""
     media = spark.createDataFrame(
-        [(1, _PNG_1X1, "image/png", 1)],
+        [
+            (1, _PNG_1X1, "image/png", 1),
+            (2, _GIF_2X1, "image/gif", 1),
+            (3, _JPEG_4X3, "image/jpeg", 1),
+        ],
         "media_id long, content binary, media_type string, n_frames int",
     )
-    r = MM.decode_info(media).collect()[0]
-    if MM.HAVE_PIL:
-        assert (r["width"], r["height"], r["decoder"]) == (1, 1, "pil")
-    else:
-        sha = hashlib.sha256(_PNG_1X1).hexdigest()
-        assert r["decoder"] == "stub"
-        assert r["width"] == int(sha[:2], 16)
+    rows = {r["media_id"]: r for r in MM.decode_info(media).collect()}
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["decoder"]) == (1, 1, "header")
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["decoder"]) == (2, 1, "header")
+    assert (rows[3]["width"], rows[3]["height"], rows[3]["decoder"]) == (4, 3, "header")
+    # allow_stub=False keeps the real tiers working
+    strict = {r["media_id"]: r for r in MM.decode_info(media, allow_stub=False).collect()}
+    assert strict[1]["decoder"] == "header" and strict[1]["width"] == 1
 
 
 def test_frame_sampling_row_multiplication(media):
