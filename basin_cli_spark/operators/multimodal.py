@@ -12,11 +12,15 @@ approach as sources/carv1.py; (2) Pillow, when a wheel is importable,
 for other formats; (3) a *deterministic stub* deriving dimensions from
 the content digest — each row labeled via the ``decoder`` column.
 ``allow_stub=False`` forbids tier 3 (unparseable blobs get null dims,
-'undecodable').  Full pixel decode / audio / video remain out of scope
-(no libav in any supported image); frame/feature kernels below stand in
-with digest-derived values, honestly labeled.  Everything around the
-kernels — schema, batch iteration, frame explosion, fixed-dim feature
-vectors — is the real Spark plumbing and is what the tests assert.
+'undecodable').  Audio metadata is REAL too: synthesize_audio writes
+genuine RIFF/WAVE PCM containers (stdlib ``wave``) and audio_meta walks
+the chunk structure back with struct — a full container round-trip with
+no codec libraries.  Full pixel/sample decode and video remain out of
+scope (no libav in any supported image); frame/feature kernels below
+stand in with digest-derived values, honestly labeled.  Everything
+around the kernels — schema, batch iteration, frame explosion,
+fixed-dim feature vectors — is the real Spark plumbing and is what the
+tests assert.
 """
 
 from __future__ import annotations
@@ -253,3 +257,129 @@ def extract_features(df: DataFrame, dim: int = 4) -> DataFrame:
         )
 
     return df.select("media_id", feats(F.col("content")).alias("features"))
+
+
+_AUDIO_BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def synthesize_audio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL WAV corpus: every document becomes a valid
+    RIFF/WAVE PCM file written by stdlib ``wave`` — channels, sample
+    rate, and frame count derived from the id (pure function, no RNG),
+    sample bytes from the content md5.  Exists so the audio path can
+    round-trip genuine containers in a container with no media files or
+    codec libraries."""
+    import wave
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid, txt in zip(pdf[id_col], pdf[text_col]):
+                ch = 1 + int(mid) % 2
+                rate = 8000 + (int(mid) % 4) * 4000
+                nf = 100 + int(mid) % 50
+                seed = hashlib.md5(str(txt).encode()).digest()
+                data = (seed * (nf * ch // 16 + 1))[: nf * ch]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(ch)
+                    w.setsampwidth(1)
+                    w.setframerate(rate)
+                    w.writeframes(data)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "content": blobs,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, _AUDIO_BLOB_SCHEMA)
+
+
+_AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+    ]
+)
+
+
+def _parse_wav(b: bytes):
+    """RIFF/WAVE PCM metadata from the public container format (fmt +
+    data chunk walk, word-aligned) — pure stdlib struct, the same
+    header-parsing doctrine as _header_dims.  Returns None for
+    non-WAV bytes."""
+    import struct as _s
+
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        off, ch, rate, bits, data_sz = 12, None, None, None, None
+        while off + 8 <= len(b):
+            cid = b[off : off + 4]
+            (sz,) = _s.unpack("<I", b[off + 4 : off + 8])
+            if cid == b"fmt ":
+                _, ch, rate = _s.unpack("<HHI", b[off + 8 : off + 16])
+                (bits,) = _s.unpack("<H", b[off + 22 : off + 24])
+            elif cid == b"data":
+                data_sz = sz
+            off += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if None in (ch, rate, bits, data_sz):
+            return None
+        n_frames = data_sz // (ch * bits // 8)
+        return (ch, rate, bits, n_frames)
+    except Exception:
+        return None
+
+
+def audio_meta(df: DataFrame) -> DataFrame:
+    """Per-blob WAV metadata via mapInPandas: REAL container parsing
+    (no stub tier — non-WAV bytes yield nulls), duration as
+    frames/rate."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": pdf["media_id"].astype("int64"),
+                "channels": [], "sample_rate": [], "bits": [],
+                "n_frames": [], "duration_s": [],
+            }
+            for b in pdf["content"]:
+                m = _parse_wav(bytes(b))
+                if m is None:
+                    for k in ("channels", "sample_rate", "bits", "n_frames",
+                              "duration_s"):
+                        rows[k].append(None)
+                else:
+                    ch, rate, bits, nf = m
+                    rows["channels"].append(ch)
+                    rows["sample_rate"].append(rate)
+                    rows["bits"].append(bits)
+                    rows["n_frames"].append(nf)
+                    rows["duration_s"].append(round(nf / rate, 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "channels": pd.Series(rows["channels"], dtype="Int32"),
+                    "sample_rate": pd.Series(rows["sample_rate"], dtype="Int32"),
+                    "bits": pd.Series(rows["bits"], dtype="Int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="Int32"),
+                    "duration_s": pd.Series(rows["duration_s"], dtype="float64"),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, _AUDIO_META_SCHEMA
+    )

@@ -908,6 +908,34 @@ def q_multimodal_features(spark, sf_dir):
     return MM.extract_features(MM.synthesize_media(d, "text", "doc_id"))
 
 
+_MM_AUDIO_ORACLE = """
+SELECT doc_id AS media_id,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+       CAST(8 AS INT) AS bits,
+       CAST(100 + doc_id % 50 AS INT) AS n_frames,
+       ROUND(CAST(100 + doc_id % 50 AS DOUBLE)
+             / (8000 + (doc_id % 4) * 4000), 6) AS duration_s
+FROM documents WHERE doc_id < 200
+"""
+
+
+@register("q_multimodal_audio_meta", _MM_AUDIO_ORACLE)
+def q_multimodal_audio_meta(spark, sf_dir):
+    """REAL audio-container round-trip, no codec libraries: every doc
+    becomes a genuine RIFF/WAVE PCM file (stdlib wave writer, params a
+    pure function of the id), then audio_meta walks the RIFF chunk
+    structure back with struct and reports channels/rate/bits/frames/
+    duration.  The oracle replays the synthesis formulas, so a parser
+    bug (wrong chunk walk, wrong alignment, wrong frame math) diverges
+    from the writer and fails the hash check — the same
+    write-then-reparse discipline as the CAR v1 reader tests."""
+    from basin_cli_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return MM.audio_meta(MM.synthesize_audio(d, "text", "doc_id"))
+
+
 _IVF_ORACLE = f"""
 WITH cents AS (
   SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % 25 = 0
