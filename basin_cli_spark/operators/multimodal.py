@@ -12,15 +12,16 @@ approach as sources/carv1.py; (2) Pillow, when a wheel is importable,
 for other formats; (3) a *deterministic stub* deriving dimensions from
 the content digest — each row labeled via the ``decoder`` column.
 ``allow_stub=False`` forbids tier 3 (unparseable blobs get null dims,
-'undecodable').  Audio metadata is REAL too: synthesize_audio writes
-genuine RIFF/WAVE PCM containers (stdlib ``wave``) and audio_meta walks
-the chunk structure back with struct — a full container round-trip with
-no codec libraries.  Full pixel/sample decode and video remain out of
-scope (no libav in any supported image); frame/feature kernels below
-stand in with digest-derived values, honestly labeled.  Everything
-around the kernels — schema, batch iteration, frame explosion,
-fixed-dim feature vectors — is the real Spark plumbing and is what the
-tests assert.
+'undecodable').  Audio and video container metadata are REAL too:
+synthesize_audio writes genuine RIFF/WAVE PCM (stdlib ``wave``) and
+audio_meta walks the chunk structure back with struct; synthesize_video
+builds genuine ISO-BMFF MP4s (ftyp + moov/mvhd per ISO/IEC 14496-12)
+and video_meta box-walks them — full container round-trips with no
+codec libraries.  Full pixel/sample decode remains out of scope (no
+libav in any supported image); frame/feature kernels below stand in
+with digest-derived values, honestly labeled.  Everything around the
+kernels — schema, batch iteration, frame explosion, fixed-dim feature
+vectors — is the real Spark plumbing and is what the tests assert.
 """
 
 from __future__ import annotations
@@ -382,4 +383,138 @@ def audio_meta(df: DataFrame) -> DataFrame:
 
     return df.select("media_id", "content").mapInPandas(
         kernel, _AUDIO_META_SCHEMA
+    )
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", len(payload) + 8) + btype + payload
+
+
+def synthesize_video(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL MP4 (ISO base media) corpus: ftyp + moov/mvhd
+    boxes built to the public ISO/IEC 14496-12 layout — timescale 600,
+    duration a pure function of the id, a brand string, and an mdat
+    carrying the content md5 — so the video path round-trips genuine
+    containers with no codec libraries."""
+    import struct as _s
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for mid, txt in zip(pdf[id_col], pdf[text_col]):
+                ticks = 150 * (1 + int(mid) % 8)
+                ftyp = _mp4_box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"isomiso2")
+                mvhd_payload = (
+                    b"\x00\x00\x00\x00"          # version 0 + flags
+                    + _s.pack(">II", 0, 0)        # ctime, mtime
+                    + _s.pack(">I", 600)          # timescale
+                    + _s.pack(">I", ticks)        # duration
+                    + _s.pack(">i", 0x00010000)   # rate 1.0
+                    + _s.pack(">h", 0x0100)       # volume 1.0
+                    + b"\x00" * 10                # reserved
+                    + b"\x00" * 36                # matrix
+                    + b"\x00" * 24                # pre_defined
+                    + _s.pack(">I", 2)            # next_track_id
+                )
+                moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd_payload))
+                mdat = _mp4_box(b"mdat", hashlib.md5(str(txt).encode()).digest())
+                blobs.append(ftyp + moov + mdat)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "content": blobs,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, _AUDIO_BLOB_SCHEMA)
+
+
+_VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("timescale", T.IntegerType(), True),
+        T.StructField("duration_ticks", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+    ]
+)
+
+
+def _parse_mp4(b: bytes):
+    """ISO-BMFF top-level box walk -> (brand, timescale, duration) from
+    ftyp + moov/mvhd (v0 and v1 layouts) — pure stdlib, public format.
+    Returns None for non-MP4 bytes."""
+    import struct as _s
+
+    try:
+        if len(b) < 12 or b[4:8] != b"ftyp":
+            return None
+        brand = b[8:12].decode("ascii")
+        off, ts, dur = 0, None, None
+        while off + 8 <= len(b):
+            (sz,) = _s.unpack(">I", b[off : off + 4])
+            btype = b[off + 4 : off + 8]
+            if sz < 8:
+                return None
+            if btype == b"moov":
+                ioff = off + 8
+                end = off + sz
+                while ioff + 8 <= end:
+                    (isz,) = _s.unpack(">I", b[ioff : ioff + 4])
+                    if b[ioff + 4 : ioff + 8] == b"mvhd":
+                        ver = b[ioff + 8]
+                        if ver == 0:
+                            ts, dur = _s.unpack(
+                                ">II", b[ioff + 20 : ioff + 28]
+                            )
+                        else:  # v1: 64-bit times
+                            (ts,) = _s.unpack(">I", b[ioff + 28 : ioff + 32])
+                            (dur,) = _s.unpack(">Q", b[ioff + 32 : ioff + 40])
+                    ioff += isz
+            off += sz
+        if ts is None:
+            return None
+        return (brand, ts, int(dur))
+    except Exception:
+        return None
+
+
+def video_meta(df: DataFrame) -> DataFrame:
+    """Per-blob MP4 metadata via mapInPandas: real box-walk parsing, null
+    row for non-MP4 bytes (no stub tier)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"].astype("int64"),
+                   "brand": [], "timescale": [], "duration_ticks": [],
+                   "duration_s": []}
+            for b in pdf["content"]:
+                m = _parse_mp4(bytes(b))
+                if m is None:
+                    out["brand"].append(None)
+                    out["timescale"].append(None)
+                    out["duration_ticks"].append(None)
+                    out["duration_s"].append(None)
+                else:
+                    brand, ts, dur = m
+                    out["brand"].append(brand)
+                    out["timescale"].append(ts)
+                    out["duration_ticks"].append(dur)
+                    out["duration_s"].append(round(dur / ts, 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "brand": pd.Series(out["brand"], dtype="object"),
+                    "timescale": pd.Series(out["timescale"], dtype="Int32"),
+                    "duration_ticks": pd.Series(out["duration_ticks"], dtype="Int32"),
+                    "duration_s": pd.Series(out["duration_s"], dtype="float64"),
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, _VIDEO_META_SCHEMA
     )

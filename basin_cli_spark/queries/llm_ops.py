@@ -936,6 +936,29 @@ def q_multimodal_audio_meta(spark, sf_dir):
     return MM.audio_meta(MM.synthesize_audio(d, "text", "doc_id"))
 
 
+_MM_VIDEO_ORACLE = """
+SELECT doc_id AS media_id,
+       'isom' AS brand,
+       CAST(600 AS INT) AS timescale,
+       CAST(150 * (1 + doc_id % 8) AS INT) AS duration_ticks,
+       ROUND(CAST(150 * (1 + doc_id % 8) AS DOUBLE) / 600, 6) AS duration_s
+FROM documents WHERE doc_id < 200
+"""
+
+
+@register("q_multimodal_video_meta", _MM_VIDEO_ORACLE)
+def q_multimodal_video_meta(spark, sf_dir):
+    """REAL video-container round-trip: genuine ISO-BMFF MP4 boxes
+    (ftyp + moov/mvhd, ISO/IEC 14496-12 public layout) built per doc,
+    then box-walked back for brand/timescale/duration — the video
+    analogue of q_multimodal_audio_meta, same write-then-reparse
+    discipline, no codec libraries."""
+    from basin_cli_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return MM.video_meta(MM.synthesize_video(d, "text", "doc_id"))
+
+
 _IVF_ORACLE = f"""
 WITH cents AS (
   SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % 25 = 0

@@ -136,3 +136,30 @@ def test_wav_roundtrip_and_parser_robustness(spark):
     )
     r = MM.audio_meta(junk).collect()[0]
     assert r["channels"] is None and r["duration_s"] is None
+
+
+def test_mp4_roundtrip_and_parser_robustness(spark):
+    """synthesize_video builds genuine ISO-BMFF boxes; video_meta
+    box-walks them back; v1 mvhd layout and junk bytes are handled."""
+    docs = spark.createDataFrame(
+        [(3, "alpha"), (10, "beta")], "doc_id long, text string"
+    )
+    vids = MM.synthesize_video(docs)
+    metas = {r["media_id"]: r for r in MM.video_meta(vids).collect()}
+    assert metas[3]["brand"] == "isom" and metas[3]["timescale"] == 600
+    assert metas[3]["duration_ticks"] == 150 * 4
+    assert metas[10]["duration_s"] == round(150 * 3 / 600, 6)
+
+    # a v1 mvhd (64-bit times) parses too
+    import struct as _s
+
+    mvhd_v1 = (
+        b"\x01\x00\x00\x00" + _s.pack(">QQ", 0, 0)
+        + _s.pack(">I", 1000) + _s.pack(">Q", 2500) + b"\x00" * 80
+    )
+    blob = (
+        MM._mp4_box(b"ftyp", b"mp42" + _s.pack(">I", 0))
+        + MM._mp4_box(b"moov", MM._mp4_box(b"mvhd", mvhd_v1))
+    )
+    assert MM._parse_mp4(blob) == ("mp42", 1000, 2500)
+    assert MM._parse_mp4(b"garbage bytes here") is None
