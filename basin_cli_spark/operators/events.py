@@ -136,6 +136,51 @@ def car_store_resolver(car_dir: str, scratch_dir: str | None = None):
     return resolve
 
 
+def gateway_resolver(
+    transport,
+    gateway_base: str,
+    scratch_dir: str | None = None,
+    timeout_s: float | None = 30.0,
+):
+    """Networked cold store as the PUBLIC IPFS trustless-gateway protocol
+    (the gateway HTTP spec the reference's lassie fetch implements over
+    bitswap, retriever.go:92-156): ``GET {base}/ipfs/{cid}?dag-scope=all``
+    with ``Accept: application/vnd.ipld.car;version=1`` returns the same
+    CAR v1 bytes a lassie fetch materializes, which the existing CAR
+    reader extracts and multihash-verifies.
+
+    ``transport`` is the provider-layer seam (ProviderRequest ->
+    ProviderResponse, sources/provider.py): a real HTTP client in
+    production, a fake in tests — so the exact request shape is pinned
+    without a network, the same discipline as every provider verb."""
+    import os
+    import tempfile
+
+    from basin_cli_spark.sources.carv1 import extract_root_block
+    from basin_cli_spark.sources.provider import ProviderRequest
+
+    def resolve(cid: str) -> str | None:
+        req = ProviderRequest(
+            method="GET",
+            url=f"{gateway_base.rstrip('/')}/ipfs/{cid}",
+            headers={"Accept": "application/vnd.ipld.car;version=1"},
+            query={"dag-scope": "all"},
+            timeout_s=timeout_s,
+        )
+        resp = transport(req)
+        if resp.status != 200:
+            return None
+        payload = extract_root_block(resp.body, cid)
+        out_dir = scratch_dir or tempfile.mkdtemp(prefix="gwx_")
+        os.makedirs(out_dir, exist_ok=True)
+        out = os.path.join(out_dir, f"{cid}.parquet")
+        with open(out, "wb") as f:
+            f.write(payload)
+        return out
+
+    return resolve
+
+
 def retrieve(spark, events: DataFrame, cid: str, resolvers=None) -> DataFrame:
     """Content-addressed retrieval (A13, reference
     internal/app/retriever.go:26-233) as a resolver CHAIN, mirroring the

@@ -185,3 +185,64 @@ def test_cli_retrieve_cold_path(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert '"id":7' in capsys.readouterr().out.replace(" ", "")
+
+
+def test_gateway_resolver_trustless_car_fetch(spark, sf_dir, tmp_path):
+    """The networked cold store, sandbox-tested: the gateway resolver
+    issues the public trustless-gateway request (GET /ipfs/{cid},
+    Accept CAR v1, dag-scope=all) through the pluggable Transport, and
+    the returned CAR bytes flow through the SAME multihash-verified
+    extract as the on-disk cold path — a fake gateway pins the request
+    shape; a wrong-cid response fails verification, a 404 falls through
+    the chain."""
+    from basin_cli_spark.operators.events import gateway_resolver, retrieve
+    from basin_cli_spark.sources import load_table
+    from basin_cli_spark.sources.provider import ProviderResponse
+
+    df = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    pq = tmp_path / "payload.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(str(pq))
+    import glob
+
+    part = glob.glob(str(pq / "part-*.parquet"))[0]
+    payload = open(part, "rb").read()
+    cid = C.cid_for_raw(payload)
+    car = C.write_car_v1([(cid, payload)], roots=[cid])
+
+    seen = []
+
+    def fake_gateway(req):
+        seen.append(req)
+        if req.url.endswith(f"/ipfs/{cid.text()}"):
+            return ProviderResponse(200, {}, car)
+        return ProviderResponse(404, {}, b"")
+
+    events = spark.createDataFrame(
+        [("unrelated", "nowhere")], "cid string, path string"
+    )
+    got = retrieve(
+        spark,
+        events,
+        cid.text(),
+        resolvers=[
+            gateway_resolver(
+                fake_gateway, "http://gw.example", scratch_dir=str(tmp_path)
+            )
+        ],
+    )
+    assert got.count() == df.count()
+    (req,) = seen
+    assert req.method == "GET"
+    assert req.url == f"http://gw.example/ipfs/{cid.text()}"
+    assert req.headers["Accept"].startswith("application/vnd.ipld.car")
+    assert req.query == {"dag-scope": "all"}
+
+    # 404 falls through to a chain miss
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        retrieve(
+            spark, events, C.cid_for_raw(b"absent").text(),
+            resolvers=[gateway_resolver(fake_gateway, "http://gw.example",
+                                        scratch_dir=str(tmp_path))],
+        )
