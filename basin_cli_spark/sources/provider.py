@@ -200,3 +200,43 @@ class VaultsProvider:
             resp.headers.get("content-disposition", "")
         )
         return resp.body
+
+
+def http_transport() -> Transport:
+    """The REAL drop-in Transport: stdlib urllib over the request value —
+    no third-party client.  Honors each request's method, headers,
+    query, body, and per-request timeout (None = unlimited, the upload
+    client's contract).  Non-2xx responses return as ProviderResponse
+    (status checked by the caller against expect_status), matching how
+    the fake transports behave — the error policy lives in ONE place
+    (ProviderClient._send), not in the carrier.  Loopback-tested against
+    an in-process http.server (tests/test_retrieval.py), the same
+    no-network-needed discipline as the pgwire walsender shim."""
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    def send(req: ProviderRequest) -> ProviderResponse:
+        url = req.url
+        if req.query:
+            url += ("&" if "?" in url else "?") + urllib.parse.urlencode(
+                req.query
+            )
+        r = urllib.request.Request(
+            url, data=req.body, headers=dict(req.headers), method=req.method
+        )
+        try:
+            with urllib.request.urlopen(r, timeout=req.timeout_s) as resp:
+                return ProviderResponse(
+                    status=resp.status,
+                    headers={k.lower(): v for k, v in resp.headers.items()},
+                    body=resp.read(),
+                )
+        except urllib.error.HTTPError as e:  # non-2xx still has a body
+            return ProviderResponse(
+                status=e.code,
+                headers={k.lower(): v for k, v in e.headers.items()},
+                body=e.read(),
+            )
+
+    return send

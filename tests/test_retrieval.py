@@ -246,3 +246,63 @@ def test_gateway_resolver_trustless_car_fetch(spark, sf_dir, tmp_path):
             resolvers=[gateway_resolver(fake_gateway, "http://gw.example",
                                         scratch_dir=str(tmp_path))],
         )
+
+
+def test_http_transport_loopback_server(tmp_path):
+    """The real urllib Transport against an in-process http.server on
+    127.0.0.1: method, path, query, headers, and body round-trip; a 404
+    comes back as a ProviderResponse (policy stays in the caller)."""
+    import http.server
+    import threading
+
+    from basin_cli_spark.sources.provider import (
+        ProviderRequest,
+        http_transport,
+    )
+
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            seen["path"] = self.path
+            seen["accept"] = self.headers.get("Accept")
+            if self.path.startswith("/ipfs/ok"):
+                body = b"car-bytes"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        send = http_transport()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        ok = send(
+            ProviderRequest(
+                method="GET",
+                url=f"{base}/ipfs/ok",
+                headers={"Accept": "application/vnd.ipld.car;version=1"},
+                query={"dag-scope": "all"},
+                timeout_s=5.0,
+            )
+        )
+        assert ok.status == 200 and ok.body == b"car-bytes"
+        assert seen["path"] == "/ipfs/ok?dag-scope=all"
+        assert seen["accept"].startswith("application/vnd.ipld.car")
+        missing = send(
+            ProviderRequest(method="GET", url=f"{base}/ipfs/missing",
+                            timeout_s=5.0)
+        )
+        assert missing.status == 404
+    finally:
+        srv.shutdown()
+        t.join(timeout=5)
