@@ -169,10 +169,14 @@ def cmd_events(args) -> int:
 def cmd_retrieve(args) -> int:
     """Resolver chain mirrors the reference's cache -> cold-store order
     (retriever.go:26-233): warm manifest, then --cache-dir blocks, then
-    --car-dir CAR v1 archives (the shape a lassie fetch materializes)."""
+    --car-dir CAR v1 archives (the shape a lassie fetch materializes),
+    then --gateway-url as the networked last resort (public IPFS
+    trustless-gateway fetch over the stdlib HTTP transport — the
+    lassie-role client)."""
     from basin_cli_spark.operators.events import (
         cache_dir_resolver,
         car_store_resolver,
+        gateway_resolver,
         retrieve,
     )
 
@@ -182,6 +186,10 @@ def cmd_retrieve(args) -> int:
         extra.append(cache_dir_resolver(args.cache_dir))
     if args.car_dir:
         extra.append(car_store_resolver(args.car_dir))
+    if args.gateway_url:
+        from basin_cli_spark.sources.provider import http_transport
+
+        extra.append(gateway_resolver(http_transport(), args.gateway_url))
     df = retrieve(
         spark, _events_df(spark, args.out_dir), args.cid, resolvers=extra
     )
@@ -318,6 +326,7 @@ def build_parser() -> argparse.ArgumentParser:
     rt.add_argument("--output")
     rt.add_argument("--cache-dir")
     rt.add_argument("--car-dir")
+    rt.add_argument("--gateway-url")
     rt.add_argument("--json", action="store_true")
     rt.set_defaults(fn=cmd_retrieve)
 

@@ -306,3 +306,58 @@ def test_http_transport_loopback_server(tmp_path):
     finally:
         srv.shutdown()
         t.join(timeout=5)
+
+
+def test_cli_retrieve_via_loopback_gateway(spark, tmp_path, capsys):
+    """`retrieve --gateway-url` end-to-end over a real 127.0.0.1 HTTP
+    server serving CAR v1 bytes: CLI -> urllib transport -> trustless-
+    gateway request -> multihash-verified extract -> parquet scan."""
+    import http.server
+    import threading
+
+    from basin_cli_spark import cli
+
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    pq = tmp_path / "pay.parquet"
+    df.coalesce(1).write.mode("overwrite").parquet(str(pq))
+    import glob
+
+    payload = open(glob.glob(str(pq / "part-*.parquet"))[0], "rb").read()
+    cid = C.cid_for_raw(payload)
+    car = C.write_car_v1([(cid, payload)], roots=[cid])
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path.startswith(f"/ipfs/{cid.text()}"):
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(car)))
+                self.end_headers()
+                self.wfile.write(car)
+            else:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    out_dir = tmp_path / "vault"
+    out_dir.mkdir()
+    (out_dir / "events.jsonl").write_text("")
+    try:
+        rc = cli.main(
+            [
+                "retrieve",
+                "--cid", cid.text(),
+                "--out-dir", str(out_dir),
+                "--gateway-url",
+                f"http://127.0.0.1:{srv.server_address[1]}",
+                "--json",
+            ]
+        )
+    finally:
+        srv.shutdown()
+    assert rc == 0
+    assert '"v":4' in capsys.readouterr().out
