@@ -163,3 +163,69 @@ def test_mp4_roundtrip_and_parser_robustness(spark):
     )
     assert MM._parse_mp4(blob) == ("mp42", 1000, 2500)
     assert MM._parse_mp4(b"garbage bytes here") is None
+
+
+# -- property tests: container writers and parsers agree on every input ------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    ch=st.integers(1, 2),
+    rate=st.integers(8000, 48000),
+    nf=st.integers(1, 500),
+)
+def test_wav_parser_property_roundtrip(ch, rate, nf):
+    """For ANY (channels, rate, frames): stdlib wave writes it, the
+    chunk-walk parser reads the same numbers back."""
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes(b"\x80" * (nf * ch))
+    assert MM._parse_wav(buf.getvalue()) == (ch, rate, 8, nf)
+
+
+@settings(max_examples=50, deadline=None)
+@given(w=st.integers(1, 2**31 - 1), h=st.integers(1, 2**31 - 1))
+def test_png_header_parser_property(w, h):
+    import struct as _s
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _s.pack(">I", 13) + b"IHDR" + _s.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    assert MM._header_dims(blob) == (w, h)
+
+
+@settings(max_examples=50, deadline=None)
+@given(ts=st.integers(1, 1_000_000), dur=st.integers(0, 2**31 - 1))
+def test_mp4_parser_property(ts, dur):
+    import struct as _s
+
+    mvhd = (
+        b"\x00\x00\x00\x00" + _s.pack(">II", 0, 0)
+        + _s.pack(">I", ts) + _s.pack(">I", dur) + b"\x00" * 80
+    )
+    blob = (
+        MM._mp4_box(b"ftyp", b"isom" + _s.pack(">I", 0))
+        + MM._mp4_box(b"moov", MM._mp4_box(b"mvhd", mvhd))
+    )
+    assert MM._parse_mp4(blob) == ("isom", ts, dur)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=64))
+def test_parsers_never_crash_on_junk(data):
+    """Arbitrary bytes: every parser returns None (or a tuple), never
+    raises — the contract the mapInPandas kernels rely on."""
+    for fn in (MM._header_dims, MM._parse_wav, MM._parse_mp4):
+        out = fn(data)
+        assert out is None or isinstance(out, tuple)
