@@ -282,8 +282,10 @@ def q_corpus_quantile_prune_2pass(spark, sf_dir):
 
 _GOPHER_STOPWORDS = "['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']"
 
-_GOPHER_ORACLE = f"""
-WITH toks AS (
+# shared CTE fragment: per-doc Gopher rule signals (toks -> m), reused by
+# the standalone gate and the composed v3 pipeline oracle
+_GOPHER_SIGNALS_CTE = f"""
+toks AS (
   SELECT doc_id,
          LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0) AS tokens
   FROM documents
@@ -301,14 +303,62 @@ m AS (
            AS n_stop
   FROM toks WHERE LEN(tokens) > 0
 )
-SELECT doc_id, n_words,
-       ROUND(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
-       n_stop,
-       n_words BETWEEN 50 AND 100000
+"""
+
+_GOPHER_PASS_SQL = """n_words BETWEEN 50 AND 100000
          AND CAST(sum_len AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
          AND CAST(n_symbol AS DOUBLE) / n_words < 0.1
          AND CAST(n_alpha AS DOUBLE) / n_words > 0.8
-         AND n_stop >= 2
+         AND n_stop >= 2"""
+
+def _gopher_signals(d, extra_cols=()):
+    """Spark builder for the per-doc Gopher rule signals, mirroring
+    _GOPHER_SIGNALS_CTE expression-for-expression; extra_cols carry
+    passthrough columns (source, n_chars, text) for composed pipelines."""
+    from basin_cli_spark.operators.dedup import tokens as tok_expr
+
+    stop = [s.strip("'") for s in _GOPHER_STOPWORDS.strip("[]").split(", ")]
+    toks = d.select("doc_id", *extra_cols, tok_expr("text").alias("_t"))
+    return toks.where(F.size("_t") > 0).select(
+        "doc_id",
+        *extra_cols,
+        F.size("_t").alias("n_words"),
+        F.aggregate(
+            F.transform("_t", lambda t: F.length(t)), F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(
+            F.filter("_t", lambda t: t.contains("#") | t.contains("..."))
+        ).alias("n_symbol"),
+        F.size(F.filter("_t", lambda t: t.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(
+            F.filter(
+                "_t",
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(s) for s in stop]), t
+                ),
+            )
+        ).alias("n_stop"),
+    )
+
+
+def _gopher_passes():
+    mwl = F.col("sum_len").cast("double") / F.col("n_words")
+    return (
+        F.col("n_words").between(50, 100000)
+        & mwl.between(3.0, 10.0)
+        & ((F.col("n_symbol").cast("double") / F.col("n_words")) < 0.1)
+        & ((F.col("n_alpha").cast("double") / F.col("n_words")) > 0.8)
+        & (F.col("n_stop") >= 2)
+    )
+
+
+_GOPHER_ORACLE = f"""
+WITH {_GOPHER_SIGNALS_CTE}
+SELECT doc_id, n_words,
+       ROUND(CAST(sum_len AS DOUBLE) / n_words, 6) AS mean_word_len,
+       n_stop,
+       {_GOPHER_PASS_SQL}
        AS passes
 FROM m
 """
@@ -331,46 +381,84 @@ def q_corpus_gopher_rules(spark, sf_dir):
     the way the stub-threshold quality score does.  Uses the same
     whitespace tokenization as the dedup family (operators/dedup.tokens
     / _SQL_TOKENS) so rule counts and shingle counts agree."""
-    from basin_cli_spark.operators.dedup import tokens as tok_expr
-
     d = load_table(spark, sf_dir, "documents")
-    stop = [s.strip("'") for s in
-            _GOPHER_STOPWORDS.strip("[]").split(", ")]
-    toks = d.select("doc_id", tok_expr("text").alias("_t"))
-    m = toks.where(F.size("_t") > 0).select(
-        "doc_id",
-        F.size("_t").alias("n_words"),
-        F.aggregate(
-            F.transform("_t", lambda t: F.length(t)), F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias("sum_len"),
-        F.size(
-            F.filter("_t", lambda t: t.contains("#") | t.contains("..."))
-        ).alias("n_symbol"),
-        F.size(F.filter("_t", lambda t: t.rlike("[a-z]"))).alias("n_alpha"),
-        F.size(
-            F.filter(
-                "_t",
-                lambda t: F.array_contains(
-                    F.array(*[F.lit(s) for s in stop]), t
-                ),
-            )
-        ).alias("n_stop"),
-    )
+    m = _gopher_signals(d)
     mwl = F.col("sum_len").cast("double") / F.col("n_words")
-    passes = (
-        F.col("n_words").between(50, 100000)
-        & mwl.between(3.0, 10.0)
-        & ((F.col("n_symbol").cast("double") / F.col("n_words")) < 0.1)
-        & ((F.col("n_alpha").cast("double") / F.col("n_words")) > 0.8)
-        & (F.col("n_stop") >= 2)
-    )
     return m.select(
         "doc_id",
         "n_words",
         F.round(mwl, 6).alias("mean_word_len"),
         "n_stop",
-        passes.alias("passes"),
+        _gopher_passes().alias("passes"),
+    )
+
+
+_PIPELINE_V3_ORACLE = f"""
+WITH {_GOPHER_SIGNALS_CTE},
+gated AS (
+  SELECT d.doc_id, d.source, d.n_chars, d.text
+  FROM documents d JOIN m USING (doc_id)
+  WHERE {_GOPHER_PASS_SQL}
+),
+med AS (SELECT source, MEDIAN(n_chars) AS med FROM gated GROUP BY source),
+madt AS (
+  SELECT g.source, m2.med, MEDIAN(ABS(g.n_chars - m2.med)) AS mad
+  FROM gated g JOIN med m2 USING (source) GROUP BY g.source, m2.med
+),
+pruned AS (
+  SELECT g.doc_id, g.source, g.n_chars, g.text
+  FROM gated g JOIN madt USING (source)
+  WHERE ABS(g.n_chars - madt.med) <= GREATEST(3.0 * madt.mad, 1.0)
+)
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY MD5(text), doc_id) AS rn
+  FROM pruned
+) WHERE rn <= 30
+"""
+
+
+@register("q_llm_prep_pipeline_v3", _PIPELINE_V3_ORACLE)
+def q_llm_prep_pipeline_v3(spark, sf_dir):
+    """The round-6 curation recipe composed end to end and hash-verified
+    as one query: Gopher rule gate -> per-source MAD outlier prune
+    (floored threshold) -> per-source cap (k=30, content-hash order).
+    Each stage is the registered operator a user runs standalone
+    (q_corpus_gopher_rules, q_corpus_mad_prune, q_sample_per_source_cap);
+    this entry pins that they COMPOSE.
+
+    Scale shape, stage by stage: the gate is one narrow JVM pass
+    (higher-order array folds, no shuffle); the MAD thresholds are two
+    source-keyed aggs over a slim (source, n_chars) projection joined
+    back as a filter; the cap window rides the native
+    WindowGroupLimit(Partial) pre-filter below its Exchange — document
+    text is never shuffled by any stage (the md5 sort key is computed
+    before the window's exchange moves only slim columns)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = _gopher_signals(d, extra_cols=("source", "n_chars", "text"))
+    gated = sig.where(_gopher_passes()).select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    slim = gated.select("source", "n_chars")
+    med = slim.groupBy("source").agg(F.median("n_chars").alias("med"))
+    madt = (
+        slim.join(med, "source")
+        .groupBy("source", "med")
+        .agg(F.median(F.abs(F.col("n_chars") - F.col("med"))).alias("mad"))
+    )
+    thresh = F.greatest(3.0 * F.col("mad"), F.lit(1.0))
+    pruned = gated.join(madt, "source").where(
+        F.abs(F.col("n_chars") - F.col("med")) <= thresh
+    )
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return (
+        pruned.select(
+            "doc_id", "source", "n_chars",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 30)
+        .select("doc_id", "source", "n_chars")
     )
 
 

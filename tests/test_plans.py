@@ -213,6 +213,7 @@ _HINTED_BX = {
     "q_corpus_gopher_rules": 0,
     "q_sample_per_source_cap": 0,
     "q_dedup_semantic_ivf": 0,       # hot-cell cap adds no broadcast
+    "q_llm_prep_pipeline_v3": 0,     # all joins AQE-sized, none hinted
 }
 # Scalar 1-row broadcast singletons plan as BroadcastNestedLoopJoin even
 # with the threshold off — by design (see _NLJ_ALLOWED).
