@@ -107,16 +107,17 @@ REPRESENTATIVE_HEAD = [
     "q_ecmh_digest", "q_muhash_digest",
     # events surface
     "q_events_before_after",
-    # deduplication
+    # deduplication (q_dedup_keep_one/repeated_spans r5-attested, rotated
+    # out for the new r6 entries; family still spans 4 structures)
     "q_dedup_minhash", "q_dedup_semantic_ivf",
-    "q_dedup_embedding", "q_dedup_embedding_keep_one", "q_dedup_keep_one",
-    "q_dedup_repeated_spans",
-    # similarity search (r6 rotation: TRAINED IVF/PQ variants in)
-    "q_similarity_bruteforce", "q_similarity_ann_multiprobe",
-    "q_similarity_ann_ivf", "q_similarity_pq_adc",
+    "q_dedup_embedding", "q_dedup_embedding_keep_one",
+    # similarity search (r6 rotation: TRAINED IVF/PQ variants in;
+    # multiprobe r5-attested rotated out)
+    "q_similarity_bruteforce", "q_similarity_ann_ivf",
+    "q_similarity_pq_adc",
     "q_similarity_ann_ivf_trained", "q_similarity_pq_adc_trained",
-    # text analysis
-    "q_text_quality_stats", "q_text_language_id",
+    # text analysis (language_id r5-attested, rotated out)
+    "q_text_quality_stats", "q_corpus_gopher_rules",
     # curation (r6 rotation: leakage audit, rebalance, MAD prune, shard
     # pack, per-source cap in; previously-attested r5 rows — approx-cd,
     # q7, case-expr, range join, hypertable rollup, string funcs, exact
@@ -124,12 +125,14 @@ REPRESENTATIVE_HEAD = [
     # out of the sample, still covered by the in-repo all-queries suite)
     "q_corpus_lm_prune", "q_corpus_delete_digest", "q_split_leakage",
     "q_corpus_rebalance", "q_corpus_mad_prune", "q_corpus_shard_pack",
-    "q_sample_per_source_cap",
+    "q_sample_per_source_cap", "q_llm_prep_pipeline_v3",
     # streaming (r6 rotation: CDC-merge and quality gate in)
     "q_stream_near_dedup", "q_stream_tumbling_agg", "q_stream_cdc_apply",
     "q_stream_quality_gate",
-    # multimodal plumbing
-    "q_multimodal_meta",
+    # multimodal (r6: REAL container round-trips attested; ann_multiprobe
+    # r5-attested rotated out to fit)
+    "q_multimodal_meta", "q_multimodal_audio_meta",
+    "q_multimodal_video_meta",
 ]
 
 

@@ -58,6 +58,8 @@ HEADLINE = [
     "q_corpus_mad_prune",  # added r6
     "q_cdc_scd2_history",  # added r6
     "q_similarity_pq_adc_trained",  # added r6
+    "q_corpus_gopher_rules",  # added r6 (rule-stack JVM throughput)
+    "q_llm_prep_pipeline_v3",  # added r6 (composed gate+prune+cap)
 ]
 
 # queries added to the headline per round — summed out of the
@@ -79,6 +81,8 @@ _R6_ADDED = {
     "q_corpus_mad_prune",
     "q_cdc_scd2_history",
     "q_similarity_pq_adc_trained",
+    "q_corpus_gopher_rules",
+    "q_llm_prep_pipeline_v3",
 }
 
 

@@ -144,9 +144,19 @@ def main() -> None:
             .count()
         )
 
+    def gopher_rules():
+        from basin_cli_spark.queries.corpus_ops import (
+            _gopher_passes,
+            _gopher_signals,
+        )
+
+        return _gopher_signals(docs10).where(_gopher_passes()).count()
+
     timed(f"minhash-LSH pair gen ({COPIES}x docs)", minhash_pairs, nd, results)
     timed(f"per-source cap, 90%-skewed source ({COPIES}x docs)",
           per_source_cap_skewed, nd, results)
+    timed(f"Gopher rule stack, JVM array folds ({COPIES}x docs)",
+          gopher_rules, nd, results)
     timed(f"decontamination vs broadcast eval set ({COPIES}x docs)",
           decon, nd, results)
     timed(f"decontamination, Bloom-prefiltered ({COPIES}x docs)",
