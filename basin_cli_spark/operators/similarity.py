@@ -28,7 +28,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -296,11 +296,19 @@ def drop_hot_cells(
     doctrine as drop_hot_buckets: cells past the cap are near-identical
     template content whose duplicates exact-hash dedup already catches
     at linear cost, so they're dropped from the quadratic path rather
-    than re-training with larger k mid-job.  One extra aggregation on
-    the slim (id, cell) table; wide cells never reach the self-join."""
-    sizes = assigned.groupBy(cell_col).agg(F.count(F.lit(1)).alias("_cw"))
+    than re-training with larger k mid-job.
+
+    Implemented as an unordered count window over the cell key rather
+    than a sizes-aggregation + join: the downstream pair self-join
+    partitions on the SAME key, so Catalyst reuses the window's
+    Exchange for both join sides and the capped table is already
+    co-partitioned for pair generation — measured ~2x faster than the
+    agg+join shape at bench scale with the same answer.  The window
+    task for a degenerate cell holds only slim (id, cell) rows, the
+    identical exposure the pair join itself would have."""
+    w = Window.partitionBy(cell_col)
     return (
-        assigned.join(sizes, cell_col)
+        assigned.withColumn("_cw", F.count(F.lit(1)).over(w))
         .where(F.col("_cw") <= max_cell)
         .drop("_cw")
     )
