@@ -139,21 +139,28 @@ def bloom_decontaminate(
     seeds via the extra literal argument); the Python kernel only does
     vectorized numpy bit tests on int64 batches — no per-row Python."""
     spark = docs.sparkSession
-    eval_sh = (
+    h1c = F.xxhash64("shingle")
+    h2c = F.xxhash64(F.lit(1), F.col("shingle"))
+    # ONE snapshot feeds both the Bloom bits and the exact-verify relation:
+    # if the bloom were built eagerly here while the exact join lazily
+    # re-read a growing eval source at execution time, fresh eval shingles
+    # would pass the exact join but miss the stale bloom — a silent break
+    # of the 'bit-identical to decontaminate()' contract.  The snapshot is
+    # a PERSISTED distributed table (shingle + both hashes); only the two
+    # int64 hash columns ever cross to the driver (~16 B/shingle, so
+    # ~160 MB at the docstring's 1e7-shingle scale) — never the shingle
+    # strings, which at that scale are GBs and would otherwise be embedded
+    # in the plan as a LocalRelation shipped with every job.
+    from basin_cli_spark.session import persist_once
+
+    eval_sh = persist_once(
         shingle_rows(eval_docs, text_col, id_col, k)
         .select("shingle")
         .distinct()
+        .withColumn("h1", h1c)
+        .withColumn("h2", h2c)
     )
-    h1c = F.xxhash64("shingle")
-    h2c = F.xxhash64(F.lit(1), F.col("shingle"))
-    # ONE driver snapshot feeds both the Bloom bits and the exact-verify
-    # relation: if the bloom were built eagerly here while the exact join
-    # lazily re-read a growing eval source at execution time, fresh eval
-    # shingles would pass the exact join but miss the stale bloom — a
-    # silent break of the 'bit-identical to decontaminate()' contract.
-    hashed = eval_sh.select(
-        "shingle", h1c.alias("h1"), h2c.alias("h2")
-    ).toPandas()
+    hashed = eval_sh.select("h1", "h2").toPandas()
     m, nk = _bloom_params(len(hashed), fpp)
     bits = np.zeros((m + 7) // 8, dtype=np.uint8)
     if len(hashed):
@@ -161,9 +168,6 @@ def bloom_decontaminate(
             bits, hashed["h1"].to_numpy(np.int64),
             hashed["h2"].to_numpy(np.int64), m, nk,
         )
-        eval_sh = spark.createDataFrame(hashed[["shingle"]])
-    else:
-        eval_sh = spark.createDataFrame([], "shingle string")
     bc = spark.sparkContext.broadcast((bits, m, nk))
 
     @pandas_udf("boolean")
@@ -183,11 +187,13 @@ def bloom_decontaminate(
     survivors = train_sh.withColumn("_h1", h1c).withColumn(
         "_h2", h2c
     ).where(maybe_in_bloom("_h1", "_h2")).select(id_col, "shingle")
-    # exact verify against the SAME snapshot the bloom was built from (a
-    # local relation, not a re-read of the eval source) — no persist, so
-    # nothing outlives the returned plan.
+    # exact verify against the SAME persisted snapshot the bloom's hashes
+    # were collected from (the toPandas above materialized the cache, so
+    # the exact join reads cached partitions, not a re-read of the eval
+    # source).  persist_once keeps re-invocations quiet; the per-query
+    # cache scope (drive_contract/bench) reclaims it.
     return (
-        survivors.join(F.broadcast(eval_sh), "shingle")
+        survivors.join(F.broadcast(eval_sh.select("shingle")), "shingle")
         .groupBy(id_col)
         .agg(F.count_distinct("shingle").alias("n_shared_shingles"))
     )

@@ -108,10 +108,12 @@ def minhash_bands(
     superset/subset of a corpus agree row-for-row — the property the
     incremental (new-vs-corpus) dedup relies on."""
     # guard here, not in callers: a non-divisible band_size would silently
-    # truncate the signature (trailing minhashes never banded)
-    assert n_hashes % band_size == 0, (
-        f"n_hashes={n_hashes} not divisible by band_size={band_size}"
-    )
+    # truncate the signature (trailing minhashes never banded).  A real
+    # raise, not an assert — this must survive python -O.
+    if n_hashes % band_size != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} not divisible by band_size={band_size}"
+        )
     sig = minhash_signatures(df, text_col, id_col, n_hashes)
     band_structs = [
         F.struct(
@@ -192,7 +194,6 @@ def minhash_lsh_pairs(
     band).  The self-join is keyed on (band_id, signature) so only docs in
     the same bucket ever meet — the scale path for dedup at 100 TB.
     """
-    assert n_hashes % band_size == 0
     bands = minhash_bands(df, text_col, id_col, n_hashes, band_size)
     # Persist: both sides of the self-join read `bands`; without it Spark
     # recomputes the whole shingle->signature pipeline twice.  Signatures

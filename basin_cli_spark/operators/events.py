@@ -110,28 +110,39 @@ def cache_dir_resolver(cache_dir: str):
     return resolve
 
 
+def _materialize_block(
+    car_bytes: bytes, cid: str, scratch_dir: str | None, prefix: str
+) -> str:
+    """Extract + multihash-verify the root block of a CAR v1 archive and
+    write it to scratch as <cid>.parquet; shared tail of every cold-store
+    resolver so verification/extraction policy lives in one place."""
+    import os
+    import tempfile
+
+    from basin_cli_spark.sources.carv1 import extract_root_block
+
+    payload = extract_root_block(car_bytes, cid)
+    out_dir = scratch_dir or tempfile.mkdtemp(prefix=prefix)
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, f"{cid}.parquet")
+    with open(out, "wb") as f:
+        f.write(payload)
+    return out
+
+
 def car_store_resolver(car_dir: str, scratch_dir: str | None = None):
     """Cold path: <car_dir>/<cid>.car holds a CAR v1 archive (what a
     lassie/IPFS fetch materializes, retriever.go:92-156); the root block
     payload — the parquet file itself — is extracted to scratch and
     scanned.  Multihash-verified by sources/carv1.extract_root_block."""
     import os
-    import tempfile
-
-    from basin_cli_spark.sources.carv1 import extract_root_block
 
     def resolve(cid: str) -> str | None:
         car_path = os.path.join(car_dir, f"{cid}.car")
         if not os.path.exists(car_path):
             return None
         with open(car_path, "rb") as f:
-            payload = extract_root_block(f.read(), cid)
-        out_dir = scratch_dir or tempfile.mkdtemp(prefix="carx_")
-        os.makedirs(out_dir, exist_ok=True)
-        out = os.path.join(out_dir, f"{cid}.parquet")
-        with open(out, "wb") as f:
-            f.write(payload)
-        return out
+            return _materialize_block(f.read(), cid, scratch_dir, "carx_")
 
     return resolve
 
@@ -153,10 +164,6 @@ def gateway_resolver(
     ProviderResponse, sources/provider.py): a real HTTP client in
     production, a fake in tests — so the exact request shape is pinned
     without a network, the same discipline as every provider verb."""
-    import os
-    import tempfile
-
-    from basin_cli_spark.sources.carv1 import extract_root_block
     from basin_cli_spark.sources.provider import ProviderRequest
 
     def resolve(cid: str) -> str | None:
@@ -167,16 +174,20 @@ def gateway_resolver(
             query={"dag-scope": "all"},
             timeout_s=timeout_s,
         )
-        resp = transport(req)
+        # Resolver contract is path-or-None: a gateway that is down,
+        # times out, or returns a CAR missing the requested block is a
+        # MISS (fall through to the next resolver in the chain), not a
+        # crash — matching the reference's cold-store fallback behaviour.
+        try:
+            resp = transport(req)
+        except OSError:  # URLError / socket.timeout / ConnectionError
+            return None
         if resp.status != 200:
             return None
-        payload = extract_root_block(resp.body, cid)
-        out_dir = scratch_dir or tempfile.mkdtemp(prefix="gwx_")
-        os.makedirs(out_dir, exist_ok=True)
-        out = os.path.join(out_dir, f"{cid}.parquet")
-        with open(out, "wb") as f:
-            f.write(payload)
-        return out
+        try:
+            return _materialize_block(resp.body, cid, scratch_dir, "gwx_")
+        except (ValueError, KeyError):
+            return None
 
     return resolve
 

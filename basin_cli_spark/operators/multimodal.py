@@ -154,11 +154,16 @@ def decode_info(df: DataFrame, *, allow_stub: bool = True) -> DataFrame:
             dims = pdf["content"].map(lambda b: _header_dims(bytes(b)))
             tier = dims.map(lambda d: "header" if d is not None else None)
             if HAVE_PIL:
-                pil = pdf["content"].map(
-                    lambda b: _pil_dims(bytes(b))
-                ).where(dims.isna(), None)
-                tier = tier.where(pil.isna(), "pil")
-                dims = dims.where(pil.isna(), pil)
+                # PIL only sees blobs the header tier could NOT decode —
+                # header-decodable rows must not pay a redundant PIL parse.
+                need = dims.isna()
+                if need.any():
+                    pil = pd.Series(None, index=pdf.index, dtype="object")
+                    pil[need] = pdf.loc[need, "content"].map(
+                        lambda b: _pil_dims(bytes(b))
+                    )
+                    tier = tier.where(pil.isna(), "pil")
+                    dims = dims.where(pil.isna(), pil)
             use_stub = dims.isna() & allow_stub
             width = pd.Series(
                 [
@@ -465,6 +470,8 @@ def _parse_mp4(b: bytes):
                 end = off + sz
                 while ioff + 8 <= end:
                     (isz,) = _s.unpack(">I", b[ioff : ioff + 4])
+                    if isz < 8:  # malformed inner box: would loop forever
+                        return None
                     if b[ioff + 4 : ioff + 8] == b"mvhd":
                         ver = b[ioff + 8]
                         if ver == 0:

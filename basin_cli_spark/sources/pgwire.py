@@ -223,7 +223,13 @@ class PgWireReplicationClient:
             t, payload = msg
             if t == COPY_DATA:
                 return payload
-            if t in (COPY_DONE, READY_FOR_QUERY, ERROR_RESPONSE):
+            if t == ERROR_RESPONSE:
+                # A server-side error mid-stream (slot conflict, WAL
+                # removed, …) is NOT a clean end-of-stream: surface it so
+                # the consumer never mistakes a truncated stream for a
+                # completed one (exec_query/exec_command raise the same way).
+                raise RuntimeError(f"replication stream error: {payload!r}")
+            if t in (COPY_DONE, READY_FOR_QUERY):
                 return None
             # ignore NoticeResponse / ParameterStatus chatter
 

@@ -164,6 +164,15 @@ def test_mp4_roundtrip_and_parser_robustness(spark):
     assert MM._parse_mp4(blob) == ("mp42", 1000, 2500)
     assert MM._parse_mp4(b"garbage bytes here") is None
 
+    # a moov whose inner box declares size 0 must terminate (None), not
+    # spin forever — the inner walk needs the same size>=8 guard as the
+    # outer walk (one hostile blob would otherwise hang a Spark task)
+    hostile = (
+        MM._mp4_box(b"ftyp", b"isom" + _s.pack(">I", 0))
+        + MM._mp4_box(b"moov", b"\x00" * 16)
+    )
+    assert MM._parse_mp4(hostile) is None
+
 
 # -- property tests: container writers and parsers agree on every input ------
 

@@ -398,10 +398,11 @@ class LoopbackWalsender(threading.Thread):
     frames, then CopyDone; records every executed command and every
     StandbyStatusUpdate the client ships back."""
 
-    def __init__(self, resume_lsn, frames):
+    def __init__(self, resume_lsn, frames, stream_error=None):
         super().__init__(daemon=True)
         self._resume = resume_lsn
         self._frames = list(frames)
+        self._stream_error = stream_error
         self.executed = []
         self.received_acks = []
         self.startup_params = None
@@ -455,7 +456,12 @@ class LoopbackWalsender(threading.Thread):
                     conn.sendall(W.encode_message(W.COPY_BOTH_RESPONSE, b"\x00\x00\x00"))
                     for fr in self._frames:
                         conn.sendall(W.encode_message(W.COPY_DATA, fr))
-                    conn.sendall(W.encode_message(W.COPY_DONE, b""))
+                    if self._stream_error is not None:
+                        conn.sendall(
+                            W.encode_message(W.ERROR_RESPONSE, self._stream_error)
+                        )
+                    else:
+                        conn.sendall(W.encode_message(W.COPY_DONE, b""))
                 else:
                     conn.sendall(W.encode_message(W.COMMAND_COMPLETE, b"OK\x00"))
                     self._ready(conn)
@@ -535,6 +541,34 @@ def test_loopback_tcp_session_resume():
     assert [a.hex() for a in server.received_acks] == [
         _ssu_hex(R.parse_lsn(resume))
     ]
+
+
+def test_loopback_tcp_stream_error_raises_not_truncates():
+    """A server-side ErrorResponse mid-stream (slot conflict, WAL
+    removed) must RAISE, never read as a clean end-of-stream: a swallowed
+    error would let the consumer believe the truncated stream was
+    complete (reference: the Go replicator surfaces walsender errors to
+    its retry loop, pkg/pgrepl/replicator.go)."""
+    import pytest as _pytest
+
+    lines = _wal_lines()[:1]
+    server = LoopbackWalsender(
+        resume_lsn=None,
+        frames=[_xlogdata(900, lines[0])],
+        stream_error=b"SERROR\x00C55000\x00Mrequested WAL segment removed\x00\x00",
+    )
+    server.start()
+    client = W.PgWireReplicationClient("127.0.0.1", server.port)
+    try:
+        session, _ = R.start_replication_session(
+            client, "pub", tables=["public.t"]
+        )
+        with _pytest.raises(RuntimeError, match="replication stream error"):
+            for payload in R.pump(session, client):
+                json.loads(payload)  # first frame still delivered
+    finally:
+        client.close()
+    server.join(timeout=10)
 
 
 def test_loopback_tcp_reconnect_resumes_from_acked_lsn():

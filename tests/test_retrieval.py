@@ -247,6 +247,25 @@ def test_gateway_resolver_trustless_car_fetch(spark, sf_dir, tmp_path):
                                         scratch_dir=str(tmp_path))],
         )
 
+    # resolver contract is path-or-None: an unreachable gateway (network
+    # error) and a 200-CAR missing the requested block are both MISSES —
+    # the chain raises its clean KeyError, not a raw transport traceback
+    import urllib.error as _ue
+
+    def down_gateway(req):
+        raise _ue.URLError("connection refused")
+
+    def wrong_car_gateway(req):
+        return ProviderResponse(200, {}, car)  # valid CAR, wrong cid
+
+    for bad in (down_gateway, wrong_car_gateway):
+        with _pytest.raises(KeyError, match="not resolvable"):
+            retrieve(
+                spark, events, C.cid_for_raw(b"absent").text(),
+                resolvers=[gateway_resolver(bad, "http://gw.example",
+                                            scratch_dir=str(tmp_path))],
+            )
+
 
 def test_http_transport_loopback_server(tmp_path):
     """The real urllib Transport against an in-process http.server on
