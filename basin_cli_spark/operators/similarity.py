@@ -301,20 +301,22 @@ def drop_hot_cells(
     at linear cost, so they're dropped from the quadratic path rather
     than re-training with larger k mid-job.
 
-    Implemented as an unordered count window over the cell key rather
-    than a sizes-aggregation + join: the downstream pair self-join
-    partitions on the SAME key, so Catalyst reuses the window's
-    Exchange for both join sides and the capped table is already
-    co-partitioned for pair generation — measured ~2x faster than the
-    agg+join shape at bench scale with the same answer.  The window
-    task for a degenerate cell holds only slim (id, cell) rows, the
-    identical exposure the pair join itself would have."""
-    w = Window.partitionBy(cell_col)
-    return (
-        assigned.withColumn("_cw", F.count(F.lit(1)).over(w))
+    Unlike LSH bucket keys (an unbounded signature space, where
+    drop_hot_buckets must use a count window), the cell key space is
+    CONSTANT-SIZE by construction — at most k rows, the trained codebook
+    width — so the keep-list is aggregated (map-side partial combine
+    folds each partition to <= k rows) and broadcast: `assigned` itself
+    is never shuffled for the cap, and the downstream pair self-join
+    keeps exactly the exchange layout it had without a cap.  This is the
+    same constant-size-broadcast class as the codebook itself (the
+    hinted-only broadcast sweep in tests/test_plans.py admits it)."""
+    keep = (
+        assigned.groupBy(cell_col)
+        .agg(F.count(F.lit(1)).alias("_cw"))
         .where(F.col("_cw") <= max_cell)
-        .drop("_cw")
+        .select(cell_col)
     )
+    return assigned.join(F.broadcast(keep), cell_col, "left_semi")
 
 
 def cosine_topk_lsh(

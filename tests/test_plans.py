@@ -212,7 +212,13 @@ _HINTED_BX = {
     "q_corpus_quantile_prune_2pass": 2,
     "q_corpus_gopher_rules": 0,
     "q_sample_per_source_cap": 0,
-    "q_dedup_semantic_ivf": 0,       # hot-cell cap adds no broadcast
+    # r6: the hot-cell cap broadcasts its keep-list — a table bounded by
+    # the trained codebook width k (constant-size by construction, the
+    # same class as the codebook broadcast); both self-join sides carry
+    # the hinted semi-join, hence 4 in the sweep's plan string.  The
+    # capped `assigned` is never shuffled for the cap itself, so a
+    # degenerate hot cell is dropped map-side before any exchange.
+    "q_dedup_semantic_ivf": 4,
     "q_llm_prep_pipeline_v3": 0,     # all joins AQE-sized, none hinted
 }
 # Scalar 1-row broadcast singletons plan as BroadcastNestedLoopJoin even
