@@ -237,6 +237,95 @@ def contamination_score(
     )
 
 
+def segment_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 3,
+) -> DataFrame:
+    """(id, seg_idx, seg) rows: the document cut into consecutive
+    ``seg_words``-word segments (the last may be shorter).
+
+    Fixed-width word windows are the segmentation fallback production
+    line-dedup uses when line boundaries are unreliable or absent (CCNet
+    dedups paragraphs, RefinedWeb lines; both degrade to fixed windows
+    on boundary-free text).  Built entirely with JVM higher-order
+    functions — split/filter/transform/slice — then ONE explode; no
+    Python, no shuffle."""
+    w = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > F.lit(0)
+    )
+    n_seg = F.ceil(F.size(w) / F.lit(float(seg_words)))
+    segs = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_seg - 1),
+            lambda i: F.struct(
+                i.alias("seg_idx"),
+                F.array_join(
+                    F.slice(w, (i * seg_words + 1).cast("int"), seg_words),
+                    " ",
+                ).alias("seg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<seg_idx:long,seg:string>>"))
+    return docs.select(
+        F.col(id_col), F.explode(segs).alias("_s")
+    ).select(id_col, "_s.seg_idx", "_s.seg")
+
+
+def boilerplate_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (CCNet §4.1 / RefinedWeb line-wise
+    dedup, public): drop every segment that occurs in >= ``min_docs``
+    DISTINCT documents, reassemble each document from its surviving
+    segments in order.  Returns (id, clean_text, n_segs, n_removed).
+
+    Unlike document-level dedup (which keeps or drops whole docs), this
+    REWRITES text — the stage that strips navigation chrome, cookie
+    banners, and license footers that repeat across a crawl.
+
+    Scale shape: segment rows are built shuffle-free (segment_rows), the
+    hot-segment list is one groupBy(seg) with map-side partial combine,
+    and the rewrite is a left join on seg plus one groupBy(id) over
+    surviving segments — three shuffles of slim rows total, text never
+    moves more than once.  The hot list is corpus-dependent (NOT
+    constant-size), so no broadcast hint: AQE sizes that join at
+    runtime."""
+    segs = segment_rows(docs, text_col, id_col, seg_words)
+    hot = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("seg")
+        .withColumn("_hot", F.lit(1))
+    )
+    j = segs.join(hot, "seg", "left")
+    return j.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_hot").isNull(),
+                            F.struct(F.col("seg_idx"), F.col("seg")),
+                        )
+                    )
+                ),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_segs"),
+        F.count("_hot").alias("n_removed"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     text_col: str = "text",

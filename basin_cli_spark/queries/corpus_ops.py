@@ -45,6 +45,52 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
+# -- corpus-level boilerplate removal ----------------------------------------
+
+_BOILERPLATE_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0) AS w
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, z.seg_idx, z.seg FROM (
+    SELECT doc_id, UNNEST(LIST_TRANSFORM(
+      RANGE(0, CAST(CEIL(LEN(w) / 3.0) AS BIGINT)),
+      i -> {'seg_idx': i,
+            'seg': ARRAY_TO_STRING(w[i*3+1 : i*3+3], ' ')})) AS z
+    FROM words)
+),
+hot AS (
+  SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3
+)
+SELECT s.doc_id,
+       COALESCE(STRING_AGG(CASE WHEN h.seg IS NULL THEN s.seg END,
+                           ' ' ORDER BY s.seg_idx), '') AS clean_text,
+       COUNT(*) AS n_segs,
+       COUNT(h.seg) AS n_removed
+FROM segs s LEFT JOIN hot h ON s.seg = h.seg
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register("q_corpus_boilerplate_scrub", _BOILERPLATE_ORACLE)
+def q_corpus_boilerplate_scrub(spark, sf_dir):
+    """Corpus-level boilerplate removal (CCNet paragraph dedup /
+    RefinedWeb line-wise dedup over fixed 3-word segments): any segment
+    appearing in >= 3 distinct documents is template content and is cut
+    from every document; the text is REWRITTEN from the surviving
+    segments in order.  The reference has no analytics of this kind
+    (basin-cli is CDC plumbing); this is the LLM-pipeline extension
+    surface.  At fixture scale ~9% of segments are removed, so the
+    rewrite path is genuinely exercised."""
+    d = load_table(spark, sf_dir, "documents")
+    return C.boilerplate_scrub(
+        d, "text", "doc_id", seg_words=3, min_docs=3
+    ).orderBy("doc_id")
+
+
 # -- deterministic split assignment ------------------------------------------
 
 _SPLIT_ORACLE = """

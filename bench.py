@@ -60,6 +60,7 @@ HEADLINE = [
     "q_similarity_pq_adc_trained",  # added r6
     "q_corpus_gopher_rules",  # added r6 (rule-stack JVM throughput)
     "q_llm_prep_pipeline_v3",  # added r6 (composed gate+prune+cap)
+    "q_corpus_boilerplate_scrub",  # added r6 (corpus-level segment rewrite)
 ]
 
 # queries added to the headline per round — summed out of the
@@ -83,6 +84,7 @@ _R6_ADDED = {
     "q_similarity_pq_adc_trained",
     "q_corpus_gopher_rules",
     "q_llm_prep_pipeline_v3",
+    "q_corpus_boilerplate_scrub",
 }
 
 

@@ -287,3 +287,51 @@ def test_mad_prune_zero_mad_floor(spark, tmp_path):
     assert set(range(10)) <= got       # median-length docs kept
     assert 100 in got                  # 1-char-off doc kept by the floor
     assert 101 not in got              # real outlier still pruned
+
+
+def test_boilerplate_scrub_removes_hot_segments_in_order(spark):
+    """A footer shared by 3 docs is cut from all of them; unique text
+    survives with its original word order; a doc that is pure
+    boilerplate collapses to the empty string."""
+    footer = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {footer}"),
+            (2, f"delta epsilon zeta {footer}"),
+            (3, f"eta theta iota {footer}"),
+            (4, "kappa lambda mu nu xi omicron"),
+            (5, footer),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.boilerplate_scrub(
+            docs, "text", "doc_id", seg_words=3, min_docs=3
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[1]["n_segs"] == 2 and out[1]["n_removed"] == 1
+    assert out[4]["clean_text"] == "kappa lambda mu nu xi omicron"
+    assert out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 1
+
+
+def test_boilerplate_scrub_reassembly_preserves_order(spark):
+    """Many segments per doc: surviving segments come back in document
+    order, not collection order."""
+    words = " ".join(f"w{i:02d}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, words)] + [(10 + i, "shared seg here") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.boilerplate_scrub(
+            docs, "text", "doc_id", seg_words=3, min_docs=3
+        ).collect()
+    }
+    assert out[1]["clean_text"] == words
+    assert out[1]["n_segs"] == 10 and out[1]["n_removed"] == 0
+    for d in (10, 11, 12):
+        assert out[d]["clean_text"] == "" and out[d]["n_removed"] == 1
