@@ -1717,6 +1717,121 @@ def q_similarity_knn_label(spark, sf_dir):
     )
 
 
+_HARD_NEG_ORACLE = f"""
+WITH probes AS (
+  SELECT vec_id AS p_id, embedding AS p_emb, label AS p_label
+  FROM embeddings WHERE vec_id < 20
+),
+scored AS (
+  SELECT p_id, p_label, e.vec_id, e.label,
+         ROUND({_cosine_sql('e.embedding', 'p_emb')}, 6) AS score
+  FROM embeddings e, probes
+  WHERE e.vec_id <> p_id
+),
+pos AS (
+  SELECT p_id, vec_id AS pos_id, score AS pos_score
+  FROM (SELECT p_id, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY p_id
+                                  ORDER BY score DESC, vec_id) AS r
+        FROM scored WHERE label = p_label)
+  WHERE r = 1
+),
+neg AS (
+  SELECT p_id, p_label AS anchor_label, vec_id AS neg_id,
+         score AS neg_score, r AS neg_rank
+  FROM (SELECT p_id, p_label, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY p_id
+                                  ORDER BY score DESC, vec_id) AS r
+        FROM scored WHERE label <> p_label)
+  WHERE r <= 3
+)
+SELECT n.p_id, n.anchor_label, p.pos_id, p.pos_score,
+       n.neg_id, n.neg_score, n.neg_rank,
+       ROUND(p.pos_score - n.neg_score, 6) AS margin
+FROM neg n JOIN pos p ON n.p_id = p.p_id
+ORDER BY n.p_id, n.neg_rank
+"""
+
+
+@register("q_similarity_hard_negatives", _HARD_NEG_ORACLE)
+def q_similarity_hard_negatives(spark, sf_dir):
+    """Hard-negative triplet mining (Schroff et al. 2015 FaceNet, public):
+    for each anchor in the probe set, the hardest positive (most-similar
+    same-label vector) and the top-3 hardest negatives (most-similar
+    DIFFERENT-label vectors), with the triplet margin — the mining stage
+    that feeds contrastive/triplet training of embedding models.
+
+    Same scale shape as q_similarity_knn_label: the probe set broadcasts
+    (constant-size by the probe predicate), the corpus is scanned once
+    and never shuffled until the per-anchor top-k windows; positives and
+    negatives rank in separate windows over the same scored scan, and
+    the final join is probe-sized.  Scores round to 6 before ranking so
+    ranks agree across engines; margin subtracts two already-rounded
+    doubles, identical IEEE ops in both."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    par = e.sparkSession.sparkContext.defaultParallelism
+    probes = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("p_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("label").alias("p_label"),
+    )
+    scored = (
+        e.repartition(par)
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("p_id"))
+        .select(
+            "p_id",
+            "p_label",
+            "vec_id",
+            "label",
+            F.round(S.cosine(F.col("embedding"), F.col("p_emb")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("p_id").orderBy(F.desc("score"), F.col("vec_id"))
+    pos = (
+        scored.where(F.col("label") == F.col("p_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "p_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    neg = (
+        scored.where(F.col("label") != F.col("p_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 3)
+        .select(
+            "p_id",
+            F.col("p_label").alias("anchor_label"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("score").alias("neg_score"),
+            F.col("r").alias("neg_rank"),
+        )
+    )
+    return (
+        neg.join(pos, "p_id")
+        .select(
+            "p_id",
+            "anchor_label",
+            "pos_id",
+            "pos_score",
+            "neg_id",
+            "neg_score",
+            "neg_rank",
+            F.round(F.col("pos_score") - F.col("neg_score"), 6).alias(
+                "margin"
+            ),
+        )
+        .orderBy("p_id", "neg_rank")
+    )
+
+
 _SOURCE_STATS_ORACLE = """
 SELECT source,
        COUNT(*) AS n_docs,

@@ -212,3 +212,30 @@ def test_semantic_ivf_fixture_cells_below_default_cap(spark, sf_dir):
         .first()[0]
     )
     assert widest < 4096
+
+
+def test_hard_negative_mining_triplet_semantics(spark, sf_dir):
+    """Every mined triplet is well-formed: the negative's label differs
+    from the anchor's, negatives rank by descending similarity, the
+    positive shares the anchor's label, and margin = pos - neg."""
+    from basin_cli_spark.queries import load_all
+
+    reg = load_all()
+    rows = reg["q_similarity_hard_negatives"].fn(spark, sf_dir).collect()
+    assert rows, "probe set must mine at least one triplet"
+    e = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label").collect()
+    }
+    by_anchor = {}
+    for r in rows:
+        assert e[r["neg_id"]] != r["anchor_label"]
+        assert e[r["pos_id"]] == r["anchor_label"]
+        assert abs(r["margin"] - round(r["pos_score"] - r["neg_score"], 6)) < 1e-9
+        by_anchor.setdefault(r["p_id"], []).append(r)
+    for anchor, rs in by_anchor.items():
+        rs.sort(key=lambda r: r["neg_rank"])
+        scores = [r["neg_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert len({r["pos_id"] for r in rs}) == 1
