@@ -152,7 +152,17 @@ def main() -> None:
 
         return _gopher_signals(docs10).where(_gopher_passes()).count()
 
+    def boilerplate():
+        # 10x copies make every segment trivially hot (each text repeats
+        # 10 times), so raise min_docs past the copy factor to keep the
+        # hot-list selective — the rewrite path still runs end to end.
+        return CUR.boilerplate_scrub(
+            docs10, "text", "doc_id", seg_words=3, min_docs=3 * COPIES
+        ).count()
+
     timed(f"minhash-LSH pair gen ({COPIES}x docs)", minhash_pairs, nd, results)
+    timed(f"boilerplate segment rewrite ({COPIES}x docs)",
+          boilerplate, nd, results)
     timed(f"per-source cap, 90%-skewed source ({COPIES}x docs)",
           per_source_cap_skewed, nd, results)
     timed(f"Gopher rule stack, JVM array folds ({COPIES}x docs)",
@@ -228,6 +238,38 @@ def main() -> None:
 
     timed(f"semantic-IVF cell pair gen ({COPIES}x vectors, scaled k)",
           semantic_pairs, ne, results)
+
+    # Hard-negative triplet mining at 10x vectors: the probe set stays
+    # constant-size (broadcast), so cost is one corpus scan per batch of
+    # anchors — linear in corpus size, the property this row checks.
+    def hard_negatives():
+        from pyspark.sql import Window as W
+
+        probes = emb10.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("p_id"),
+            F.col("embedding").alias("p_emb"),
+            F.col("label").alias("p_label"),
+        )
+        scored = (
+            emb10.crossJoin(F.broadcast(probes))
+            .where(F.col("vec_id") != F.col("p_id"))
+            .select(
+                "p_id", "p_label", "vec_id", "label",
+                F.round(
+                    S.cosine(F.col("embedding"), F.col("p_emb")), 6
+                ).alias("score"),
+            )
+        )
+        w = W.partitionBy("p_id").orderBy(F.desc("score"), F.col("vec_id"))
+        return (
+            scored.where(F.col("label") != F.col("p_label"))
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= 3)
+            .count()
+        )
+
+    timed(f"hard-negative mining, 20 anchors ({COPIES}x vectors)",
+          hard_negatives, ne, results)
     emb10.unpersist()
 
     # MuHash digest of 10x documents: the digest scale path — one partial
