@@ -107,13 +107,14 @@ REPRESENTATIVE_HEAD = [
     "q_ecmh_digest", "q_muhash_digest",
     # events surface
     "q_events_before_after",
-    # deduplication (q_dedup_keep_one/repeated_spans r5-attested, rotated
-    # out for the new r6 entries; family still spans 4 structures)
-    "q_dedup_minhash", "q_dedup_semantic_ivf",
+    # deduplication (q_dedup_minhash r5-attested, rotated out for the
+    # new r6 boilerplate rewrite; family still spans 4 structures)
+    "q_corpus_boilerplate_scrub", "q_dedup_semantic_ivf",
     "q_dedup_embedding", "q_dedup_embedding_keep_one",
-    # similarity search (r6 rotation: TRAINED IVF/PQ variants in;
-    # multiprobe r5-attested rotated out)
-    "q_similarity_bruteforce", "q_similarity_ann_ivf",
+    # similarity search (r6 rotation: TRAINED IVF/PQ variants and
+    # hard-negative mining in; bruteforce + multiprobe r5-attested,
+    # rotated out)
+    "q_similarity_hard_negatives", "q_similarity_ann_ivf",
     "q_similarity_pq_adc",
     "q_similarity_ann_ivf_trained", "q_similarity_pq_adc_trained",
     # text analysis (language_id r5-attested, rotated out)
