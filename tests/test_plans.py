@@ -114,6 +114,7 @@ _NLJ_ALLOWED = {
     "q_similarity_ann_ivf",
     "q_similarity_ann_ivf_trained",  # 1-row broadcast of the query vector
     "q_similarity_knn_label",  # 20-row probe-set broadcast cross join
+    "q_similarity_hard_negatives",  # 20-row anchor-set broadcast cross join
     "q_similarity_text_hash",  # 1-row broadcast of the hashed query vector
 
     "q22_dormant_customers",  # 1-row broadcast of the scalar AVG subquery
