@@ -257,3 +257,133 @@ def test_connected_components_match_union_find(spark, raw_edges):
     for x, r in want.items():
         comp_min[r] = min(comp_min.get(r, x), x)
     assert got == {x: comp_min[find(x)] for x in want}
+
+
+# -- boilerplate scrub (operators/curation.py) ------------------------------
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+_doc_texts = st.lists(
+    st.lists(_words, min_size=1, max_size=9).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_doc_texts, st.integers(1, 3), st.integers(2, 3))
+@settings(deadline=None, max_examples=15)
+def test_boilerplate_scrub_matches_pure_python(spark, texts, W, min_docs):
+    """boilerplate_scrub agrees with a direct driver-side implementation
+    on arbitrary tiny corpora: identical segmentation, hot-list, removal,
+    reassembly order, and counts — including all-hot docs collapsing to
+    the empty string and repeated identical documents."""
+    from basin_cli_spark.operators.curation import boilerplate_scrub
+
+    def segs_of(t):
+        w = [x for x in t.split(" ") if x]
+        return [
+            " ".join(w[i * W : i * W + W])
+            for i in range((len(w) + W - 1) // W)
+        ]
+
+    by_doc = {i: segs_of(t) for i, t in enumerate(texts)}
+    from collections import Counter
+
+    df_counts = Counter()
+    for segs in by_doc.values():
+        for s in set(segs):
+            df_counts[s] += 1
+    hot = {s for s, c in df_counts.items() if c >= min_docs}
+    want = {
+        i: (
+            " ".join(s for s in segs if s not in hot),
+            len(segs),
+            sum(1 for s in segs if s in hot),
+        )
+        for i, segs in by_doc.items()
+    }
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_segs"], r["n_removed"])
+        for r in boilerplate_scrub(
+            df, "text", "doc_id", seg_words=W, min_docs=min_docs
+        ).collect()
+    }
+    assert got == want
+
+
+# -- hard-negative mining (queries/llm_ops.py shape) -------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.integers(-3, 3).map(float), min_size=3, max_size=3
+            ),
+            st.integers(0, 2),
+        ),
+        min_size=4,
+        max_size=12,
+    )
+)
+@settings(deadline=None, max_examples=10)
+def test_hard_negatives_match_numpy_bruteforce(spark, rows):
+    """The mined triplets agree with a numpy brute-force reference on
+    arbitrary tiny embedding tables (anchor = vec_id < 2): same positive,
+    same negative ranking, same rounded scores."""
+    import numpy as np
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from basin_cli_spark.operators import similarity as S
+
+    # drop zero vectors (cosine undefined) and require both labels present
+    rows = [(i, v, l) for i, (v, l) in enumerate(rows) if any(v)]
+    labels = {l for _, _, l in rows}
+    if len(rows) < 4 or len(labels) < 2:
+        return
+
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    probes = e.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("p_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("label").alias("p_label"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("p_id"))
+        .select(
+            "p_id", "p_label", "vec_id", "label",
+            F.round(S.cosine(F.col("embedding"), F.col("p_emb")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("p_id").orderBy(F.desc("score"), F.col("vec_id"))
+    got = [
+        (r["p_id"], r["vec_id"], r["score"], r["r"])
+        for r in scored.where(F.col("label") != F.col("p_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 3)
+        .orderBy("p_id", "r")
+        .collect()
+    ]
+
+    by_id = {i: (np.array(v), l) for i, v, l in rows}
+    want = []
+    for p_id in sorted(i for i in by_id if i < 2):
+        pv, pl = by_id[p_id]
+        cands = []
+        for vid, (v, l) in by_id.items():
+            if vid == p_id or l == pl:
+                continue
+            c = float(np.dot(v, pv) / (np.linalg.norm(v) * np.linalg.norm(pv)))
+            cands.append((vid, round(c, 6)))
+        cands.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (vid, sc) in enumerate(cands[:3], 1):
+            want.append((p_id, vid, sc, rank))
+    assert got == want
