@@ -111,11 +111,11 @@ REPRESENTATIVE_HEAD = [
     # new r6 boilerplate rewrite; family still spans 4 structures)
     "q_corpus_boilerplate_scrub", "q_dedup_semantic_ivf",
     "q_dedup_embedding", "q_dedup_embedding_keep_one",
-    # similarity search (r6 rotation: TRAINED IVF/PQ variants and
-    # hard-negative mining in; bruteforce + multiprobe r5-attested,
-    # rotated out)
+    # similarity search (r6 rotation: TRAINED IVF/PQ variants,
+    # hard-negative mining and prototype pruning in; bruteforce,
+    # multiprobe and untrained PQ — all r5-attested — rotated out)
     "q_similarity_hard_negatives", "q_similarity_ann_ivf",
-    "q_similarity_pq_adc",
+    "q_embedding_prototype_prune",
     "q_similarity_ann_ivf_trained", "q_similarity_pq_adc_trained",
     # text analysis (language_id r5-attested, rotated out)
     "q_text_quality_stats", "q_corpus_gopher_rules",

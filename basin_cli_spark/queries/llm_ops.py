@@ -1717,6 +1717,84 @@ def q_similarity_knn_label(spark, sf_dir):
     )
 
 
+_PROTO_PRUNE_ORACLE = f"""
+WITH cent AS (
+  SELECT label, CAST(i AS INT) AS dim,
+         ROUND(AVG(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS c
+  FROM embeddings, RANGE(1, 65) t(i)
+  GROUP BY label, i
+),
+carr AS (
+  SELECT label, LIST(c ORDER BY dim) AS cvec FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND({{cos}}, 6) AS proto_sim
+  FROM embeddings e JOIN carr c ON e.label = c.label
+),
+ranked AS (
+  SELECT vec_id, label, proto_sim,
+         PERCENT_RANK() OVER (PARTITION BY label
+                              ORDER BY proto_sim DESC, vec_id) AS pr
+  FROM scored
+)
+SELECT vec_id, label, proto_sim
+FROM ranked WHERE pr <= 0.9
+ORDER BY vec_id
+""".format(cos=_cosine_sql("e.embedding", "c.cvec"))
+
+
+@register("q_embedding_prototype_prune", _PROTO_PRUNE_ORACLE)
+def q_embedding_prototype_prune(spark, sf_dir):
+    """Prototype-distance data pruning (Sorscher et al. 2022, 'Beyond
+    neural scaling laws', public): score every vector by cosine
+    similarity to its label's centroid and drop the least-prototypical
+    10% per label — the prototypicality metric that paper shows beats
+    random pruning at scale.
+
+    Scale shape: the per-(label, dim) centroid aggregation is a plain
+    hash-agg with map-side partials (posexplode keys the shuffle, never
+    a vector collect); the assembled centroid table is n_labels rows —
+    constant-size by the label vocabulary, same broadcast class as the
+    rebalance rates table — so the corpus joins it without shuffling,
+    and the per-label percent_rank window is the only corpus exchange.
+    Centroid components round to 6 before the distance (the
+    q_embedding_label_centroids convention) and the rank order is total
+    (proto_sim desc, vec_id), so both engines rank identically."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    par = e.sparkSession.sparkContext.defaultParallelism
+    cent = (
+        e.repartition(par)
+        .select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda x: x["c"],
+        ).alias("cvec")
+    )
+    scored = e.join(F.broadcast(carr), "label").select(
+        "vec_id",
+        "label",
+        F.round(S.cosine(F.col("embedding"), F.col("cvec")), 6).alias(
+            "proto_sim"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("proto_sim"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .where(F.col("pr") <= 0.9)
+        .select("vec_id", "label", "proto_sim")
+        .orderBy("vec_id")
+    )
+
+
 _HARD_NEG_ORACLE = f"""
 WITH probes AS (
   SELECT vec_id AS p_id, embedding AS p_emb, label AS p_label

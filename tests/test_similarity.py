@@ -239,3 +239,25 @@ def test_hard_negative_mining_triplet_semantics(spark, sf_dir):
         scores = [r["neg_score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert len({r["pos_id"] for r in rs}) == 1
+
+
+def test_prototype_prune_drops_least_prototypical(spark, sf_dir):
+    """Per label: ~10% of vectors are dropped, and every dropped vector
+    scores at most the minimum kept similarity for that label."""
+    from collections import Counter
+
+    from basin_cli_spark.queries import load_all
+
+    reg = load_all()
+    kept = reg["q_embedding_prototype_prune"].fn(spark, sf_dir).collect()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_by_label = Counter(r["label"] for r in e.select("label").collect())
+    kept_by_label = Counter(r["label"] for r in kept)
+    min_kept = {}
+    for r in kept:
+        lab = r["label"]
+        min_kept[lab] = min(min_kept.get(lab, 1.0), r["proto_sim"])
+    for lab, n in n_by_label.items():
+        k = kept_by_label[lab]
+        assert 0 < k < n  # something kept, something dropped
+        assert abs(k / n - 0.9) < 0.05
