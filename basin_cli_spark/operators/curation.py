@@ -251,7 +251,12 @@ def segment_rows(
     dedups paragraphs, RefinedWeb lines; both degrade to fixed windows
     on boundary-free text).  Built entirely with JVM higher-order
     functions — split/filter/transform/slice — then ONE explode; no
-    Python, no shuffle."""
+    Python, no shuffle.
+
+    Empty, whitespace-only, and NULL texts yield a single
+    (id, NULL, NULL) row (explode_outer) so rewrite operators can
+    preserve the document instead of silently dropping it; callers that
+    want segments only should filter ``seg IS NOT NULL``."""
     w = F.filter(
         F.split(F.col(text_col), " "), lambda t: F.length(t) > F.lit(0)
     )
@@ -270,7 +275,7 @@ def segment_rows(
         ),
     ).otherwise(F.array().cast("array<struct<seg_idx:long,seg:string>>"))
     return docs.select(
-        F.col(id_col), F.explode(segs).alias("_s")
+        F.col(id_col), F.explode_outer(segs).alias("_s")
     ).select(id_col, "_s.seg_idx", "_s.seg")
 
 
@@ -290,16 +295,27 @@ def boilerplate_scrub(
     REWRITES text — the stage that strips navigation chrome, cookie
     banners, and license footers that repeat across a crawl.
 
+    Empty/whitespace/NULL-text documents are PRESERVED as
+    (id, '', 0, 0) — a rewrite stage must never lose rows (segment_rows'
+    explode_outer carries them as a null-segment row; null never joins
+    the hot list and count("seg") excludes it).
+
     Scale shape: segment rows are built shuffle-free (segment_rows), the
     hot-segment list is one groupBy(seg) with map-side partial combine,
     and the rewrite is a left join on seg plus one groupBy(id) over
     surviving segments — three shuffles of slim rows total, text never
-    moves more than once.  The hot list is corpus-dependent (NOT
-    constant-size), so no broadcast hint: AQE sizes that join at
-    runtime."""
+    moves more than once.  The segmentation lineage is DELIBERATELY
+    evaluated twice (hot-list branch + rewrite branch) rather than
+    persisted: the exploded rows carry the full corpus text, and caching
+    corpus-scale text trades a cheap narrow re-scan for executor storage
+    pressure at 100 TB — the opposite call from the slim signature/
+    assignment tables this repo does persist.  The hot list is
+    corpus-dependent (NOT constant-size), so no broadcast hint: AQE
+    sizes that join at runtime."""
     segs = segment_rows(docs, text_col, id_col, seg_words)
     hot = (
-        segs.groupBy("seg")
+        segs.where(F.col("seg").isNotNull())
+        .groupBy("seg")
         .agg(F.count_distinct(id_col).alias("_nd"))
         .where(F.col("_nd") >= min_docs)
         .select("seg")
@@ -312,7 +328,7 @@ def boilerplate_scrub(
                 F.array_sort(
                     F.collect_list(
                         F.when(
-                            F.col("_hot").isNull(),
+                            F.col("_hot").isNull() & F.col("seg").isNotNull(),
                             F.struct(F.col("seg_idx"), F.col("seg")),
                         )
                     )
@@ -321,7 +337,7 @@ def boilerplate_scrub(
             ),
             " ",
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_segs"),
+        F.count("seg").alias("n_segs"),
         F.count("_hot").alias("n_removed"),
     )
 

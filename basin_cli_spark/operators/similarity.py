@@ -309,7 +309,12 @@ def drop_hot_cells(
     is never shuffled for the cap, and the downstream pair self-join
     keeps exactly the exchange layout it had without a cap.  This is the
     same constant-size-broadcast class as the codebook itself (the
-    hinted-only broadcast sweep in tests/test_plans.py admits it)."""
+    hinted-only broadcast sweep in tests/test_plans.py admits it).
+
+    Rows with a NULL cell id are dropped (a null key never matches the
+    semi-join) — correct here, because an unassigned vector has no cell
+    to pair within and must not reach the quadratic path; in-repo
+    assignments (kmeans.assign_ids) never produce null cells."""
     keep = (
         assigned.groupBy(cell_col)
         .agg(F.count(F.lit(1)).alias("_cw"))
@@ -317,6 +322,87 @@ def drop_hot_cells(
         .select(cell_col)
     )
     return assigned.join(F.broadcast(keep), cell_col, "left_semi")
+
+
+def mine_hard_negatives(
+    df: DataFrame,
+    probe_filter: Column,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative triplet mining (Schroff et al. 2015 FaceNet, public):
+    for each anchor selected by ``probe_filter``, the hardest positive
+    (most-similar same-label vector, or NULL if the anchor's label has no
+    other member) and the top-``k`` hardest negatives (most-similar
+    DIFFERENT-label vectors), with the triplet margin.
+
+    Anchors whose label has no second member still emit their negatives —
+    a LEFT join against the positives, so a singleton-label anchor is
+    never silently erased from the mining output (its pos_id/pos_score/
+    margin are NULL).
+
+    Scale shape: the anchor set broadcasts (bounded by the probe
+    predicate), the corpus is scanned once and never shuffled until the
+    per-anchor top-k windows; positives and negatives rank in separate
+    windows over the same scored scan, and the final join is
+    anchor-sized.  Scores round before ranking so ranks are total and
+    engine-independent."""
+    probes = df.where(probe_filter).select(
+        F.col(id_col).alias("p_id"),
+        F.col(vec_col).alias("p_emb"),
+        F.col(label_col).alias("p_label"),
+    )
+    scored = (
+        df.crossJoin(F.broadcast(probes))
+        .where(F.col(id_col) != F.col("p_id"))
+        .select(
+            "p_id",
+            "p_label",
+            id_col,
+            label_col,
+            F.round(
+                cosine(F.col(vec_col), F.col("p_emb")), round_to
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("p_id").orderBy(F.desc("score"), F.col(id_col))
+    pos = (
+        scored.where(F.col(label_col) == F.col("p_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "p_id",
+            F.col(id_col).alias("pos_id"),
+            F.col("score").alias("pos_score"),
+        )
+    )
+    neg = (
+        scored.where(F.col(label_col) != F.col("p_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= k)
+        .select(
+            "p_id",
+            F.col("p_label").alias("anchor_label"),
+            F.col(id_col).alias("neg_id"),
+            F.col("score").alias("neg_score"),
+            F.col("r").alias("neg_rank"),
+        )
+    )
+    return neg.join(pos, "p_id", "left").select(
+        "p_id",
+        "anchor_label",
+        "pos_id",
+        "pos_score",
+        "neg_id",
+        "neg_score",
+        "neg_rank",
+        F.round(F.col("pos_score") - F.col("neg_score"), round_to).alias(
+            "margin"
+        ),
+    )
 
 
 def cosine_topk_lsh(

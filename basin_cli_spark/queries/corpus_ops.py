@@ -64,14 +64,16 @@ segs AS (
 hot AS (
   SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 3
 )
-SELECT s.doc_id,
+SELECT d.doc_id,
        COALESCE(STRING_AGG(CASE WHEN h.seg IS NULL THEN s.seg END,
                            ' ' ORDER BY s.seg_idx), '') AS clean_text,
-       COUNT(*) AS n_segs,
+       COUNT(s.seg) AS n_segs,
        COUNT(h.seg) AS n_removed
-FROM segs s LEFT JOIN hot h ON s.seg = h.seg
-GROUP BY s.doc_id
-ORDER BY s.doc_id
+FROM documents d
+LEFT JOIN segs s ON s.doc_id = d.doc_id
+LEFT JOIN hot h ON s.seg = h.seg
+GROUP BY d.doc_id
+ORDER BY d.doc_id
 """
 
 

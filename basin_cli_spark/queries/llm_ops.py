@@ -1826,7 +1826,7 @@ neg AS (
 SELECT n.p_id, n.anchor_label, p.pos_id, p.pos_score,
        n.neg_id, n.neg_score, n.neg_rank,
        ROUND(p.pos_score - n.neg_score, 6) AS margin
-FROM neg n JOIN pos p ON n.p_id = p.p_id
+FROM neg n LEFT JOIN pos p ON n.p_id = p.p_id
 ORDER BY n.p_id, n.neg_rank
 """
 
@@ -1835,79 +1835,17 @@ ORDER BY n.p_id, n.neg_rank
 def q_similarity_hard_negatives(spark, sf_dir):
     """Hard-negative triplet mining (Schroff et al. 2015 FaceNet, public):
     for each anchor in the probe set, the hardest positive (most-similar
-    same-label vector) and the top-3 hardest negatives (most-similar
-    DIFFERENT-label vectors), with the triplet margin — the mining stage
-    that feeds contrastive/triplet training of embedding models.
-
-    Same scale shape as q_similarity_knn_label: the probe set broadcasts
-    (constant-size by the probe predicate), the corpus is scanned once
-    and never shuffled until the per-anchor top-k windows; positives and
-    negatives rank in separate windows over the same scored scan, and
-    the final join is probe-sized.  Scores round to 6 before ranking so
-    ranks agree across engines; margin subtracts two already-rounded
-    doubles, identical IEEE ops in both."""
-    from pyspark.sql import Window
-
+    same-label vector, NULL for a singleton-label anchor) and the top-3
+    hardest negatives (most-similar DIFFERENT-label vectors), with the
+    triplet margin — the mining stage that feeds contrastive/triplet
+    training of embedding models.  The whole shape lives in
+    operators/similarity.mine_hard_negatives (shared with the property
+    test and the scale smoke); see its docstring for the scale plan."""
     e = load_table(spark, sf_dir, "embeddings")
     par = e.sparkSession.sparkContext.defaultParallelism
-    probes = e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("p_id"),
-        F.col("embedding").alias("p_emb"),
-        F.col("label").alias("p_label"),
-    )
-    scored = (
-        e.repartition(par)
-        .crossJoin(F.broadcast(probes))
-        .where(F.col("vec_id") != F.col("p_id"))
-        .select(
-            "p_id",
-            "p_label",
-            "vec_id",
-            "label",
-            F.round(S.cosine(F.col("embedding"), F.col("p_emb")), 6).alias(
-                "score"
-            ),
-        )
-    )
-    w = Window.partitionBy("p_id").orderBy(F.desc("score"), F.col("vec_id"))
-    pos = (
-        scored.where(F.col("label") == F.col("p_label"))
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select(
-            "p_id",
-            F.col("vec_id").alias("pos_id"),
-            F.col("score").alias("pos_score"),
-        )
-    )
-    neg = (
-        scored.where(F.col("label") != F.col("p_label"))
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= 3)
-        .select(
-            "p_id",
-            F.col("p_label").alias("anchor_label"),
-            F.col("vec_id").alias("neg_id"),
-            F.col("score").alias("neg_score"),
-            F.col("r").alias("neg_rank"),
-        )
-    )
-    return (
-        neg.join(pos, "p_id")
-        .select(
-            "p_id",
-            "anchor_label",
-            "pos_id",
-            "pos_score",
-            "neg_id",
-            "neg_score",
-            "neg_rank",
-            F.round(F.col("pos_score") - F.col("neg_score"), 6).alias(
-                "margin"
-            ),
-        )
-        .orderBy("p_id", "neg_rank")
-    )
+    return S.mine_hard_negatives(
+        e.repartition(par), F.col("vec_id") < 20, k=3
+    ).orderBy("p_id", "neg_rank")
 
 
 _SOURCE_STATS_ORACLE = """

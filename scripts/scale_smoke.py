@@ -243,30 +243,9 @@ def main() -> None:
     # constant-size (broadcast), so cost is one corpus scan per batch of
     # anchors — linear in corpus size, the property this row checks.
     def hard_negatives():
-        from pyspark.sql import Window as W
-
-        probes = emb10.where(F.col("vec_id") < 20).select(
-            F.col("vec_id").alias("p_id"),
-            F.col("embedding").alias("p_emb"),
-            F.col("label").alias("p_label"),
-        )
-        scored = (
-            emb10.crossJoin(F.broadcast(probes))
-            .where(F.col("vec_id") != F.col("p_id"))
-            .select(
-                "p_id", "p_label", "vec_id", "label",
-                F.round(
-                    S.cosine(F.col("embedding"), F.col("p_emb")), 6
-                ).alias("score"),
-            )
-        )
-        w = W.partitionBy("p_id").orderBy(F.desc("score"), F.col("vec_id"))
-        return (
-            scored.where(F.col("label") != F.col("p_label"))
-            .withColumn("r", F.row_number().over(w))
-            .where(F.col("r") <= 3)
-            .count()
-        )
+        return S.mine_hard_negatives(
+            emb10, F.col("vec_id") < 20, k=3
+        ).count()
 
     timed(f"hard-negative mining, 20 anchors ({COPIES}x vectors)",
           hard_negatives, ne, results)

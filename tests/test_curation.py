@@ -317,6 +317,23 @@ def test_boilerplate_scrub_removes_hot_segments_in_order(spark):
     assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 1
 
 
+def test_boilerplate_scrub_preserves_empty_and_null_docs(spark):
+    """A rewrite stage must never lose rows: empty, whitespace-only and
+    NULL texts come back as (id, '', 0, 0) instead of vanishing."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_segs"], r["n_removed"])
+        for r in C.boilerplate_scrub(docs, min_docs=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    for d in (2, 3, 4):
+        assert out[d] == ("", 0, 0)
+    assert out[1] == ("a b c", 1, 0)
+
+
 def test_boilerplate_scrub_reassembly_preserves_order(spark):
     """Many segments per doc: surviving segments come back in document
     order, not collection order."""

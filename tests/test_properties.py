@@ -314,7 +314,7 @@ def test_boilerplate_scrub_matches_pure_python(spark, texts, W, min_docs):
     assert got == want
 
 
-# -- hard-negative mining (queries/llm_ops.py shape) -------------------------
+# -- hard-negative mining (operators/similarity.py) --------------------------
 
 
 @given(
@@ -331,17 +331,18 @@ def test_boilerplate_scrub_matches_pure_python(spark, texts, W, min_docs):
 )
 @settings(deadline=None, max_examples=10)
 def test_hard_negatives_match_numpy_bruteforce(spark, rows):
-    """The mined triplets agree with a numpy brute-force reference on
-    arbitrary tiny embedding tables (anchor = vec_id < 2): same positive,
-    same negative ranking, same rounded scores."""
+    """mine_hard_negatives (the production operator the registry query
+    wraps) agrees with a numpy brute-force reference on arbitrary tiny
+    embedding tables (anchor = vec_id < 2): same positive-or-NULL (a
+    singleton-label anchor keeps its negatives with a NULL positive),
+    same negative ranking, same rounded scores and margins."""
     import numpy as np
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from basin_cli_spark.operators import similarity as S
+    from basin_cli_spark.operators.similarity import mine_hard_negatives
 
-    # drop zero vectors (cosine undefined) and require both labels present
+    # drop zero vectors (cosine undefined); need >1 label for negatives
     rows = [(i, v, l) for i, (v, l) in enumerate(rows) if any(v)]
     labels = {l for _, _, l in rows}
     if len(rows) < 4 or len(labels) < 2:
@@ -350,40 +351,40 @@ def test_hard_negatives_match_numpy_bruteforce(spark, rows):
     e = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label long"
     )
-    probes = e.where(F.col("vec_id") < 2).select(
-        F.col("vec_id").alias("p_id"),
-        F.col("embedding").alias("p_emb"),
-        F.col("label").alias("p_label"),
-    )
-    scored = (
-        e.crossJoin(F.broadcast(probes))
-        .where(F.col("vec_id") != F.col("p_id"))
-        .select(
-            "p_id", "p_label", "vec_id", "label",
-            F.round(S.cosine(F.col("embedding"), F.col("p_emb")), 6).alias("score"),
-        )
-    )
-    w = Window.partitionBy("p_id").orderBy(F.desc("score"), F.col("vec_id"))
     got = [
-        (r["p_id"], r["vec_id"], r["score"], r["r"])
-        for r in scored.where(F.col("label") != F.col("p_label"))
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= 3)
-        .orderBy("p_id", "r")
+        (
+            r["p_id"], r["pos_id"], r["pos_score"],
+            r["neg_id"], r["neg_score"], r["neg_rank"], r["margin"],
+        )
+        for r in mine_hard_negatives(e, F.col("vec_id") < 2, k=3)
+        .orderBy("p_id", "neg_rank")
         .collect()
     ]
 
     by_id = {i: (np.array(v), l) for i, v, l in rows}
+
+    def cos(a, b):
+        return round(
+            float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+        )
+
     want = []
     for p_id in sorted(i for i in by_id if i < 2):
         pv, pl = by_id[p_id]
-        cands = []
-        for vid, (v, l) in by_id.items():
-            if vid == p_id or l == pl:
-                continue
-            c = float(np.dot(v, pv) / (np.linalg.norm(v) * np.linalg.norm(pv)))
-            cands.append((vid, round(c, 6)))
-        cands.sort(key=lambda x: (-x[1], x[0]))
-        for rank, (vid, sc) in enumerate(cands[:3], 1):
-            want.append((p_id, vid, sc, rank))
+        pos = [
+            (cos(v, pv), vid)
+            for vid, (v, l) in by_id.items()
+            if vid != p_id and l == pl
+        ]
+        pos.sort(key=lambda x: (-x[0], x[1]))
+        pos_id, pos_score = (pos[0][1], pos[0][0]) if pos else (None, None)
+        negs = [
+            (cos(v, pv), vid)
+            for vid, (v, l) in by_id.items()
+            if vid != p_id and l != pl
+        ]
+        negs.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (sc, vid) in enumerate(negs[:3], 1):
+            margin = round(pos_score - sc, 6) if pos else None
+            want.append((p_id, pos_id, pos_score, vid, sc, rank, margin))
     assert got == want
