@@ -178,15 +178,27 @@ def gateway_resolver(
         # times out, or returns a CAR missing the requested block is a
         # MISS (fall through to the next resolver in the chain), not a
         # crash — matching the reference's cold-store fallback behaviour.
+        import http.client
+
         try:
             resp = transport(req)
         except OSError:  # URLError / socket.timeout / ConnectionError
+            return None
+        except http.client.HTTPException:
+            # BadStatusLine / LineTooLong etc. from a transport that
+            # doesn't normalize protocol errors itself (the in-repo
+            # http_transport does; this guards any other Transport impl)
             return None
         if resp.status != 200:
             return None
         try:
             return _materialize_block(resp.body, cid, scratch_dir, "gwx_")
-        except (ValueError, KeyError):
+        except Exception:
+            # An UNTRUSTED gateway can return arbitrary bytes; carv1
+            # parsing of truncated/garbage input surfaces IndexError/
+            # AttributeError as readily as ValueError, and every parse
+            # failure is the same event under the resolver contract: a
+            # miss, never a crash of the whole retrieve() chain.
             return None
 
     return resolve

@@ -103,6 +103,12 @@ def _header_dims(b: bytes):
             while off + 9 < len(b):
                 if b[off] != 0xFF:
                     return None
+                # JFIF permits runs of 0xFF fill bytes before a marker
+                # (ITU T.81 §B.1.1.2); skip the padding so a padded-but-
+                # valid JPEG reaches its real SOF instead of falling to
+                # the stub tier.
+                while off + 9 < len(b) and b[off + 1] == 0xFF:
+                    off += 1
                 marker = b[off + 1]
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     off += 2

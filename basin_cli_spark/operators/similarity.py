@@ -342,7 +342,14 @@ def mine_hard_negatives(
     Anchors whose label has no second member still emit their negatives —
     a LEFT join against the positives, so a singleton-label anchor is
     never silently erased from the mining output (its pos_id/pos_score/
-    margin are NULL).
+    margin are NULL).  The asymmetric edge is the converse: the output is
+    DRIVEN BY the negatives, so an anchor with zero different-label
+    candidates (every other vector shares its label — only possible in a
+    single-label corpus slice) emits no rows at all.  That is the
+    intended semantics for a triplet miner (no negative ⇒ no triplet),
+    and the registry oracle ranks from the same neg side, but library
+    callers who need every anchor surfaced should pre-check label
+    cardinality.
 
     Scale shape: the anchor set broadcasts (bounded by the probe
     predicate), the corpus is scanned once and never shuffled until the

@@ -212,6 +212,7 @@ def http_transport() -> Transport:
     (ProviderClient._send), not in the carrier.  Loopback-tested against
     an in-process http.server (tests/test_retrieval.py), the same
     no-network-needed discipline as the pgwire walsender shim."""
+    import http.client
     import urllib.error
     import urllib.parse
     import urllib.request
@@ -238,5 +239,12 @@ def http_transport() -> Transport:
                 headers={k.lower(): v for k, v in e.headers.items()},
                 body=e.read(),
             )
+        except http.client.HTTPException:
+            # A misbehaving server (BadStatusLine, LineTooLong, truncated
+            # chunked body) is a transport failure like any socket error:
+            # surface it as a synthetic 0-status response so callers'
+            # status checks / resolver-miss policy handle it in one place
+            # instead of the exception escaping the resolver chain.
+            return ProviderResponse(status=0, headers={}, body=b"")
 
     return send

@@ -90,6 +90,31 @@ def test_decode_real_image_headers_every_environment(spark):
     assert strict[1]["decoder"] == "header" and strict[1]["width"] == 1
 
 
+def test_jpeg_fill_bytes_before_marker():
+    """ITU T.81 §B.1.1.2 permits runs of 0xFF fill bytes before any
+    marker; the header scanner must skip them and still reach the real
+    SOF instead of bailing to the stub tier."""
+    padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes, then the 0xFF that starts SOF0
+        + b"\xff\xc0" + (11).to_bytes(2, "big")
+        + b"\x08" + (3).to_bytes(2, "big") + (4).to_bytes(2, "big")
+        + b"\x01" + b"\x11\x00"
+        + b"\xff\xd9"
+    )
+    assert MM._header_dims(padded) == (4, 3)
+    # fill bytes between segments (after a skipped marker) also survive
+    padded2 = (
+        b"\xff\xd8"
+        + b"\xff\x01"  # TEM marker, parameterless
+        + b"\xff\xff"  # fill run before the next marker
+        + b"\xff\xc0" + (11).to_bytes(2, "big")
+        + b"\x08" + (5).to_bytes(2, "big") + (6).to_bytes(2, "big")
+        + b"\x01" + b"\x11\x00"
+    )
+    assert MM._header_dims(padded2) == (6, 5)
+
+
 def test_frame_sampling_row_multiplication(media):
     out = MM.sample_frames(media, every_k=2).collect()
     n_frames = {

@@ -258,7 +258,32 @@ def test_gateway_resolver_trustless_car_fetch(spark, sf_dir, tmp_path):
     def wrong_car_gateway(req):
         return ProviderResponse(200, {}, car)  # valid CAR, wrong cid
 
-    for bad in (down_gateway, wrong_car_gateway):
+    # an UNTRUSTED gateway can return arbitrary garbage: truncated bytes
+    # (IndexError in the CAR varint scan), junk headers (AttributeError),
+    # and a mid-stream protocol error from the transport itself must all
+    # register as misses of the resolver, never crash retrieve()
+    import http.client as _hc
+
+    def garbage_gateway(req):
+        return ProviderResponse(200, {}, b"\x00")
+
+    def junk_gateway(req):
+        return ProviderResponse(200, {}, b"not a car at all" * 4)
+
+    def badline_gateway(req):
+        raise _hc.BadStatusLine("garbage")
+
+    def badline_via_transport(req):
+        # the real transport turns HTTPException into a status-0 miss
+        from basin_cli_spark.sources.provider import ProviderResponse as PR
+
+        try:
+            raise _hc.BadStatusLine("garbage")
+        except _hc.HTTPException:
+            return PR(status=0, headers={}, body=b"")
+
+    for bad in (down_gateway, wrong_car_gateway, garbage_gateway,
+                junk_gateway, badline_gateway, badline_via_transport):
         with _pytest.raises(KeyError, match="not resolvable"):
             retrieve(
                 spark, events, C.cid_for_raw(b"absent").text(),
