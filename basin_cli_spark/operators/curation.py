@@ -301,34 +301,52 @@ def boilerplate_scrub(
     the hot list and count("seg") excludes it).
 
     Scale shape: segment rows are built shuffle-free (segment_rows), the
-    hot-segment list is one groupBy(seg) with map-side partial combine,
-    and the rewrite is a left join on seg plus one groupBy(id) over
-    surviving segments — three shuffles of slim rows total, text never
-    moves more than once.  The segmentation lineage is DELIBERATELY
-    evaluated twice (hot-list branch + rewrite branch) rather than
-    persisted: the exploded rows carry the full corpus text, and caching
-    corpus-scale text trades a cheap narrow re-scan for executor storage
-    pressure at 100 TB — the opposite call from the slim signature/
-    assignment tables this repo does persist.  The hot list is
-    corpus-dependent (NOT constant-size), so no broadcast hint: AQE
-    sizes that join at runtime."""
-    segs = segment_rows(docs, text_col, id_col, seg_words)
+    hot-segment list is one groupBy with map-side partial combine, and
+    the rewrite is a left join KEYED ON ``xxhash64(seg)`` — an 8-byte
+    key — plus one groupBy(id) over surviving segments.  Keying the
+    rewrite join on the hash matters past broadcast size: a string-keyed
+    join would shuffle every text-carrying segment row partitioned by
+    its own multi-word content (double text movement); the hash key
+    ships 8 bytes of key per row instead.  Hash collisions cannot
+    corrupt the rewrite: hot segments are collected into ONE row per
+    hash (an array of the hot segment strings sharing it), so the left
+    join never duplicates a segment row, and hotness is the exact
+    post-join string test ``array_contains(_hotsegs, seg)`` — bit-
+    identical semantics to the string join, same oracle.  Beyond what
+    AQE can broadcast, the decontamination Bloom doctrine
+    (bloom_decontaminate above) extends this shape: a Bloom over the hot
+    hashes pre-drops definitely-cold segments map-side so only candidate
+    rows reach the join at all.
+
+    The segmentation lineage is DELIBERATELY evaluated twice (hot-list
+    branch + rewrite branch) rather than persisted: the exploded rows
+    carry the full corpus text, and caching corpus-scale text trades a
+    cheap narrow re-scan for executor storage pressure at 100 TB — the
+    opposite call from the slim signature/assignment tables this repo
+    does persist.  The hot list is corpus-dependent (NOT constant-size),
+    so no broadcast hint: AQE sizes that join at runtime."""
+    segs = segment_rows(docs, text_col, id_col, seg_words).withColumn(
+        "_segh", F.xxhash64("seg")
+    )
     hot = (
         segs.where(F.col("seg").isNotNull())
-        .groupBy("seg")
+        .groupBy("_segh", "seg")
         .agg(F.count_distinct(id_col).alias("_nd"))
         .where(F.col("_nd") >= min_docs)
-        .select("seg")
-        .withColumn("_hot", F.lit(1))
+        .groupBy("_segh")
+        .agg(F.collect_list("seg").alias("_hotsegs"))
     )
-    j = segs.join(hot, "seg", "left")
+    j = segs.join(hot, "_segh", "left")
+    is_hot = F.col("_hotsegs").isNotNull() & F.array_contains(
+        "_hotsegs", F.col("seg")
+    )
     return j.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
                     F.collect_list(
                         F.when(
-                            F.col("_hot").isNull() & F.col("seg").isNotNull(),
+                            ~is_hot & F.col("seg").isNotNull(),
                             F.struct(F.col("seg_idx"), F.col("seg")),
                         )
                     )
@@ -338,7 +356,7 @@ def boilerplate_scrub(
             " ",
         ).alias("clean_text"),
         F.count("seg").alias("n_segs"),
-        F.count("_hot").alias("n_removed"),
+        F.sum(is_hot.cast("int")).alias("n_removed"),
     )
 
 

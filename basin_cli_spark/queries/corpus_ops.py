@@ -984,10 +984,10 @@ def q_corpus_lm_prune(spark, sf_dir):
     IEEE arithmetic in both engines.
 
     Scale shape: the model build is two hash-aggs; scoring joins on the
-    gram; the prune window is per-language sort-within-partition — the
-    same shape as q_corpus_quantile_prune, with the same implemented
-    two-pass approx-quantile escape (q_corpus_quantile_prune_2pass)
-    if one language dwarfs the cluster.  Docs
+    gram; the prune window is per-language sort-within-partition — EXACT
+    by design, the parity form.  The implemented skew escape is
+    q_corpus_lm_prune_2pass (sketch -> broadcast thresholds -> stateless
+    filter) for when one language dwarfs the cluster.  Docs
     with fewer than two tokens carry no bigram evidence and are not
     scored (both engines drop them)."""
     from pyspark.sql import Window
@@ -1003,6 +1003,82 @@ def q_corpus_lm_prune(spark, sf_dir):
         .select(
             "doc_id", "lang", "avg_logprob", F.round("pr", 6).alias("pr")
         )
+    )
+
+
+_LM_PRUNE_2PASS_ORACLE = _BIGRAM_ORACLE.replace(
+    """SELECT doc_id, n_bigrams, ROUND(s / n_bigrams, 9) AS avg_logprob
+FROM folded
+""",
+    """scored AS (
+  SELECT f.doc_id, d.lang, f.avg_logprob
+  FROM (SELECT doc_id, ROUND(s / n_bigrams, 9) AS avg_logprob
+        FROM folded) f
+  JOIN documents d USING (doc_id)
+),
+th AS (
+  SELECT lang, QUANTILE_DISC(avg_logprob, 0.1) AS lo, COUNT(*) AS n_docs
+  FROM scored GROUP BY lang
+)
+SELECT s.lang,
+       MAX(th.n_docs) AS n_docs,
+       COUNT(*) FILTER (WHERE s.avg_logprob >= th.lo)
+         BETWEEN 0.85 * MAX(th.n_docs) AND 0.97 * MAX(th.n_docs) AS kept_ok
+FROM scored s JOIN th USING (lang)
+GROUP BY s.lang
+""",
+).replace(
+    """FROM lp GROUP BY doc_id
+)""",
+    """FROM lp GROUP BY doc_id
+),""",
+)
+
+
+@register("q_corpus_lm_prune_2pass", _LM_PRUNE_2PASS_ORACLE)
+def q_corpus_lm_prune_2pass(spark, sf_dir):
+    """The skewed-giant-language escape for CCNet-style LM pruning —
+    implemented on the q_corpus_quantile_prune_2pass doctrine: the
+    per-language bottom-decile logprob threshold comes from ONE hash
+    aggregation whose percentile sketches partial-aggregate map-side (no
+    per-language sort, no single reducer owning a 10^10-row language),
+    the languages-sized threshold table broadcasts back, and the scored
+    corpus streams through a stateless ``avg_logprob >= lo`` filter —
+    where the exact form's percent_rank window must move every row of a
+    language to one task.
+
+    Oracle is tolerance-as-boolean (the q_corpus_quantile_prune_2pass
+    convention): Spark's GK percentile_approx and DuckDB's quantile_disc
+    may pick adjacent order statistics, so each engine asserts its own
+    kept fraction lands in [0.85, 0.97] of the language (the
+    exact-window answer keeps ~90%); per-language scored-doc counts must
+    match bit-for-bit.  Exactness of the prune itself is covered by
+    q_corpus_lm_prune."""
+    scores = _bigram_logprob_scores(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = scores.join(d, "doc_id").select(
+        "doc_id", "lang", "avg_logprob"
+    )
+    th = scored.groupBy("lang").agg(
+        F.percentile_approx("avg_logprob", 0.1, 100000).alias("lo"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    kept = (
+        scored.join(F.broadcast(th), "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.sum(
+                F.when(F.col("avg_logprob") >= F.col("lo"), 1).otherwise(0)
+            ).alias("_kept"),
+        )
+    )
+    return kept.select(
+        "lang",
+        "n_docs",
+        F.col("_kept")
+        .between(0.85 * F.col("n_docs"), 0.97 * F.col("n_docs"))
+        .alias("kept_ok"),
     )
 
 

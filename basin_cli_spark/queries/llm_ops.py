@@ -1744,25 +1744,15 @@ ORDER BY vec_id
 """.format(cos=_cosine_sql("e.embedding", "c.cvec"))
 
 
-@register("q_embedding_prototype_prune", _PROTO_PRUNE_ORACLE)
-def q_embedding_prototype_prune(spark, sf_dir):
-    """Prototype-distance data pruning (Sorscher et al. 2022, 'Beyond
-    neural scaling laws', public): score every vector by cosine
-    similarity to its label's centroid and drop the least-prototypical
-    10% per label — the prototypicality metric that paper shows beats
-    random pruning at scale.
-
-    Scale shape: the per-(label, dim) centroid aggregation is a plain
-    hash-agg with map-side partials (posexplode keys the shuffle, never
-    a vector collect); the assembled centroid table is n_labels rows —
-    constant-size by the label vocabulary, same broadcast class as the
-    rebalance rates table — so the corpus joins it without shuffling,
-    and the per-label percent_rank window is the only corpus exchange.
-    Centroid components round to 6 before the distance (the
-    q_embedding_label_centroids convention) and the rank order is total
-    (proto_sim desc, vec_id), so both engines rank identically."""
-    from pyspark.sql import Window
-
+def _proto_scores(spark, sf_dir):
+    """Shared builder: (vec_id, label, proto_sim) — cosine of every
+    vector against its label's centroid.  The per-(label, dim) centroid
+    aggregation is a plain hash-agg with map-side partials (posexplode
+    keys the shuffle, never a vector collect); the assembled centroid
+    table is n_labels rows — constant-size by the label vocabulary — so
+    the corpus joins it broadcast without shuffling.  Centroid
+    components round to 6 before the distance (the
+    q_embedding_label_centroids convention)."""
     e = load_table(spark, sf_dir, "embeddings")
     par = e.sparkSession.sparkContext.defaultParallelism
     cent = (
@@ -1777,13 +1767,33 @@ def q_embedding_prototype_prune(spark, sf_dir):
             lambda x: x["c"],
         ).alias("cvec")
     )
-    scored = e.join(F.broadcast(carr), "label").select(
+    return e.join(F.broadcast(carr), "label").select(
         "vec_id",
         "label",
         F.round(S.cosine(F.col("embedding"), F.col("cvec")), 6).alias(
             "proto_sim"
         ),
     )
+
+
+@register("q_embedding_prototype_prune", _PROTO_PRUNE_ORACLE)
+def q_embedding_prototype_prune(spark, sf_dir):
+    """Prototype-distance data pruning (Sorscher et al. 2022, 'Beyond
+    neural scaling laws', public): score every vector by cosine
+    similarity to its label's centroid and drop the least-prototypical
+    10% per label — the prototypicality metric that paper shows beats
+    random pruning at scale.
+
+    Scale shape: centroid build + broadcast join per _proto_scores; the
+    per-label percent_rank window is the only corpus exchange, EXACT by
+    design (total order: proto_sim desc, vec_id) — the parity form.  A
+    dominant label at 10^11 rows lands that label's sort on one task;
+    the implemented escape is q_embedding_prototype_prune_2pass, which
+    replaces the rank window with a sketch -> broadcast-threshold ->
+    stateless-filter pass."""
+    from pyspark.sql import Window
+
+    scored = _proto_scores(spark, sf_dir)
     w = Window.partitionBy("label").orderBy(
         F.desc("proto_sim"), F.col("vec_id")
     )
@@ -1792,6 +1802,76 @@ def q_embedding_prototype_prune(spark, sf_dir):
         .where(F.col("pr") <= 0.9)
         .select("vec_id", "label", "proto_sim")
         .orderBy("vec_id")
+    )
+
+
+_PROTO_PRUNE_2PASS_ORACLE = f"""
+WITH cent AS (
+  SELECT label, CAST(i AS INT) AS dim,
+         ROUND(AVG(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS c
+  FROM embeddings, RANGE(1, 65) t(i)
+  GROUP BY label, i
+),
+carr AS (
+  SELECT label, LIST(c ORDER BY dim) AS cvec FROM cent GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND({{cos}}, 6) AS proto_sim
+  FROM embeddings e JOIN carr c ON e.label = c.label
+),
+th AS (
+  SELECT label, QUANTILE_DISC(proto_sim, 0.1) AS lo, COUNT(*) AS n_vecs
+  FROM scored GROUP BY label
+)
+SELECT s.label,
+       MAX(th.n_vecs) AS n_vecs,
+       COUNT(*) FILTER (WHERE s.proto_sim >= th.lo)
+         BETWEEN 0.85 * MAX(th.n_vecs) AND 0.97 * MAX(th.n_vecs) AS kept_ok
+FROM scored s JOIN th USING (label)
+GROUP BY s.label
+""".format(cos=_cosine_sql("e.embedding", "c.cvec"))
+
+
+@register("q_embedding_prototype_prune_2pass", _PROTO_PRUNE_2PASS_ORACLE)
+def q_embedding_prototype_prune_2pass(spark, sf_dir):
+    """The skewed-giant-label escape for prototype pruning — implemented
+    on the q_corpus_quantile_prune_2pass doctrine: per-label p10 of
+    proto_sim comes from ONE hash aggregation whose percentile sketches
+    partial-aggregate map-side (no per-label sort, no single reducer
+    owning a dominant label), the labels-sized threshold table
+    broadcasts back, and the corpus streams through a stateless
+    ``proto_sim >= lo`` filter — where the exact form's percent_rank
+    window must move every row of a label to one task.
+
+    Oracle is tolerance-as-boolean (the q_corpus_quantile_prune_2pass
+    convention): Spark's GK percentile_approx and DuckDB's quantile_disc
+    may pick adjacent order statistics, so each engine asserts its own
+    kept fraction lands in [0.85, 0.97] of the label (the exact-window
+    answer keeps ~90%); per-label vector counts must match
+    bit-for-bit.  Exactness of the prune itself is covered by
+    q_embedding_prototype_prune."""
+    scored = _proto_scores(spark, sf_dir)
+    th = scored.groupBy("label").agg(
+        F.percentile_approx("proto_sim", 0.1, 100000).alias("lo"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    kept = (
+        scored.join(F.broadcast(th), "label")
+        .groupBy("label")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.sum(
+                F.when(F.col("proto_sim") >= F.col("lo"), 1).otherwise(0)
+            ).alias("_kept"),
+        )
+    )
+    return kept.select(
+        "label",
+        "n_vecs",
+        F.col("_kept")
+        .between(0.85 * F.col("n_vecs"), 0.97 * F.col("n_vecs"))
+        .alias("kept_ok"),
     )
 
 

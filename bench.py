@@ -146,8 +146,7 @@ def main() -> None:
         "load_avg": [round(v, 2) for v in os.getloadavg()],
         "cpus": os.cpu_count(),
     }
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(times.values()), 3),
@@ -176,8 +175,18 @@ def main() -> None:
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
-        )
     )
+    # One JSON line on stdout is the driver contract; the same record is
+    # ALSO written to bench_out.json next to this script because the
+    # driver's tail-capture has truncated the (growing) stdout line
+    # before (BENCH_r06 'parsed: null') — the file is the
+    # truncation-proof artifact of record.
+    print(payload)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(payload + "\n")
 
 
 if __name__ == "__main__":

@@ -160,7 +160,25 @@ def main() -> None:
             docs10, "text", "doc_id", seg_words=3, min_docs=3 * COPIES
         ).count()
 
+    def wav_roundtrip():
+        from basin_cli_spark.operators import multimodal as MM
+
+        return MM.audio_meta(
+            MM.synthesize_audio(docs10, "text", "doc_id")
+        ).count()
+
+    def mp4_roundtrip():
+        from basin_cli_spark.operators import multimodal as MM
+
+        return MM.video_meta(
+            MM.synthesize_video(docs10, "text", "doc_id")
+        ).count()
+
     timed(f"minhash-LSH pair gen ({COPIES}x docs)", minhash_pairs, nd, results)
+    timed(f"WAV container write+reparse ({COPIES}x docs)",
+          wav_roundtrip, nd, results)
+    timed(f"MP4 container write+reparse ({COPIES}x docs)",
+          mp4_roundtrip, nd, results)
     timed(f"boilerplate segment rewrite ({COPIES}x docs)",
           boilerplate, nd, results)
     timed(f"per-source cap, 90%-skewed source ({COPIES}x docs)",
@@ -249,6 +267,48 @@ def main() -> None:
 
     timed(f"hard-negative mining, 20 anchors ({COPIES}x vectors)",
           hard_negatives, ne, results)
+
+    # Prototype-distance pruning with a DOMINANT label (90% of vectors on
+    # one label) via the two-pass shape: centroid hash-agg -> per-label
+    # percentile sketch (map-side partials, no per-label sort) ->
+    # broadcast thresholds -> stateless filter.  The exact percent_rank
+    # form would land the giant label's sort on one task; this row checks
+    # the implemented escape stays linear under that skew.
+    def proto_prune_2pass_skewed():
+        sk = emb10.withColumn(
+            "label",
+            F.when(F.col("vec_id") % 10 < 9, F.lit(99)).otherwise(
+                F.col("label")
+            ),
+        )
+        cent = (
+            sk.select("label", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("label", "pos")
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        )
+        carr = cent.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("cvec")
+        )
+        scored = sk.join(F.broadcast(carr), "label").select(
+            "vec_id", "label",
+            F.round(S.cosine(F.col("embedding"), F.col("cvec")), 6).alias(
+                "proto_sim"
+            ),
+        )
+        th = scored.groupBy("label").agg(
+            F.percentile_approx("proto_sim", 0.1, 100000).alias("lo")
+        )
+        return (
+            scored.join(F.broadcast(th), "label")
+            .where(F.col("proto_sim") >= F.col("lo"))
+            .count()
+        )
+
+    timed(f"prototype 2-pass prune, 90%-skewed label ({COPIES}x vectors)",
+          proto_prune_2pass_skewed, ne, results)
     emb10.unpersist()
 
     # MuHash digest of 10x documents: the digest scale path — one partial
@@ -330,6 +390,19 @@ def main() -> None:
         "the giant source's reducer receives <= map_partitions x k rows —",
         "the plan property pinned by",
         "tests/test_plans.py::test_per_source_cap_partial_limit_before_exchange.",
+        "",
+        "The 90%-skewed-label prototype-prune row runs the TWO-PASS form",
+        "(q_embedding_prototype_prune_2pass / q_corpus_lm_prune_2pass share",
+        "the shape): per-label thresholds from a percentile sketch that",
+        "partial-aggregates map-side, broadcast back, applied as a stateless",
+        "filter — no per-label sort anywhere, so one label holding 90% of the",
+        "corpus costs the same as a uniform one.  Plan pinned by",
+        "tests/test_plans.py::test_2pass_prunes_have_no_rank_window.",
+        "",
+        "The WAV/MP4 rows are the real container round-trips (stdlib",
+        "RIFF/ISO-BMFF writers + hand-rolled parsers) over mapInPandas —",
+        "per-row Arrow-batched byte work, no shuffle; rows/s is bounded by",
+        "Python bytes assembly/parse, not Spark.",
         "",
         "The Bloom-prefiltered decontamination row is SLOWER than the plain",
         "broadcast here, and that is the expected crossover, not a defect: at",

@@ -299,25 +299,93 @@ def test_dedup_embedding_shuffle_shape(spark, sf_dir, registry):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def _assert_partial_group_limit_below_exchange(plan, *, jvm_only=True):
+    """Shared assertion: a WindowGroupLimit(..., Partial) sits DIRECTLY
+    below the window-keyed Exchange (InferWindowGroupLimit, SPARK-37099),
+    so each map partition ships at most k rows per window key into the
+    shuffle.  Checked by tree adjacency — the Exchange's immediate child
+    in the formatted tree is a WindowGroupLimit whose details line is
+    marked Partial."""
+    import re
+
+    partial_ids = set(
+        re.findall(
+            r"\((\d+)\) WindowGroupLimit\nInput[^\n]*\nArguments: [^\n]*Partial",
+            plan,
+        )
+    )
+    assert partial_ids, "no partial WindowGroupLimit in plan:\n" + plan
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    lines = tree.splitlines()
+    adjacent = False
+    for i, ln in enumerate(lines):
+        m = re.search(r"WindowGroupLimit \((\d+)\)", ln)
+        if m and m.group(1) in partial_ids and i > 0 \
+                and "Exchange (" in lines[i - 1]:
+            adjacent = True
+    assert adjacent, (
+        "partial WindowGroupLimit not directly below an Exchange:\n" + tree
+    )
+    if jvm_only:
+        # and nothing Python-side: the whole query stays in the JVM
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_per_source_cap_partial_limit_before_exchange(spark, sf_dir, registry):
     """The per-source-cap skew escape is NATIVE: the rank<=k filter makes
     Catalyst plant WindowGroupLimit(..., row_number(), k, Partial) BELOW
-    the source-keyed Exchange (InferWindowGroupLimit, SPARK-37099), so
-    each map partition ships at most k rows per source into the shuffle
-    — a giant source cannot flood its reducer task.  Formatted plans
-    number operators bottom-up (children smaller), so the Partial limit's
-    id must be below the Exchange's."""
+    the source-keyed Exchange — a giant source cannot flood its reducer
+    task."""
+    df = registry["q_sample_per_source_cap"].fn(spark, sf_dir)
+    _assert_partial_group_limit_below_exchange(plan_of(df))
+
+
+def test_mining_windows_partial_group_limit(spark, sf_dir, registry):
+    """The same native group-limit contract where the window key is
+    anchor/probe cardinality: hard-negative mining and kNN labeling end
+    in rank<=k / r==1 filters over per-anchor windows, so Catalyst must
+    plant the Partial WindowGroupLimit below the anchor-keyed Exchange —
+    each map partition ships at most k scored rows per anchor, keeping
+    the shuffle |anchors|*k instead of |corpus|*|anchors|."""
+    for name in ("q_similarity_hard_negatives", "q_similarity_knn_label"):
+        plan = plan_of(registry[name].fn(spark, sf_dir))
+        _assert_partial_group_limit_below_exchange(plan, jvm_only=False)
+
+
+def test_2pass_prunes_have_no_rank_window(spark, sf_dir, registry):
+    """The skew-safe two-pass prunes must NOT plan a per-group rank
+    window (the exact forms' scale ceiling): thresholds come from a
+    percentile sketch that partial-aggregates map-side, broadcast back,
+    and applied as a stateless filter.  Pinned: no Window operator, no
+    percent_rank, partial aggregation on the sketch, and the
+    threshold-table join side is a BroadcastExchange."""
+    for name in ("q_embedding_prototype_prune_2pass",
+                 "q_corpus_lm_prune_2pass",
+                 "q_corpus_quantile_prune_2pass"):
+        plan = plan_of(registry[name].fn(spark, sf_dir))
+        body = plan.split("== Physical Plan ==")[1]
+        assert ") Window\n" not in body, name + " plans a rank window"
+        assert "percent_rank" not in body, name
+        assert "partial_percentile_approx" in body, name
+        assert "BroadcastExchange" in body, name
+
+
+def test_boilerplate_rewrite_join_keys_on_hash(spark, sf_dir, registry):
+    """The boilerplate rewrite join must key on ``xxhash64(seg)`` — an
+    8-byte long — never on the multi-word segment string: past broadcast
+    size a string-keyed join would partition every text-carrying segment
+    row by its own content (double text movement), while the hash key
+    ships 8 bytes per row.  Pinned: every join in the plan keys on
+    ``_segh`` longs, and no join key is the ``seg`` string itself."""
     import re
 
-    df = registry["q_sample_per_source_cap"].fn(spark, sf_dir)
-    plan = plan_of(df)
-    partial = re.search(
-        r"\((\d+)\) WindowGroupLimit\nInput[^\n]*\nArguments: [^\n]*Partial",
-        plan,
-    )
-    exch = re.search(r"\((\d+)\) Exchange", plan)
-    assert partial, "no partial WindowGroupLimit in plan:\n" + plan
-    assert exch, "no Exchange in plan:\n" + plan
-    assert int(partial.group(1)) < int(exch.group(1))
-    # and nothing Python-side: the whole query stays in the JVM
-    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    plan = plan_of(registry["q_corpus_boilerplate_scrub"].fn(spark, sf_dir))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "xxhash64" in body, "hash key derivation missing:\n" + body
+    key_lines = re.findall(r"(?:Left|Right) keys \[\d+\]: \[([^\]]*)\]", body)
+    assert key_lines, "no equi-join in plan:\n" + body
+    for keys in key_lines:
+        assert "_segh" in keys, "join not keyed on _segh: " + keys
+        assert not re.search(r"\bseg#", keys), (
+            "join keyed on the segment string: " + keys
+        )
