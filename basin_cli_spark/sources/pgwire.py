@@ -23,13 +23,21 @@ walsender on 127.0.0.1 (the Python analogue of the reference's
 pgmock-based replicator_test.go:37-94) and asserts the SAME golden
 ack-LSN sequence as the scripted-transport session tests.
 
-Auth scope: trust/no-password only (AuthenticationOk).  SASL/MD5 belong
-to a production deployment's libpq binding, not this shim; the message
-framing below is the complete public format either way.
+Auth scope: trust (AuthenticationOk) and SCRAM-SHA-256 (RFC 5802/7677
+over the protocol's AuthenticationSASL/-Continue/-Final exchange, the
+method every supported Postgres defaults to via
+``password_encryption=scram-sha-256``) — both sides implemented in pure
+stdlib hmac/hashlib/pbkdf2 below, with the client verifying the server
+signature (mutual auth) before trusting AuthenticationOk.  MD5 auth is
+deliberately absent (deprecated upstream).
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
+import os
 import socket
 import struct
 
@@ -51,6 +59,143 @@ ERROR_RESPONSE = ord("E")
 # Frontend message type bytes
 QUERY = ord("Q")
 TERMINATE = ord("X")
+SASL_RESPONSE = ord("p")  # SASLInitialResponse / SASLResponse share 'p'
+
+# Authentication request codes (payload int32, protocol §55.7 AuthenticationX)
+AUTH_OK = 0
+AUTH_SASL = 10
+AUTH_SASL_CONTINUE = 11
+AUTH_SASL_FINAL = 12
+
+SCRAM_MECHANISM = "SCRAM-SHA-256"
+SCRAM_ITERATIONS = 4096  # Postgres default (scram_iterations GUC)
+_GS2_HEADER = "n,,"  # no channel binding; base64("n,,") == "biws"
+
+
+# -- SCRAM-SHA-256 (RFC 5802 key derivation, RFC 7677 SHA-256 profile) -------
+#
+# Both halves of the exchange live here: the client proof/verify path the
+# real connection uses, and the server verifier the in-process fake
+# walsender uses in tests (the same split as recv_startup above).  All
+# primitives are stdlib: pbkdf2_hmac, hmac, sha256.
+
+
+def scram_salted_password(password: str, salt: bytes, iterations: int) -> bytes:
+    """Hi(password, salt, i) — RFC 5802 §2.2 is exactly PBKDF2-HMAC-SHA256."""
+    return hashlib.pbkdf2_hmac(
+        "sha256", password.encode(), salt, iterations
+    )
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+
+def _parse_scram_attrs(message: str) -> dict[str, str]:
+    """``r=...,s=...,i=...`` → dict.  SCRAM attributes are single letters;
+    values may themselves contain '=' (base64), so split on the FIRST."""
+    out: dict[str, str] = {}
+    for part in message.split(","):
+        if len(part) >= 2 and part[1] == "=":
+            out[part[0]] = part[2:]
+    return out
+
+
+def scram_client_first(nonce: str) -> tuple[str, str]:
+    """(full client-first-message, client-first-bare).  The username slot
+    is empty — Postgres ignores it and takes the role from the startup
+    packet (its own libpq sends ``n=`` too), which sidesteps SASLprep."""
+    bare = f"n=,r={nonce}"
+    return _GS2_HEADER + bare, bare
+
+
+def scram_client_final(
+    password: str, client_first_bare: str, server_first: str
+) -> tuple[str, bytes]:
+    """Compute the client-final-message for a server-first challenge.
+
+    Returns (client_final_message, expected server signature) — the
+    caller checks the server's AuthenticationSASLFinal ``v=`` against the
+    signature so a server that doesn't actually know the password's
+    verifier cannot fake a success (RFC 5802 mutual auth)."""
+    attrs = _parse_scram_attrs(server_first)
+    full_nonce = attrs["r"]
+    salt = base64.b64decode(attrs["s"])
+    iterations = int(attrs["i"])
+    salted = scram_salted_password(password, salt, iterations)
+    client_key = _hmac(salted, "Client Key")
+    stored_key = hashlib.sha256(client_key).digest()
+    without_proof = (
+        f"c={base64.b64encode(_GS2_HEADER.encode()).decode()},r={full_nonce}"
+    )
+    auth_message = f"{client_first_bare},{server_first},{without_proof}"
+    client_sig = _hmac(stored_key, auth_message)
+    proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+    server_key = _hmac(salted, "Server Key")
+    server_sig = _hmac(server_key, auth_message)
+    final = f"{without_proof},p={base64.b64encode(proof).decode()}"
+    return final, server_sig
+
+
+class ScramVerifier:
+    """Server half of the exchange, for the in-process fake walsender:
+    holds the stored verifier (StoredKey/ServerKey — what a real server
+    keeps in pg_authid; the cleartext password is only used here to
+    derive it) and checks a client proof."""
+
+    def __init__(
+        self,
+        password: str,
+        salt: bytes = b"basin-spark-salt",
+        iterations: int = SCRAM_ITERATIONS,
+    ):
+        self.salt = salt
+        self.iterations = iterations
+        salted = scram_salted_password(password, salt, iterations)
+        self.stored_key = hashlib.sha256(_hmac(salted, "Client Key")).digest()
+        self.server_key = _hmac(salted, "Server Key")
+
+    def server_first(self, client_first: str, server_nonce_ext: str) -> str:
+        """Build server-first-message for a SASLInitialResponse body.
+        Strips the gs2 header, appends our nonce extension to the
+        client's."""
+        bare = client_first
+        if bare.startswith(_GS2_HEADER):
+            bare = bare[len(_GS2_HEADER):]
+        self._client_first_bare = bare
+        client_nonce = _parse_scram_attrs(bare)["r"]
+        self._full_nonce = client_nonce + server_nonce_ext
+        self._server_first = (
+            f"r={self._full_nonce}"
+            f",s={base64.b64encode(self.salt).decode()}"
+            f",i={self.iterations}"
+        )
+        return self._server_first
+
+    def verify_client_final(self, client_final: str) -> str | None:
+        """Check proof + nonce; return the server-final ``v=...`` message
+        on success, None on a bad proof (wrong password) or nonce."""
+        attrs = _parse_scram_attrs(client_final)
+        if attrs.get("r") != self._full_nonce:
+            return None
+        without_proof = client_final.rsplit(",p=", 1)[0]
+        auth_message = (
+            f"{self._client_first_bare},{self._server_first},{without_proof}"
+        )
+        client_sig = _hmac(self.stored_key, auth_message)
+        try:
+            proof = base64.b64decode(attrs.get("p", ""))
+        except ValueError:
+            return None
+        if len(proof) != len(client_sig):
+            return None
+        client_key = bytes(a ^ b for a, b in zip(proof, client_sig))
+        if not hmac.compare_digest(
+            hashlib.sha256(client_key).digest(), self.stored_key
+        ):
+            return None
+        server_sig = _hmac(self.server_key, auth_message)
+        return f"v={base64.b64encode(server_sig).decode()}"
 
 
 # -- framing -----------------------------------------------------------------
@@ -150,11 +295,16 @@ class PgWireReplicationClient:
         user: str = "postgres",
         database: str = "postgres",
         timeout: float = 10.0,
+        password: str | None = None,
+        client_nonce: str | None = None,
     ):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._copy_both = False
         self._sock.sendall(encode_startup(user, database))
-        # consume auth/parameter chatter until ReadyForQuery
+        # consume auth/parameter chatter until ReadyForQuery, answering a
+        # SCRAM-SHA-256 challenge if the server issues one
+        scram_bare: str | None = None
+        expected_server_sig: bytes | None = None
         while True:
             msg = recv_message(self._sock)
             if msg is None:
@@ -162,9 +312,54 @@ class PgWireReplicationClient:
             t, payload = msg
             if t == AUTHENTICATION:
                 (code,) = struct.unpack_from(">i", payload, 0)
-                if code != 0:
+                if code == AUTH_OK:
+                    continue
+                if code == AUTH_SASL:
+                    mechanisms = payload[4:].split(b"\0")
+                    if SCRAM_MECHANISM.encode() not in mechanisms:
+                        raise NotImplementedError(
+                            f"no common SASL mechanism in {mechanisms!r}"
+                        )
+                    if password is None:
+                        raise ConnectionError(
+                            "server requires SCRAM-SHA-256 but no "
+                            "password was given"
+                        )
+                    nonce = client_nonce or base64.b64encode(
+                        os.urandom(18)
+                    ).decode()
+                    first, scram_bare = scram_client_first(nonce)
+                    body = (
+                        SCRAM_MECHANISM.encode() + b"\0"
+                        + struct.pack(">i", len(first))
+                        + first.encode()
+                    )
+                    self._sock.sendall(encode_message(SASL_RESPONSE, body))
+                elif code == AUTH_SASL_CONTINUE:
+                    assert scram_bare is not None and password is not None
+                    final, expected_server_sig = scram_client_final(
+                        password, scram_bare, payload[4:].decode()
+                    )
+                    self._sock.sendall(
+                        encode_message(SASL_RESPONSE, final.encode())
+                    )
+                elif code == AUTH_SASL_FINAL:
+                    # mutual auth: a server that doesn't hold the real
+                    # verifier can't produce this signature — refuse to
+                    # proceed rather than trusting its AuthenticationOk
+                    attrs = _parse_scram_attrs(payload[4:].decode())
+                    got = base64.b64decode(attrs.get("v", ""))
+                    if expected_server_sig is None or not hmac.compare_digest(
+                        got, expected_server_sig
+                    ):
+                        raise ConnectionError(
+                            "SCRAM server signature mismatch — server does "
+                            "not know the password verifier"
+                        )
+                else:
                     raise NotImplementedError(
-                        f"auth method {code} not supported (trust only)"
+                        f"auth method {code} not supported "
+                        "(trust or SCRAM-SHA-256 only)"
                     )
             elif t == ERROR_RESPONSE:
                 raise ConnectionError(f"startup error: {payload!r}")

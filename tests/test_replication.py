@@ -398,27 +398,81 @@ class LoopbackWalsender(threading.Thread):
     frames, then CopyDone; records every executed command and every
     StandbyStatusUpdate the client ships back."""
 
-    def __init__(self, resume_lsn, frames, stream_error=None):
+    def __init__(self, resume_lsn, frames, stream_error=None,
+                 scram_password=None, tamper_server_sig=False):
         super().__init__(daemon=True)
         self._resume = resume_lsn
         self._frames = list(frames)
         self._stream_error = stream_error
+        self._scram_password = scram_password
+        self._tamper_server_sig = tamper_server_sig
         self.executed = []
         self.received_acks = []
         self.startup_params = None
+        self.auth_result = None  # "trust" | "scram-ok" | "scram-fail"
         self._srv = socket.create_server(("127.0.0.1", 0))
         self.port = self._srv.getsockname()[1]
 
     def _ready(self, conn):
         conn.sendall(W.encode_message(W.READY_FOR_QUERY, b"I"))
 
+    def _auth(self, conn) -> bool:
+        """Trust, or the full server half of SCRAM-SHA-256 when
+        scram_password is set.  Returns False when auth failed (the
+        connection is then torn down like a real server's FATAL)."""
+        if self._scram_password is None:
+            conn.sendall(
+                W.encode_message(W.AUTHENTICATION, struct.pack(">i", 0))
+            )
+            self.auth_result = "trust"
+            return True
+        verifier = W.ScramVerifier(self._scram_password)
+        conn.sendall(W.encode_message(
+            W.AUTHENTICATION,
+            struct.pack(">i", W.AUTH_SASL)
+            + W.SCRAM_MECHANISM.encode() + b"\0\0",
+        ))
+        t, payload = W.recv_message(conn)
+        assert t == W.SASL_RESPONSE
+        mech, rest = payload.split(b"\0", 1)
+        assert mech.decode() == W.SCRAM_MECHANISM
+        (ln,) = struct.unpack_from(">i", rest, 0)
+        client_first = rest[4:4 + ln].decode()
+        server_first = verifier.server_first(client_first, "SrvNonceExt")
+        conn.sendall(W.encode_message(
+            W.AUTHENTICATION,
+            struct.pack(">i", W.AUTH_SASL_CONTINUE) + server_first.encode(),
+        ))
+        t, payload = W.recv_message(conn)
+        assert t == W.SASL_RESPONSE
+        server_final = verifier.verify_client_final(payload.decode())
+        if server_final is None:
+            self.auth_result = "scram-fail"
+            conn.sendall(W.encode_message(
+                W.ERROR_RESPONSE,
+                b"SFATAL\x00C28P01\x00M"
+                b"password authentication failed\x00\x00",
+            ))
+            return False
+        if self._tamper_server_sig:
+            server_final = "v=" + "A" * 44
+        self.auth_result = "scram-ok"
+        conn.sendall(W.encode_message(
+            W.AUTHENTICATION,
+            struct.pack(">i", W.AUTH_SASL_FINAL) + server_final.encode(),
+        ))
+        conn.sendall(
+            W.encode_message(W.AUTHENTICATION, struct.pack(">i", 0))
+        )
+        return True
+
     def run(self):
         conn, _ = self._srv.accept()
         with conn:
             self.startup_params = W.recv_startup(conn)
-            conn.sendall(
-                W.encode_message(W.AUTHENTICATION, struct.pack(">i", 0))
-            )
+            if not self._auth(conn):
+                self._srv.close()
+                return
             self._ready(conn)
             while True:
                 msg = W.recv_message(conn)
@@ -683,3 +737,131 @@ def test_full_pipeline_over_real_socket(spark, tmp_path):
         *[r.path for r in rows if r.table == "t"]
     ).select("id", "name")
     assert sorted(streamed.collect()) == sorted(batch.collect())
+
+
+# -- SCRAM-SHA-256 auth (RFC 5802/7677 over AuthenticationSASL) --------------
+#
+# Reference parity: the Go side delegates auth to pgconn
+# (/root/reference/pkg/pgrepl/conn.go:18-56), whose default server
+# contract since PG 10 is scram-sha-256.  Both halves here are the
+# repo's own stdlib implementation (sources/pgwire.py), pinned first to
+# the RFC 7677 published test vector, then driven end-to-end over a real
+# loopback socket — success, wrong password, and a server that cannot
+# prove IT knows the verifier (mutual-auth tamper).
+
+
+def test_scram_rfc7677_known_answer():
+    """The RFC 7677 §3 example exchange, byte-for-byte: password
+    'pencil', client nonce 'rOprNGfwEbeRWgbNEkqO', the published salt/
+    iteration-count/server-nonce — our client must reproduce the
+    published proof, and our verifier must accept it and emit the
+    published server signature."""
+    client_first, bare = W.scram_client_first("rOprNGfwEbeRWgbNEkqO")
+    assert client_first == "n,,n=,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    final, server_sig = W.scram_client_final("pencil", bare, server_first)
+    # RFC 7677 publishes the vector with n=user; the username slot is
+    # outside AuthMessage's proof inputs only via client-first-bare, so
+    # recompute the vector's bare form to compare against the RFC bytes.
+    rfc_final, rfc_sig = W.scram_client_final(
+        "pencil", "n=user,r=rOprNGfwEbeRWgbNEkqO", server_first
+    )
+    assert rfc_final == (
+        "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    import base64 as _b64
+
+    assert _b64.b64encode(rfc_sig).decode() == (
+        "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+    )
+    # our own verifier round-trips our own client (n= empty form)
+    v = W.ScramVerifier(
+        "pencil", salt=_b64.b64decode("W22ZaJ0SNY7soEsUEjb6gQ=="), iterations=4096
+    )
+    sf = v.server_first(client_first, "%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0")
+    f2, sig2 = W.scram_client_final("pencil", bare, sf)
+    assert v.verify_client_final(f2) == "v=" + _b64.b64encode(sig2).decode()
+    # and rejects a wrong-password proof
+    bad, _ = W.scram_client_final("pENcil", bare, sf)
+    assert v.verify_client_final(bad) is None
+
+
+def test_loopback_scram_auth_success_streams():
+    """Full walsender session over the socket with a SCRAM challenge in
+    the startup: same golden ack as the trust-auth resume test — auth is
+    transparent to the protocol layer above it."""
+    resume = "0/3910B898"
+    server = LoopbackWalsender(
+        resume_lsn=resume,
+        frames=[_keepalive(R.parse_lsn(resume), reply=True)],
+        scram_password="pencil",
+    )
+    server.start()
+    client = W.PgWireReplicationClient(
+        "127.0.0.1", server.port, password="pencil"
+    )
+    try:
+        session, _ = R.start_replication_session(
+            client, "pub", tables=["public.t"]
+        )
+        assert list(R.pump(session, client)) == []
+    finally:
+        client.close()
+    server.join(timeout=10)
+    assert server.auth_result == "scram-ok"
+    assert [a.hex() for a in server.received_acks] == [
+        _ssu_hex(R.parse_lsn(resume))
+    ]
+
+
+def test_loopback_scram_wrong_password_rejected():
+    """A wrong password must fail the proof server-side and surface as a
+    startup error client-side — never a half-authenticated session."""
+    import pytest as _pytest
+
+    server = LoopbackWalsender(
+        resume_lsn=None, frames=[], scram_password="pencil"
+    )
+    server.start()
+    with _pytest.raises(ConnectionError, match="startup error"):
+        W.PgWireReplicationClient(
+            "127.0.0.1", server.port, password="wrong-password"
+        )
+    server.join(timeout=10)
+    assert server.auth_result == "scram-fail"
+
+
+def test_loopback_scram_bad_server_signature_rejected():
+    """Mutual auth: a server that passes the client's proof but cannot
+    produce the real server signature (it never knew the verifier —
+    a MITM replaying a captured challenge) must be refused by the
+    CLIENT."""
+    import pytest as _pytest
+
+    server = LoopbackWalsender(
+        resume_lsn=None, frames=[], scram_password="pencil",
+        tamper_server_sig=True,
+    )
+    server.start()
+    with _pytest.raises(ConnectionError, match="server signature"):
+        W.PgWireReplicationClient(
+            "127.0.0.1", server.port, password="pencil"
+        )
+    server.join(timeout=10)
+
+
+def test_loopback_scram_requires_password():
+    """A SCRAM challenge with no password configured is a clear
+    ConnectionError, not a NotImplementedError or a hang."""
+    import pytest as _pytest
+
+    server = LoopbackWalsender(
+        resume_lsn=None, frames=[], scram_password="pencil"
+    )
+    server.start()
+    with _pytest.raises(ConnectionError, match="no\\s+password"):
+        W.PgWireReplicationClient("127.0.0.1", server.port)
