@@ -8,16 +8,18 @@ scan would bottleneck a 1000-executor cluster on one socket, so callers
 must supply (or let us derive) a numeric partition column + bounds, which
 Spark turns into one WHERE-range query per partition.
 
-No Postgres runs in this container: unit tests cover the discovery SQL
-and reader-option construction; the PG connection path is exercised only
-when a ``SPARK_GRAFT_PG_URL`` integration environment provides a server
-(mirroring the reference's docker-gated integration tests,
-reference pkg/pgrepl/replicator_test.go:37-94).  The *JDBC snapshot
-machinery itself* — real DriverManager connection, partitioned range
-queries, filter pushdown into the remote scan — IS executed live in
-sandbox tests against the embedded Derby database that ships in Spark's
-jars (tests/test_sources.py), so only the PG-specific discovery SQL
-remains golden-tested-but-not-live here.
+No Postgres runs in this container, but every client-side piece still
+executes live in sandbox tests: the discovery SQL runs over the real
+socket wire-protocol client against an in-process fake serving
+information_schema result shapes (tests/test_sources.py::
+test_schema_discovery_over_wire_protocol, the fake-server doctrine of
+the loopback walsender tests), and the *JDBC snapshot machinery* — real
+DriverManager connection, partitioned range queries, filter pushdown
+into the remote scan — runs live against the embedded Derby database
+that ships in Spark's jars.  A ``SPARK_GRAFT_PG_URL`` integration
+environment additionally checks a real server's catalog agrees
+(mirroring the reference's docker-gated integration tests, reference
+pkg/pgrepl/replicator_test.go:37-94).
 """
 
 from __future__ import annotations
@@ -64,6 +66,33 @@ def discovery_query(schema: str, table: str) -> str:
     if not schema.isidentifier() or not table.isidentifier():
         raise ValueError(f"invalid identifier: {schema}.{table}")
     return SCHEMA_DISCOVERY_SQL.format(schema=schema, table=table)
+
+
+def discover_table_schema(transport, schema: str, table: str):
+    """Run the discovery SQL over a live connection and assemble the
+    discovered spec — the engine-side analogue of the reference's
+    ``TableSchema`` build (reference cmd/vaults/commands.go:851-921).
+
+    ``transport`` is anything with ``exec_query(sql) -> rows`` in
+    Postgres text format — in particular the real socket client
+    (sources/pgwire.PgWireReplicationClient): a ``replication=database``
+    session accepts plain SQL alongside replication commands, which is
+    exactly how the reference discovers schemas on the SAME connection
+    family it streams from.  Returns (StructType, primary_key_columns).
+    Text-format booleans arrive as 't'/'f'."""
+    from basin_cli_spark.types.pg_types import schema_from_pg
+
+    truthy = ("t", "true", "YES", True)
+    cols, pks = [], []
+    for name, data_type, is_nullable, is_primary in transport.exec_query(
+        discovery_query(schema, table)
+    ):
+        cols.append((name, data_type, is_nullable in truthy))
+        if is_primary in truthy:
+            pks.append(name)
+    if not cols:
+        raise ValueError(f"table not found: {schema}.{table}")
+    return schema_from_pg(cols), pks
 
 
 def snapshot_options(

@@ -210,3 +210,106 @@ def test_jdbc_snapshot_live_embedded_derby(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "LessThan" in plan
     assert filtered.count() == 10
+
+
+# -- schema discovery over the real wire protocol (A2 closure, round-7) ------
+#
+# The reference discovers table schemas by running plain SQL against
+# information_schema on its replication-family connection
+# (/root/reference/cmd/vaults/commands.go:851-921).  The sandbox cannot
+# host a Postgres, but the ENTIRE client path can still run live: the
+# actual socket client (sources/pgwire) speaks the v3 protocol against an
+# in-process fake that answers THE discovery SQL with
+# information_schema-shaped rows in Postgres text format ('t'/'f'
+# booleans, NULL-able text columns) — the same fake-server doctrine as
+# the loopback walsender tests.  What stays env-gated above is only
+# whether a real server's catalog agrees, and the SQL itself is plain
+# ANSI information_schema.
+
+def test_schema_discovery_over_wire_protocol():
+    import socket
+    import struct
+    import threading
+
+    from basin_cli_spark.sources import pgwire as W
+    from basin_cli_spark.sources.jdbc import discover_table_schema
+    from basin_cli_spark.types.pg_types import schema_from_pg
+
+    # (column_name, data_type, is_nullable, is_primary) for the same
+    # table shape the env-gated live test creates
+    catalog = {
+        ("public", "_basin_it"): [
+            ("id", "integer", "f", "t"),
+            ("name", "text", "t", "f"),
+            ("tags", "integer[]", "t", "f"),
+            ("note", "text", "f", "f"),
+        ],
+    }
+
+    def encode_row(cols):
+        body = struct.pack(">h", len(cols))
+        for c in cols:
+            if c is None:
+                body += struct.pack(">i", -1)
+            else:
+                b = str(c).encode()
+                body += struct.pack(">i", len(b)) + b
+        return W.encode_message(W.DATA_ROW, body)
+
+    executed = []
+    srv = socket.create_server(("127.0.0.1", 0))
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            W.recv_startup(conn)
+            conn.sendall(
+                W.encode_message(W.AUTHENTICATION, struct.pack(">i", 0))
+            )
+            conn.sendall(W.encode_message(W.READY_FOR_QUERY, b"I"))
+            while True:
+                msg = W.recv_message(conn)
+                if msg is None or msg[0] == W.TERMINATE:
+                    break
+                sql = msg[1].rstrip(b"\0").decode()
+                executed.append(sql)
+                rows = []
+                for (sch, tbl), spec in catalog.items():
+                    if f"'{sch}'" in sql and f"'{tbl}'" in sql:
+                        rows = spec
+                conn.sendall(W.encode_message(W.ROW_DESCRIPTION, b"\x00\x00"))
+                for r in rows:
+                    conn.sendall(encode_row(r))
+                conn.sendall(
+                    W.encode_message(W.COMMAND_COMPLETE, b"SELECT\x00")
+                )
+                conn.sendall(W.encode_message(W.READY_FOR_QUERY, b"I"))
+        srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    client = W.PgWireReplicationClient("127.0.0.1", srv.getsockname()[1])
+    try:
+        struct_type, pks = discover_table_schema(client, "public", "_basin_it")
+        with pytest.raises(ValueError, match="not found"):
+            discover_table_schema(client, "public", "no_such_table")
+    finally:
+        client.close()
+    t.join(timeout=10)
+
+    # the fake received the real discovery SQL, not a stand-in
+    assert any("information_schema.columns" in q for q in executed)
+    assert pks == ["id"]
+    assert struct_type == schema_from_pg(
+        [
+            ("id", "integer", False),
+            ("name", "text", True),
+            ("tags", "integer[]", True),
+            ("note", "text", False),
+        ]
+    )
+    # nullability flows from is_nullable, array element type resolved
+    assert [f.nullable for f in struct_type.fields] == [
+        False, True, True, False
+    ]
+    assert isinstance(struct_type["tags"].dataType, T.ArrayType)
