@@ -61,6 +61,8 @@ HEADLINE = [
     "q_corpus_gopher_rules",  # added r6 (rule-stack JVM throughput)
     "q_llm_prep_pipeline_v3",  # added r6 (composed gate+prune+cap)
     "q_corpus_boilerplate_scrub",  # added r6 (corpus-level segment rewrite)
+    "q_embedding_prototype_prune_2pass",  # added r7 (skew-safe sketch prune)
+    "q_corpus_lm_prune_2pass",  # added r7 (skew-safe LM prune)
 ]
 
 # queries added to the headline per round — summed out of the
@@ -85,6 +87,10 @@ _R6_ADDED = {
     "q_corpus_gopher_rules",
     "q_llm_prep_pipeline_v3",
     "q_corpus_boilerplate_scrub",
+}
+_R7_ADDED = {
+    "q_embedding_prototype_prune_2pass",
+    "q_corpus_lm_prune_2pass",
 }
 
 
@@ -159,6 +165,7 @@ def main() -> None:
                         v
                         for k, v in times.items()
                         if k not in _R4_ADDED | _R5_ADDED | _R6_ADDED
+                        | _R7_ADDED
                     ),
                     3,
                 ),
@@ -166,12 +173,20 @@ def main() -> None:
                     sum(
                         v
                         for k, v in times.items()
-                        if k not in _R5_ADDED | _R6_ADDED
+                        if k not in _R5_ADDED | _R6_ADDED | _R7_ADDED
                     ),
                     3,
                 ),
                 "total_pre_r6_subset": round(
-                    sum(v for k, v in times.items() if k not in _R6_ADDED), 3
+                    sum(
+                        v
+                        for k, v in times.items()
+                        if k not in _R6_ADDED | _R7_ADDED
+                    ),
+                    3,
+                ),
+                "total_pre_r7_subset": round(
+                    sum(v for k, v in times.items() if k not in _R7_ADDED), 3
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
