@@ -1053,11 +1053,18 @@ def q_corpus_lm_prune_2pass(spark, sf_dir):
     kept fraction lands in [0.85, 0.97] of the language (the
     exact-window answer keeps ~90%); per-language scored-doc counts must
     match bit-for-bit.  Exactness of the prune itself is covered by
-    q_corpus_lm_prune."""
+    q_corpus_lm_prune.
+
+    The scored table is persisted: both passes (threshold sketch +
+    stateless filter) consume it, and unlike the raw-column quantile
+    2pass its lineage is EXPENSIVE (bigram explode + model join).  At 3
+    slim columns x n_docs rows it is exactly the signature/assignment
+    class this repo persists — not the corpus text, which never enters
+    the lineage past the tokenizer."""
     scores = _bigram_logprob_scores(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    scored = scores.join(d, "doc_id").select(
-        "doc_id", "lang", "avg_logprob"
+    scored = persist_once(
+        scores.join(d, "doc_id").select("doc_id", "lang", "avg_logprob")
     )
     th = scored.groupBy("lang").agg(
         F.percentile_approx("avg_logprob", 0.1, 100000).alias("lo"),

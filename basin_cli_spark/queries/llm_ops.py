@@ -1850,8 +1850,13 @@ def q_embedding_prototype_prune_2pass(spark, sf_dir):
     kept fraction lands in [0.85, 0.97] of the label (the exact-window
     answer keeps ~90%); per-label vector counts must match
     bit-for-bit.  Exactness of the prune itself is covered by
-    q_embedding_prototype_prune."""
-    scored = _proto_scores(spark, sf_dir)
+    q_embedding_prototype_prune.
+
+    The scored table is persisted: both passes consume it, its lineage
+    is expensive (centroid hash-agg + per-vector cosine), and at
+    (vec_id, label, proto_sim) it is the slim assignment class this
+    repo persists — never the embedding vectors themselves."""
+    scored = persist_once(_proto_scores(spark, sf_dir))
     th = scored.groupBy("label").agg(
         F.percentile_approx("proto_sim", 0.1, 100000).alias("lo"),
         F.count(F.lit(1)).alias("n_vecs"),
