@@ -388,3 +388,41 @@ def test_hard_negatives_match_numpy_bruteforce(spark, rows):
             margin = round(pos_score - sc, 6) if pos else None
             want.append((p_id, pos_id, pos_score, vid, sc, rank, margin))
     assert got == want
+
+
+# -- SCRAM-SHA-256 exchange (sources/pgwire.py) ------------------------------
+
+_scram_text = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126,
+                           exclude_characters=",="),
+    min_size=1, max_size=40,
+)
+
+
+@given(password=_scram_text, cnonce=_scram_text, snonce=_scram_text,
+       salt=st.binary(min_size=1, max_size=32),
+       iterations=st.integers(min_value=1, max_value=4096))
+@settings(max_examples=25, deadline=None)
+def test_scram_roundtrip_any_password(password, cnonce, snonce, salt,
+                                      iterations):
+    """For ANY password/nonces/salt/iteration-count: the client's proof
+    verifies against the verifier derived from the same password, the
+    returned server-final carries exactly the signature the client
+    expects (mutual auth closes), and a one-character password change on
+    either side fails the proof."""
+    import base64
+
+    from basin_cli_spark.sources import pgwire as W
+
+    _, bare = W.scram_client_first(cnonce)
+    v = W.ScramVerifier(password, salt=salt, iterations=iterations)
+    sf = v.server_first(W._GS2_HEADER + bare, snonce)
+    final, expected_sig = W.scram_client_final(password, bare, sf)
+    assert v.verify_client_final(final) == (
+        "v=" + base64.b64encode(expected_sig).decode()
+    )
+    bad_final, _ = W.scram_client_final(password + "x", bare, sf)
+    assert v.verify_client_final(bad_final) is None
+    v2 = W.ScramVerifier(password + "x", salt=salt, iterations=iterations)
+    v2.server_first(W._GS2_HEADER + bare, snonce)
+    assert v2.verify_client_final(final) is None
