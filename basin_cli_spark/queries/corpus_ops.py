@@ -237,10 +237,9 @@ def q_corpus_mad_prune(spark, sf_dir):
     (source, n_chars) projection, producing a sources-sized thresholds
     table that joins back as a filter; the document text never moves.
     Both engines interpolate medians over sorted values identically.
-    At 100 TB with a skewed giant source, the medians switch to the
-    approx-percentile + broadcast-thresholds two-pass, IMPLEMENTED as
-    q_corpus_quantile_prune_2pass (median = percentile 0.5 in the same
-    sketch aggregation).
+    At 100 TB with a skewed giant source, the medians switch to
+    percentile sketches — IMPLEMENTED as q_corpus_mad_prune_2pass
+    (two sketch aggregations, broadcast thresholds, stateless filter).
 
     Degenerate-MAD floor: when >50% of a source's docs share one length,
     MAD is 0 and a bare 3*mad gate would keep only exactly-median-length
@@ -260,6 +259,86 @@ def q_corpus_mad_prune(spark, sf_dir):
         d.join(mad, "source")
         .where(F.abs(F.col("n_chars") - F.col("med")) <= thresh)
         .select("doc_id", "source", "n_chars")
+    )
+
+
+_MAD_2PASS_ORACLE = """
+WITH med AS (
+  SELECT source, QUANTILE_DISC(n_chars, 0.5) AS med, COUNT(*) AS n_docs
+  FROM documents GROUP BY source
+),
+mad AS (
+  SELECT d.source, MAX(m.med) AS med,
+         QUANTILE_DISC(ABS(d.n_chars - m.med), 0.5) AS mad,
+         MAX(m.n_docs) AS n_docs
+  FROM documents d JOIN med m USING (source)
+  GROUP BY d.source
+)
+SELECT d.source, MAX(mad.n_docs) AS n_docs,
+       COUNT(*) FILTER (
+         WHERE ABS(d.n_chars - mad.med) <= GREATEST(3.0 * mad.mad, 1.0)
+       ) >= 0.5 * MAX(mad.n_docs) AS kept_ok
+FROM documents d JOIN mad USING (source)
+GROUP BY d.source
+"""
+
+
+@register("q_corpus_mad_prune_2pass", _MAD_2PASS_ORACLE)
+def q_corpus_mad_prune_2pass(spark, sf_dir):
+    """The skewed-giant-source escape for the robust MAD prune — the
+    third member of the exact-per-group-rank family rebuilt on the
+    2pass doctrine.  MAD needs two dependent medians, so this is two
+    sketch rounds, each a hash aggregation with map-side partial
+    percentile sketches and a sources-sized broadcast back: (1) sketch
+    each source's median length; (2) sketch each source's median
+    absolute deviation FROM that median; (3) stream the corpus through
+    the stateless ``|n_chars - med| <= greatest(3*mad, 1)`` filter.  No
+    per-source sort anywhere — a source holding 10^10 docs costs the
+    same per-row as a uniform one, where the exact form's per-source
+    MEDIAN buffers the whole group in one task.
+
+    Oracle is tolerance-as-boolean (the 2pass convention): approx vs
+    exact medians may sit one order statistic apart, so each engine
+    asserts its own kept count is >= 50% of the source (the floored
+    exact gate keeps 72-100% per source; an unfloored degenerate gate
+    would keep only exactly-median-length docs) and per-source doc
+    counts match bit-for-bit.  Exactness of the gate itself is covered
+    by q_corpus_mad_prune."""
+    d = load_table(spark, sf_dir, "documents")
+    slim = d.select("source", "n_chars")
+    med = slim.groupBy("source").agg(
+        F.percentile_approx("n_chars", 0.5, 100000).alias("med"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    mad = (
+        slim.join(F.broadcast(med), "source")
+        .groupBy("source")
+        .agg(
+            F.max("med").alias("med"),
+            F.percentile_approx(
+                F.abs(F.col("n_chars") - F.col("med")), 0.5, 100000
+            ).alias("mad"),
+            F.max("n_docs").alias("n_docs"),
+        )
+    )
+    kept = (
+        slim.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n_chars") - F.col("med"))
+                    <= F.greatest(3.0 * F.col("mad"), F.lit(1.0)),
+                    1,
+                ).otherwise(0)
+            ).alias("_kept"),
+        )
+    )
+    return kept.select(
+        "source",
+        "n_docs",
+        (F.col("_kept") >= 0.5 * F.col("n_docs")).alias("kept_ok"),
     )
 
 

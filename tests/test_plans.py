@@ -361,7 +361,8 @@ def test_2pass_prunes_have_no_rank_window(spark, sf_dir, registry):
     threshold-table join side is a BroadcastExchange."""
     for name in ("q_embedding_prototype_prune_2pass",
                  "q_corpus_lm_prune_2pass",
-                 "q_corpus_quantile_prune_2pass"):
+                 "q_corpus_quantile_prune_2pass",
+                 "q_corpus_mad_prune_2pass"):
         plan = plan_of(registry[name].fn(spark, sf_dir))
         body = plan.split("== Physical Plan ==")[1]
         assert ") Window\n" not in body, name + " plans a rank window"
