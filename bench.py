@@ -63,6 +63,7 @@ HEADLINE = [
     "q_corpus_boilerplate_scrub",  # added r6 (corpus-level segment rewrite)
     "q_embedding_prototype_prune_2pass",  # added r7 (skew-safe sketch prune)
     "q_corpus_lm_prune_2pass",  # added r7 (skew-safe LM prune)
+    "q_corpus_mad_prune_2pass",  # added r7 (two-round sketch MAD)
 ]
 
 # queries added to the headline per round — summed out of the
@@ -91,6 +92,7 @@ _R6_ADDED = {
 _R7_ADDED = {
     "q_embedding_prototype_prune_2pass",
     "q_corpus_lm_prune_2pass",
+    "q_corpus_mad_prune_2pass",
 }
 
 
