@@ -110,8 +110,10 @@ REPRESENTATIVE_HEAD = [
     "q_similarity_knn_label", "q_embedding_label_centroids",
     "q_embedding_prototype_prune_2pass", "q_embedding_center_normalize",
     "q_embedding_quantize",
-    # curation (r7: the new LM-prune 2pass + both quantile forms in)
-    "q_corpus_lm_prune_2pass", "q_corpus_quantile_prune",
+    # curation (r7: all three new skew-safe 2pass prunes in, plus the
+    # quantile-2pass pattern source; the exact quantile form stays
+    # in-repo oracle-tested)
+    "q_corpus_lm_prune_2pass", "q_corpus_mad_prune_2pass",
     "q_corpus_quantile_prune_2pass", "q_contamination_score",
     "q_vocab_topk", "q_tfidf_topterms", "q_corpus_source_stats",
     "q_corpus_datasheet", "q_sample_stratified", "q_llm_prep_pipeline_v2",
