@@ -83,6 +83,18 @@ def register(name: str, oracle: str | None = None):
 # relational basics, set ops, scalar families, sources, windows,
 # aggregates, streaming, dedup, text analysis, similarity/embeddings,
 # curation, multimodal.  Everything else follows in registration order.
+#
+# r8 rotation TODO — the 30 entries still without a driver row after r7
+# (everything else will then be attested): q_histogram,
+# q_llm_prep_pipeline, q_sample_weighted, q_corpus_quantile_prune,
+# q_text_pii_scrub, q_token_budget_pack, q_text_hash_embedding,
+# q_similarity_text_hash, q_text_normalize, q_corpus_split,
+# q_chunk_documents, q_vocab_oov_rate, q_array_funcs, q_hash_funcs,
+# q_conditional_null, q_explode_posexplode, q_map_funcs,
+# q_interval_arith, q_uuid_canonical, q_union_all, q_intersect_all,
+# q_json_roundtrip, q_stream_dedup, q_stream_static_join, q_window_rank,
+# q_window_lag_lead, q_window_running, q_window_moving_avg,
+# q_window_sliding, q_window_percent_rank.
 REPRESENTATIVE_HEAD = [
     # relational basics
     "q_like_isnull", "q_distinct", "q_limit_offset", "q_orderby_nulls",
