@@ -1168,6 +1168,149 @@ def q_corpus_lm_prune_2pass(spark, sf_dir):
     )
 
 
+# -- DSIR importance-resampling selection -------------------------------------
+
+_DSIR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 20 = 0 AS is_target,
+         UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                            t -> LENGTH(t) > 0)) AS tok
+  FROM documents
+),
+bucketed AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || SUBSTRING(MD5(tok), 1, 4)) AS BIGINT) % 256 AS b
+  FROM toks
+),
+model AS (
+  SELECT b,
+         CAST(COUNT(*) FILTER (WHERE is_target) AS BIGINT) AS ct,
+         CAST(COUNT(*) FILTER (WHERE NOT is_target) AS BIGINT) AS cr
+  FROM bucketed GROUP BY b
+),
+lw AS (
+  SELECT b,
+         LN(CAST(ct + 1 AS DOUBLE)) - LN(CAST(tt + 256 AS DOUBLE))
+         - LN(CAST(cr + 1 AS DOUBLE)) + LN(CAST(tr + 256 AS DOUBLE)) AS w
+  FROM (SELECT b, ct, cr,
+               CAST(SUM(ct) OVER () AS BIGINT) AS tt,
+               CAST(SUM(cr) OVER () AS BIGINT) AS tr
+        FROM model)
+),
+per_doc_bucket AS (
+  SELECT doc_id, b, COUNT(*) AS n
+  FROM bucketed WHERE NOT is_target GROUP BY doc_id, b
+),
+scored AS (
+  SELECT p.doc_id,
+         CAST(SUM(p.n) AS BIGINT) AS n_tokens,
+         LIST_REDUCE(LIST(p.n * lw.w ORDER BY p.b), (x, y) -> x + y) AS s
+  FROM per_doc_bucket p JOIN lw USING (b)
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_tokens, ROUND(s, 6) AS iw
+FROM scored
+ORDER BY ROUND(s, 6) DESC, doc_id
+LIMIT 100
+"""
+
+
+@register("q_corpus_dsir_select", _DSIR_ORACLE)
+def q_corpus_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, 'Data Selection for
+    Language Models via Importance Resampling', public arXiv
+    2302.03169): score every raw document by how much its hashed-unigram
+    distribution looks like the TARGET domain (the doc_id %% 20 == 0
+    eval slice, the same stand-in q_decontaminate uses) versus the raw
+    corpus, and keep the top of the importance ranking.  This is
+    distribution MATCHING to a target — a different axis from
+    q_corpus_lm_prune's within-corpus fluency gate.
+
+    Tokens hash into 256 buckets (md5-nibble idiom, replayed exactly in
+    DuckDB); both bag-of-bucket models come out of ONE corpus tokenize
+    pass as a single 256-row hash-agg with map-side partials; Laplace
+    (+1) smoothing over exact integer counts keeps the per-bucket
+    log-ratio ``ln((ct+1)/(TT+B)) - ln((cr+1)/(TR+B))`` deterministic in
+    both engines (four LNs of exact integers, subtracted in the same
+    order).  The 256-row weight table broadcasts back, each raw doc
+    folds ``n_b * w_b`` over its buckets sorted by bucket id (the
+    sorted-fold determinism convention), and the global top-100 is a
+    TakeOrderedAndProject — never a full sort.  Rounds before ranking
+    (round-before-rank convention) with doc_id as the total-order tie
+    break.
+
+    Scale shape: two corpus passes (model build, scoring) and a
+    constant 256-row broadcast — the same honest shape as the bigram LM
+    (the exploded token relation is bigger than the corpus, so it is
+    never cached); no shuffle is keyed on anything larger than
+    (doc_id, bucket)."""
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    is_target = F.col("doc_id") % 20 == 0
+    toks = d.repartition(par).select(
+        "doc_id",
+        is_target.alias("is_target"),
+        F.explode(D.tokens("text")).alias("tok"),
+    )
+    bucketed = toks.select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+            % 256
+        ).alias("b"),
+    )
+    model = bucketed.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("cr"),
+    )
+    totals = model.agg(
+        F.sum("ct").cast("long").alias("tt"),
+        F.sum("cr").cast("long").alias("tr"),
+    )
+    lw = model.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1).cast("double"))
+            - F.log((F.col("tt") + 256).cast("double"))
+            - F.log((F.col("cr") + 1).cast("double"))
+            + F.log((F.col("tr") + 256).cast("double"))
+        ).alias("w"),
+    )
+    per_doc_bucket = (
+        bucketed.where(~F.col("is_target"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        per_doc_bucket.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("b"), (F.col("n") * F.col("w")).alias("t"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "n_tokens", F.round("s", 6).alias("iw")
+        )
+        .orderBy(F.desc("iw"), "doc_id")
+        .limit(100)
+    )
+
+
 # -- embedding centering + L2 normalization ----------------------------------
 
 _CENTER_NORM_ORACLE = """

@@ -390,3 +390,15 @@ def test_boilerplate_rewrite_join_keys_on_hash(spark, sf_dir, registry):
         assert not re.search(r"\bseg#", keys), (
             "join keyed on the segment string: " + keys
         )
+
+
+def test_dsir_select_plan_shape(spark, sf_dir, registry):
+    """DSIR selection must rank via TakeOrderedAndProject (top-100 of a
+    scored corpus is never a global sort), join the 256-row weight table
+    broadcast (no shuffled join anywhere), and stay entirely JVM-side."""
+    plan = plan_of(registry["q_corpus_dsir_select"].fn(spark, sf_dir))
+    body = plan.split("== Physical Plan ==")[1]
+    assert "TakeOrderedAndProject" in body
+    assert "SortMergeJoin" not in body and "ShuffledHashJoin" not in body
+    assert "BroadcastHashJoin" in body
+    assert "MapInPandas" not in body and "ArrowEvalPython" not in body
