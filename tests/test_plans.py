@@ -123,6 +123,7 @@ _NLJ_ALLOWED = {
     "q_embedding_center_normalize",  # 1-row broadcast of the centroid array
     "q_tfidf_topterms",  # 1-row broadcast of the corpus-count scalar
     "q_corpus_rebalance",  # 1-row broadcast of the (total, n_langs) scalar
+    "q_corpus_dsir_select",  # 1-row broadcast of the (tt, tr) token totals
 }
 
 
