@@ -1311,6 +1311,133 @@ def q_corpus_dsir_select(spark, sf_dir):
     )
 
 
+# -- UniMax language-sampling budget allocation --------------------------------
+
+_UNIMAX_ORACLE = """
+WITH counts AS (
+  SELECT lang,
+         CAST(SUM(LENGTH(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                     t -> LENGTH(t) > 0))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(SUM(n_tok) AS BIGINT) AS tt, COUNT(*) AS n_langs FROM counts
+),
+ranked AS (
+  SELECT c.lang, c.n_tok, t.tt, t.n_langs,
+         CAST(ROW_NUMBER() OVER (ORDER BY c.n_tok, c.lang) AS BIGINT) AS i,
+         CAST(SUM(c.n_tok) OVER (ORDER BY c.n_tok, c.lang
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+  FROM counts c CROSS JOIN tot t
+),
+flagged AS (
+  SELECT *, 6 * (n_tok * (n_langs - i) + p) <= tt AS capped FROM ranked
+),
+alloc AS (
+  SELECT *,
+         CAST(SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS k,
+         CAST(COALESCE(SUM(CASE WHEN capped THEN n_tok END) OVER (), 0)
+              AS BIGINT) AS pk
+  FROM flagged
+)
+SELECT lang, n_tok AS n_tokens,
+       ROUND(CASE WHEN capped THEN CAST(3 * n_tok AS DOUBLE)
+                  ELSE (0.5 * CAST(tt AS DOUBLE) - 3 * CAST(pk AS DOUBLE))
+                       / CAST(n_langs - k AS DOUBLE) END, 6) AS budget_tokens,
+       ROUND(CASE WHEN capped THEN 3.0
+                  ELSE ((0.5 * CAST(tt AS DOUBLE) - 3 * CAST(pk AS DOUBLE))
+                        / CAST(n_langs - k AS DOUBLE))
+                       / CAST(n_tok AS DOUBLE) END, 6) AS epochs
+FROM alloc
+"""
+
+
+@register("q_corpus_unimax", _UNIMAX_ORACLE)
+def q_corpus_unimax(spark, sf_dir):
+    """UniMax language-sampling allocation (Chung et al. 2023, 'UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining', public arXiv 2304.09151): given a total
+    training-token budget (here half the corpus) and a per-language
+    repeat ceiling (here 3 epochs), water-fill the budget uniformly
+    across languages — small languages hit the epoch cap and keep their
+    full 3x allocation, the rest split what remains evenly — instead of
+    temperature sampling's starve-the-tail / over-repeat-the-head
+    trade-off.
+
+    The greedy in the paper is sequential over languages, but it has a
+    closed form over the ASCENDING token-count order: the capped set is
+    always a prefix, and language i is capped iff
+    ``N * (c_i * (L - i) + P_i) <= B`` (P_i = ascending prefix sum) —
+    with N=3 and B=tt/2 that is the exact-integer test
+    ``6 * (c_i * (L - i) + P_i) <= tt``, so the cap decision never
+    touches a float.  Budgets follow in one projection: capped keeps
+    ``3 * c_i`` (exact), the rest share ``(B - 3 * P_K) / (L - K)``
+    computed from exact integers in the same literal order in both
+    engines.
+
+    Scale shape: the ONLY corpus-sized work is the per-language token
+    count — one hash-agg with map-side partials over a 2-column
+    projection; everything after runs on a languages-sized relation
+    where the global sort/windows are bounded by language cardinality,
+    the same tiny-relation tail as q_corpus_rebalance's rates table."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.sum(F.size(D.tokens("text"))).cast("long").alias("n_tok")
+    )
+    tot = counts.agg(
+        F.sum("n_tok").cast("long").alias("tt"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    wo = Window.orderBy("n_tok", "lang")
+    ranked = counts.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_tok", "tt", "n_langs",
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.sum("n_tok")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("p"),
+    )
+    flagged = ranked.select(
+        "*",
+        (
+            6 * (F.col("n_tok") * (F.col("n_langs") - F.col("i")) + F.col("p"))
+            <= F.col("tt")
+        ).alias("capped"),
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    alloc = flagged.select(
+        "*",
+        F.sum(F.when(F.col("capped"), 1).otherwise(0))
+        .over(wall)
+        .cast("long")
+        .alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("n_tok"))).over(wall), F.lit(0)
+        )
+        .cast("long")
+        .alias("pk"),
+    )
+    share = (
+        0.5 * F.col("tt").cast("double") - 3 * F.col("pk").cast("double")
+    ) / (F.col("n_langs") - F.col("k")).cast("double")
+    return alloc.select(
+        "lang",
+        F.col("n_tok").alias("n_tokens"),
+        F.round(
+            F.when(F.col("capped"), (3 * F.col("n_tok")).cast("double"))
+            .otherwise(share),
+            6,
+        ).alias("budget_tokens"),
+        F.round(
+            F.when(F.col("capped"), F.lit(3.0))
+            .otherwise(share / F.col("n_tok").cast("double")),
+            6,
+        ).alias("epochs"),
+    )
+
+
 # -- embedding centering + L2 normalization ----------------------------------
 
 _CENTER_NORM_ORACLE = """

@@ -64,6 +64,7 @@ HEADLINE = [
     "q_embedding_prototype_prune_2pass",  # added r7 (skew-safe sketch prune)
     "q_corpus_lm_prune_2pass",  # added r7 (skew-safe LM prune)
     "q_corpus_mad_prune_2pass",  # added r7 (two-round sketch MAD)
+    "q_corpus_dsir_select",  # added r7 (importance-resampling selection)
 ]
 
 # queries added to the headline per round — summed out of the
@@ -93,6 +94,7 @@ _R7_ADDED = {
     "q_embedding_prototype_prune_2pass",
     "q_corpus_lm_prune_2pass",
     "q_corpus_mad_prune_2pass",
+    "q_corpus_dsir_select",
 }
 
 

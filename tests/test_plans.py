@@ -124,6 +124,7 @@ _NLJ_ALLOWED = {
     "q_tfidf_topterms",  # 1-row broadcast of the corpus-count scalar
     "q_corpus_rebalance",  # 1-row broadcast of the (total, n_langs) scalar
     "q_corpus_dsir_select",  # 1-row broadcast of the (tt, tr) token totals
+    "q_corpus_unimax",  # 1-row broadcast of the (tt, n_langs) scalar
 }
 
 

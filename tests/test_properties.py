@@ -426,3 +426,56 @@ def test_scram_roundtrip_any_password(password, cnonce, snonce, salt,
     v2 = W.ScramVerifier(password + "x", salt=salt, iterations=iterations)
     v2.server_first(W._GS2_HEADER + bare, snonce)
     assert v2.verify_client_final(final) is None
+
+
+# ---------------------------------------------------------------------------
+# UniMax water-filling closed form (pure Python — mirrors q_corpus_unimax)
+
+_lang_counts = st.lists(
+    st.integers(min_value=1, max_value=10**9), min_size=1, max_size=20
+)
+
+
+@given(_lang_counts, st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=4))
+@settings(max_examples=200, deadline=None)
+def test_unimax_closed_form_matches_sequential_greedy(counts, n_epochs,
+                                                      budget_halves):
+    """The closed form q_corpus_unimax evaluates in SQL — capped iff
+    ``N * (c_i * (L - i) + P_i) <= B`` over the ascending prefix sum,
+    capped keep ``N * c_i``, the rest share ``(B - N * P_K) / (L - K)``
+    — must allocate EXACTLY what the paper's sequential greedy (UniMax
+    Algorithm 1: smallest language first, min(cap, even share of the
+    remaining budget)) allocates, for any counts, epoch cap, and budget.
+    Fractions make the equality exact, so a formula error cannot hide
+    inside float tolerance."""
+    from fractions import Fraction
+
+    cs = sorted(counts)
+    L = len(cs)
+    N = n_epochs
+    B = Fraction(budget_halves * sum(cs), 2)
+
+    # the paper's greedy, verbatim
+    remaining = B
+    greedy = []
+    for i, c in enumerate(cs):
+        share = remaining / (L - i)
+        alloc = min(Fraction(N * c), share)
+        greedy.append(alloc)
+        remaining -= alloc
+
+    # the closed form shipped in corpus_ops.q_corpus_unimax
+    prefix = 0
+    capped = []
+    for i, c in enumerate(cs, start=1):
+        prefix += c
+        capped.append(N * (c * (L - i) + prefix) <= B)
+    K = sum(capped)
+    pk = sum(c for c, f in zip(cs, capped) if f)
+    closed = [
+        Fraction(N * c) if f else (B - N * pk) / (L - K)
+        for c, f in zip(cs, capped)
+    ]
+
+    assert closed == greedy
