@@ -124,6 +124,55 @@ def main() -> None:
             docs10.where(is_new), docs10.where(~is_new)
         ).count()
 
+    def dsir_select():
+        # DSIR importance scoring at 10x docs: two tokenize passes (model
+        # build + per-doc scoring), a 256-row weight broadcast, and a
+        # global top-100 TakeOrderedAndProject — the q_corpus_dsir_select
+        # shape minus the oracle's sorted-fold determinism tail.
+        is_target = F.col("doc_id") % 20 == 0
+        b = docs10.select(
+            "doc_id",
+            is_target.alias("is_target"),
+            F.explode(DD.tokens("text")).alias("tok"),
+        ).select(
+            "doc_id",
+            "is_target",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+                % 256
+            ).alias("b"),
+        )
+        model = b.groupBy("b").agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+            F.sum(F.when(~F.col("is_target"), 1).otherwise(0))
+            .cast("long")
+            .alias("cr"),
+        )
+        tot = model.agg(
+            F.sum("ct").cast("long").alias("tt"),
+            F.sum("cr").cast("long").alias("tr"),
+        )
+        lw = model.crossJoin(F.broadcast(tot)).select(
+            "b",
+            (
+                F.log((F.col("ct") + 1).cast("double"))
+                - F.log((F.col("tt") + 256).cast("double"))
+                - F.log((F.col("cr") + 1).cast("double"))
+                + F.log((F.col("tr") + 256).cast("double"))
+            ).alias("w"),
+        )
+        scored = (
+            b.where(~F.col("is_target"))
+            .groupBy("doc_id", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .join(F.broadcast(lw), "b")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("n") * F.col("w")).alias("s"))
+        )
+        return scored.orderBy(F.desc("s"), "doc_id").limit(100).count()
+
     def per_source_cap_skewed():
         # collapse 90% of the corpus into ONE source: Catalyst's native
         # WindowGroupLimit(Partial) below the Exchange bounds what each
@@ -191,6 +240,8 @@ def main() -> None:
           decon_bloom, nd, results)
     timed(f"incremental new-vs-corpus dedup ({COPIES}x docs)",
           incremental, nd, results)
+    timed(f"DSIR importance scoring + top-100 ({COPIES}x docs)",
+          dsir_select, nd, results)
     docs10.unpersist()
 
     # Embedding near-dup candidate generation at 10x vectors: band_bits
