@@ -2133,6 +2133,85 @@ def q_sample_per_source_cap(spark, sf_dir):
     )
 
 
+def _cluster_cap_oracle() -> str:
+    """Replay frozen-centroid assignment, then the per-cell content-hash
+    cap (the same VALUES replay as _semantic_ivf_oracle's assign CTE)."""
+    art = _codebook_artifact()
+    rows = ", ".join(
+        f"({key}, {ci}, {_list_lit(cv)})"
+        for key, entry in sorted(art.items())
+        for ci, cv in enumerate(entry["ivf"])
+    )
+    cos_ec = _cosine_sql("e.embedding", "c.cvec")
+    return f"""
+WITH cents_all(key, cent_id, cvec) AS (VALUES {rows}),
+ck AS (
+  SELECT cent_id, cvec FROM cents_all
+  WHERE key = (SELECT CAST(SUM(vec_id * label) AS BIGINT) FROM embeddings)
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos_ec} DESC, c.cent_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN ck c
+  ) WHERE rn = 1
+)
+SELECT vec_id, cent_id
+FROM (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY cent_id
+           ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM assign
+) WHERE rn <= 40
+"""
+
+
+@register("q_sample_cluster_cap", _cluster_cap_oracle())
+def q_sample_cluster_cap(spark, sf_dir):
+    """Cluster-balanced sampling: assign every vector to its frozen IVF
+    cell, then keep at most k per cell chosen by id-hash order — the
+    diversity-preserving draw (DataComp/SemDeDup-family pipelines run
+    exactly this after clustering: uniform-per-cluster instead of
+    uniform-per-row, so dense regions of embedding space cannot dominate
+    the sample the way a dominant crawl dominates a uniform draw).
+
+    Composition of two already-pinned shapes: the broadcast-codebook
+    Arrow assignment (q_dedup_semantic_ivf's front half) and the
+    per-source-cap native skew escape — the rank<=k filter makes
+    Catalyst plant WindowGroupLimit(..., Partial) below the cell-keyed
+    Exchange (SPARK-37099), so a degenerate hot cell ships at most
+    map_partitions x k rows to its reducer, never the cell.  The id
+    hash (not content hash — the vector already determined the cell) is
+    a uniform scramble within the cell, reproducible across runs and
+    engines with no RNG state.
+
+    Scale shape: one Arrow assignment pass over the vectors (broadcast
+    codebook, bounded by k_cells rows), one cell-keyed exchange carrying
+    16-byte (vec_id, cent_id) rows with the partial group-limit below
+    it; the embedding column never shuffles."""
+    from pyspark.sql import Window
+
+    from basin_cli_spark.operators import kmeans as KM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _frozen_ivf_codebook(e)
+    assigned = KM.assign_ids(e, cents, metric="cos").select(
+        "vec_id", "cent_id", F.md5(F.col("vec_id").cast("string")).alias("_mk")
+    )
+    w = Window.partitionBy("cent_id").orderBy("_mk", "vec_id")
+    return (
+        assigned.select(
+            "vec_id", "cent_id", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= 40)
+        .select("vec_id", "cent_id")
+    )
+
+
 _QPRUNE_ORACLE = """
 SELECT doc_id, source, n_chars, ROUND(pr, 6) AS pr
 FROM (

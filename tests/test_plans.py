@@ -354,6 +354,15 @@ def test_mining_windows_partial_group_limit(spark, sf_dir, registry):
         _assert_partial_group_limit_below_exchange(plan, jvm_only=False)
 
 
+def test_cluster_cap_partial_limit_before_exchange(spark, sf_dir, registry):
+    """Cluster-balanced sampling carries the same native skew escape as
+    the per-source cap, keyed on the IVF cell: a degenerate hot cell
+    ships at most map_partitions x k slim rows into its reducer.  The
+    Arrow codebook assignment upstream keeps jvm_only off."""
+    df = registry["q_sample_cluster_cap"].fn(spark, sf_dir)
+    _assert_partial_group_limit_below_exchange(plan_of(df), jvm_only=False)
+
+
 def test_2pass_prunes_have_no_rank_window(spark, sf_dir, registry):
     """The skew-safe two-pass prunes must NOT plan a per-group rank
     window (the exact forms' scale ceiling): thresholds come from a
