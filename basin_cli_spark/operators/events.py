@@ -193,6 +193,13 @@ def gateway_resolver(
             return None
         try:
             return _materialize_block(resp.body, cid, scratch_dir, "gwx_")
+        except OSError:
+            # NOT a gateway problem: the only OSError inside
+            # _materialize_block is the local scratch write (mkdir/open/
+            # write — the parse is pure byte-slicing).  A full or
+            # read-only disk must surface as itself, not masquerade as
+            # "content not resolvable".
+            raise
         except Exception:
             # An UNTRUSTED gateway can return arbitrary bytes; carv1
             # parsing of truncated/garbage input surfaces IndexError/

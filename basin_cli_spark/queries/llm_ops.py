@@ -1745,6 +1745,11 @@ ORDER BY vec_id
 
 
 def _proto_scores(spark, sf_dir):
+    """Loader wrapper around _proto_scores_df for the fixture table."""
+    return _proto_scores_df(load_table(spark, sf_dir, "embeddings"))
+
+
+def _proto_scores_df(e):
     """Shared builder: (vec_id, label, proto_sim) — cosine of every
     vector against its label's centroid.  The per-(label, dim) centroid
     aggregation is a plain hash-agg with map-side partials (posexplode
@@ -1752,8 +1757,9 @@ def _proto_scores(spark, sf_dir):
     table is n_labels rows — constant-size by the label vocabulary — so
     the corpus joins it broadcast without shuffling.  Centroid
     components round to 6 before the distance (the
-    q_embedding_label_centroids convention)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    q_embedding_label_centroids convention).  Takes the embeddings
+    DataFrame directly so non-fixture frames (the scale smoke's
+    skew-labeled corpus) run the same lineage."""
     par = e.sparkSession.sparkContext.defaultParallelism
     cent = (
         e.repartition(par)

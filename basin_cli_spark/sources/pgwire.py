@@ -120,6 +120,14 @@ def scram_client_final(
     verifier cannot fake a success (RFC 5802 mutual auth)."""
     attrs = _parse_scram_attrs(server_first)
     full_nonce = attrs["r"]
+    # RFC 5802 §5.1: the client MUST verify the server nonce extends the
+    # nonce it sent — a replaced nonce severs the session binding the
+    # nonce exists to provide, so abort instead of proving over it.
+    client_nonce = _parse_scram_attrs(client_first_bare).get("r", "")
+    if not client_nonce or not full_nonce.startswith(client_nonce):
+        raise ValueError(
+            "SCRAM server-first nonce does not extend the client nonce"
+        )
     salt = base64.b64decode(attrs["s"])
     iterations = int(attrs["i"])
     salted = scram_salted_password(password, salt, iterations)
@@ -305,6 +313,7 @@ class PgWireReplicationClient:
         # SCRAM-SHA-256 challenge if the server issues one
         scram_bare: str | None = None
         expected_server_sig: bytes | None = None
+        scram_verified = False
         while True:
             msg = recv_message(self._sock)
             if msg is None:
@@ -313,6 +322,17 @@ class PgWireReplicationClient:
             if t == AUTHENTICATION:
                 (code,) = struct.unpack_from(">i", payload, 0)
                 if code == AUTH_OK:
+                    # a SCRAM exchange, once started, must CLOSE with a
+                    # verified AuthenticationSASLFinal before Ok is
+                    # trusted — a server that skips the server-signature
+                    # step never proved it holds the verifier, and its
+                    # Ok is exactly what an impostor would send
+                    if scram_bare is not None and not scram_verified:
+                        raise ConnectionError(
+                            "AuthenticationOk before the SCRAM server "
+                            "signature was verified — refusing to trust "
+                            "an unproven server"
+                        )
                     continue
                 if code == AUTH_SASL:
                     mechanisms = payload[4:].split(b"\0")
@@ -336,10 +356,22 @@ class PgWireReplicationClient:
                     )
                     self._sock.sendall(encode_message(SASL_RESPONSE, body))
                 elif code == AUTH_SASL_CONTINUE:
-                    assert scram_bare is not None and password is not None
-                    final, expected_server_sig = scram_client_final(
-                        password, scram_bare, payload[4:].decode()
-                    )
+                    if scram_bare is None or password is None:
+                        raise ConnectionError(
+                            "AuthenticationSASLContinue without a started "
+                            "SCRAM exchange"
+                        )
+                    # malformed server-first (missing r=/s=/i=, bad
+                    # base64, non-prefixed nonce) must abort cleanly,
+                    # not escape as KeyError/ValueError internals
+                    try:
+                        final, expected_server_sig = scram_client_final(
+                            password, scram_bare, payload[4:].decode()
+                        )
+                    except (KeyError, ValueError, UnicodeDecodeError) as exc:
+                        raise ConnectionError(
+                            f"malformed SCRAM server-first message: {exc}"
+                        ) from exc
                     self._sock.sendall(
                         encode_message(SASL_RESPONSE, final.encode())
                     )
@@ -347,8 +379,13 @@ class PgWireReplicationClient:
                     # mutual auth: a server that doesn't hold the real
                     # verifier can't produce this signature — refuse to
                     # proceed rather than trusting its AuthenticationOk
-                    attrs = _parse_scram_attrs(payload[4:].decode())
-                    got = base64.b64decode(attrs.get("v", ""))
+                    try:
+                        attrs = _parse_scram_attrs(payload[4:].decode())
+                        got = base64.b64decode(attrs.get("v", ""))
+                    except (ValueError, UnicodeDecodeError) as exc:
+                        raise ConnectionError(
+                            f"malformed SCRAM server-final message: {exc}"
+                        ) from exc
                     if expected_server_sig is None or not hmac.compare_digest(
                         got, expected_server_sig
                     ):
@@ -356,6 +393,7 @@ class PgWireReplicationClient:
                             "SCRAM server signature mismatch — server does "
                             "not know the password verifier"
                         )
+                    scram_verified = True
                 else:
                     raise NotImplementedError(
                         f"auth method {code} not supported "
@@ -371,6 +409,16 @@ class PgWireReplicationClient:
     def _send_query(self, sql: str) -> None:
         self._sock.sendall(encode_message(QUERY, sql.encode() + b"\0"))
 
+    def _drain_to_ready(self) -> None:
+        """After an ErrorResponse the server still finishes the cycle
+        with ReadyForQuery; consume up to it so the NEXT exec_* on this
+        shared connection doesn't read a stale ReadyForQuery and return
+        an empty result for a query that never ran."""
+        while True:
+            msg = recv_message(self._sock)
+            if msg is None or msg[0] == READY_FOR_QUERY:
+                return
+
     def exec_query(self, sql: str) -> list[tuple]:
         self._send_query(sql)
         rows: list[tuple] = []
@@ -382,6 +430,7 @@ class PgWireReplicationClient:
             if t == DATA_ROW:
                 rows.append(_parse_data_row(payload))
             elif t == ERROR_RESPONSE:
+                self._drain_to_ready()
                 raise RuntimeError(f"query failed: {payload!r}")
             elif t == READY_FOR_QUERY:
                 return rows
@@ -401,6 +450,7 @@ class PgWireReplicationClient:
                 self._copy_both = True
                 return
             if t == ERROR_RESPONSE:
+                self._drain_to_ready()
                 raise RuntimeError(f"command failed: {payload!r}")
             if t == READY_FOR_QUERY:
                 return

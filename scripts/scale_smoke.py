@@ -326,29 +326,15 @@ def main() -> None:
     # form would land the giant label's sort on one task; this row checks
     # the implemented escape stays linear under that skew.
     def proto_prune_2pass_skewed():
+        from basin_cli_spark.queries.llm_ops import _proto_scores_df
+
         sk = emb10.withColumn(
             "label",
             F.when(F.col("vec_id") % 10 < 9, F.lit(99)).otherwise(
                 F.col("label")
             ),
         )
-        cent = (
-            sk.select("label", F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("label", "pos")
-            .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
-        )
-        carr = cent.groupBy("label").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda x: x["c"],
-            ).alias("cvec")
-        )
-        scored = sk.join(F.broadcast(carr), "label").select(
-            "vec_id", "label",
-            F.round(S.cosine(F.col("embedding"), F.col("cvec")), 6).alias(
-                "proto_sim"
-            ),
-        )
+        scored = _proto_scores_df(sk)
         th = scored.groupBy("label").agg(
             F.percentile_approx("proto_sim", 0.1, 100000).alias("lo")
         )

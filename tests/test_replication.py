@@ -399,13 +399,16 @@ class LoopbackWalsender(threading.Thread):
     StandbyStatusUpdate the client ships back."""
 
     def __init__(self, resume_lsn, frames, stream_error=None,
-                 scram_password=None, tamper_server_sig=False):
+                 scram_password=None, tamper_server_sig=False,
+                 skip_server_final=False, replace_nonce=False):
         super().__init__(daemon=True)
         self._resume = resume_lsn
         self._frames = list(frames)
         self._stream_error = stream_error
         self._scram_password = scram_password
         self._tamper_server_sig = tamper_server_sig
+        self._skip_server_final = skip_server_final
+        self._replace_nonce = replace_nonce
         self.executed = []
         self.received_acks = []
         self.startup_params = None
@@ -439,10 +442,22 @@ class LoopbackWalsender(threading.Thread):
         (ln,) = struct.unpack_from(">i", rest, 0)
         client_first = rest[4:4 + ln].decode()
         server_first = verifier.server_first(client_first, "SrvNonceExt")
+        if self._replace_nonce:
+            # a MITM substituting its own nonce: r= no longer extends
+            # the client's nonce (RFC 5802 §5.1 requires the client to
+            # detect this and abort)
+            attrs = dict(p.split("=", 1) for p in server_first.split(","))
+            server_first = (
+                f"r=EvilNonce,s={attrs['s']},i={attrs['i']}"
+            )
         conn.sendall(W.encode_message(
             W.AUTHENTICATION,
             struct.pack(">i", W.AUTH_SASL_CONTINUE) + server_first.encode(),
         ))
+        if self._replace_nonce:
+            # the client must have aborted; nothing more to read
+            self.auth_result = "scram-nonce-replaced"
+            return False
         t, payload = W.recv_message(conn)
         assert t == W.SASL_RESPONSE
         server_final = verifier.verify_client_final(payload.decode())
@@ -457,6 +472,13 @@ class LoopbackWalsender(threading.Thread):
         if self._tamper_server_sig:
             server_final = "v=" + "A" * 44
         self.auth_result = "scram-ok"
+        if self._skip_server_final:
+            # impostor behavior: jump straight to AuthenticationOk
+            # without ever proving the verifier via SASLFinal
+            conn.sendall(
+                W.encode_message(W.AUTHENTICATION, struct.pack(">i", 0))
+            )
+            return False
         conn.sendall(W.encode_message(
             W.AUTHENTICATION,
             struct.pack(">i", W.AUTH_SASL_FINAL) + server_final.encode(),
@@ -852,6 +874,44 @@ def test_loopback_scram_bad_server_signature_rejected():
             "127.0.0.1", server.port, password="pencil"
         )
     server.join(timeout=10)
+
+
+def test_loopback_scram_skipped_server_final_rejected():
+    """An impostor that accepts the proof but never sends
+    AuthenticationSASLFinal (it cannot — it doesn't hold the verifier)
+    and jumps straight to AuthenticationOk must be refused: Ok during a
+    started-but-unverified SCRAM exchange proves nothing."""
+    import pytest as _pytest
+
+    server = LoopbackWalsender(
+        resume_lsn=None, frames=[], scram_password="pencil",
+        skip_server_final=True,
+    )
+    server.start()
+    with _pytest.raises(ConnectionError, match="before the SCRAM server"):
+        W.PgWireReplicationClient(
+            "127.0.0.1", server.port, password="pencil"
+        )
+    server.join(timeout=10)
+
+
+def test_loopback_scram_replaced_nonce_rejected():
+    """RFC 5802 §5.1: the client MUST abort when the server-first nonce
+    does not extend the client nonce — a substituted nonce severs the
+    session binding, so no proof may be sent over it."""
+    import pytest as _pytest
+
+    server = LoopbackWalsender(
+        resume_lsn=None, frames=[], scram_password="pencil",
+        replace_nonce=True,
+    )
+    server.start()
+    with _pytest.raises(ConnectionError, match="nonce"):
+        W.PgWireReplicationClient(
+            "127.0.0.1", server.port, password="pencil"
+        )
+    server.join(timeout=10)
+    assert server.auth_result == "scram-nonce-replaced"
 
 
 def test_loopback_scram_requires_password():
