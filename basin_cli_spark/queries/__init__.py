@@ -84,7 +84,7 @@ def register(name: str, oracle: str | None = None):
 # aggregates, streaming, dedup, text analysis, similarity/embeddings,
 # curation, multimodal.  Everything else follows in registration order.
 #
-# r8 rotation TODO — the 30 entries still without a driver row after r7
+# r8 rotation TODO — the 33 entries still without a driver row after r7
 # (everything else will then be attested): q_histogram,
 # q_llm_prep_pipeline, q_sample_weighted, q_corpus_quantile_prune,
 # q_text_pii_scrub, q_token_budget_pack, q_text_hash_embedding,
@@ -94,7 +94,9 @@ def register(name: str, oracle: str | None = None):
 # q_interval_arith, q_uuid_canonical, q_union_all, q_intersect_all,
 # q_json_roundtrip, q_stream_dedup, q_stream_static_join, q_window_rank,
 # q_window_lag_lead, q_window_running, q_window_moving_avg,
-# q_window_sliding, q_window_percent_rank.
+# q_window_sliding, q_window_percent_rank, plus the three swapped out
+# for the r7 flagship additions: q_dedup_provenance, q_text_entropy,
+# q_corpus_source_stats.
 REPRESENTATIVE_HEAD = [
     # relational basics
     "q_like_isnull", "q_distinct", "q_limit_offset", "q_orderby_nulls",
@@ -114,9 +116,11 @@ REPRESENTATIVE_HEAD = [
     "q_stream_session_window", "q_stream_ivf_assign",
     "q_stream_dedup_within_watermark", "q_stream_stream_join",
     # deduplication
-    "q_dedup_clusters", "q_dedup_source_overlap", "q_dedup_provenance",
+    "q_dedup_clusters", "q_dedup_source_overlap",
+    # sampling / data selection (r7 flagships)
+    "q_corpus_dsir_select", "q_sample_cluster_cap",
     # text analysis
-    "q_text_quality_score", "q_text_fingerprint", "q_text_entropy",
+    "q_text_quality_score", "q_text_fingerprint",
     "q_text_repetition", "q_text_bigram_logprob",
     # similarity / embeddings (r7: the new skew-safe 2pass prune in)
     "q_similarity_knn_label", "q_embedding_label_centroids",
@@ -127,7 +131,7 @@ REPRESENTATIVE_HEAD = [
     # in-repo oracle-tested)
     "q_corpus_lm_prune_2pass", "q_corpus_mad_prune_2pass",
     "q_corpus_quantile_prune_2pass", "q_contamination_score",
-    "q_vocab_topk", "q_tfidf_topterms", "q_corpus_source_stats",
+    "q_vocab_topk", "q_tfidf_topterms", "q_corpus_unimax",
     "q_corpus_datasheet", "q_sample_stratified", "q_llm_prep_pipeline_v2",
     # multimodal plumbing (decode/frames/features UDF surface)
     "q_multimodal_decode", "q_multimodal_frames", "q_multimodal_features",
