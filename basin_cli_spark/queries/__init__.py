@@ -94,9 +94,10 @@ def register(name: str, oracle: str | None = None):
 # q_interval_arith, q_uuid_canonical, q_union_all, q_intersect_all,
 # q_json_roundtrip, q_stream_dedup, q_stream_static_join, q_window_rank,
 # q_window_lag_lead, q_window_running, q_window_moving_avg,
-# q_window_sliding, q_window_percent_rank, plus the three swapped out
+# q_window_sliding, q_window_percent_rank, plus the four swapped out
 # for the r7 flagship additions: q_dedup_provenance, q_text_entropy,
-# q_corpus_source_stats.
+# q_corpus_source_stats, q_llm_prep_pipeline_v2 (v4 composes its
+# successor stages; v2's components are all individually attested).
 REPRESENTATIVE_HEAD = [
     # relational basics
     "q_like_isnull", "q_distinct", "q_limit_offset", "q_orderby_nulls",
@@ -132,7 +133,7 @@ REPRESENTATIVE_HEAD = [
     "q_corpus_lm_prune_2pass", "q_corpus_mad_prune_2pass",
     "q_corpus_quantile_prune_2pass", "q_contamination_score",
     "q_vocab_topk", "q_tfidf_topterms", "q_corpus_unimax",
-    "q_corpus_datasheet", "q_sample_stratified", "q_llm_prep_pipeline_v2",
+    "q_corpus_datasheet", "q_sample_stratified", "q_llm_prep_pipeline_v4",
     # multimodal plumbing (decode/frames/features UDF surface)
     "q_multimodal_decode", "q_multimodal_frames", "q_multimodal_features",
 ]

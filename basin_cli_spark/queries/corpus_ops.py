@@ -1170,46 +1170,53 @@ def q_corpus_lm_prune_2pass(spark, sf_dir):
 
 # -- DSIR importance-resampling selection -------------------------------------
 
-_DSIR_ORACLE = """
-WITH toks AS (
+def _dsir_ctes(base: str) -> str:
+    """The DSIR scoring lineage as a CTE chain over any documents-shaped
+    base relation (needs doc_id, text) — shared by the standalone query
+    and the composed pipeline so both replay the identical formula."""
+    return f"""ds_toks AS (
   SELECT doc_id, doc_id % 20 = 0 AS is_target,
          UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
                             t -> LENGTH(t) > 0)) AS tok
-  FROM documents
+  FROM {base}
 ),
-bucketed AS (
+ds_bucketed AS (
   SELECT doc_id, is_target,
          CAST(('0x' || SUBSTRING(MD5(tok), 1, 4)) AS BIGINT) % 256 AS b
-  FROM toks
+  FROM ds_toks
 ),
-model AS (
+ds_model AS (
   SELECT b,
          CAST(COUNT(*) FILTER (WHERE is_target) AS BIGINT) AS ct,
          CAST(COUNT(*) FILTER (WHERE NOT is_target) AS BIGINT) AS cr
-  FROM bucketed GROUP BY b
+  FROM ds_bucketed GROUP BY b
 ),
-lw AS (
+ds_lw AS (
   SELECT b,
          LN(CAST(ct + 1 AS DOUBLE)) - LN(CAST(tt + 256 AS DOUBLE))
          - LN(CAST(cr + 1 AS DOUBLE)) + LN(CAST(tr + 256 AS DOUBLE)) AS w
   FROM (SELECT b, ct, cr,
                CAST(SUM(ct) OVER () AS BIGINT) AS tt,
                CAST(SUM(cr) OVER () AS BIGINT) AS tr
-        FROM model)
+        FROM ds_model)
 ),
-per_doc_bucket AS (
+ds_per_doc_bucket AS (
   SELECT doc_id, b, COUNT(*) AS n
-  FROM bucketed WHERE NOT is_target GROUP BY doc_id, b
+  FROM ds_bucketed WHERE NOT is_target GROUP BY doc_id, b
 ),
-scored AS (
+ds_scored AS (
   SELECT p.doc_id,
          CAST(SUM(p.n) AS BIGINT) AS n_tokens,
-         LIST_REDUCE(LIST(p.n * lw.w ORDER BY p.b), (x, y) -> x + y) AS s
-  FROM per_doc_bucket p JOIN lw USING (b)
+         LIST_REDUCE(LIST(p.n * ds_lw.w ORDER BY p.b), (x, y) -> x + y) AS s
+  FROM ds_per_doc_bucket p JOIN ds_lw USING (b)
   GROUP BY p.doc_id
-)
+)"""
+
+
+_DSIR_ORACLE = f"""
+WITH {_dsir_ctes("documents")}
 SELECT doc_id, n_tokens, ROUND(s, 6) AS iw
-FROM scored
+FROM ds_scored
 ORDER BY ROUND(s, 6) DESC, doc_id
 LIMIT 100
 """
@@ -1245,7 +1252,21 @@ def q_corpus_dsir_select(spark, sf_dir):
     never cached); no shuffle is keyed on anything larger than
     (doc_id, bucket)."""
     d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
+    scored = _dsir_scores(d)
+    return (
+        scored.select(
+            "doc_id", "n_tokens", F.round("s", 6).alias("iw")
+        )
+        .orderBy(F.desc("iw"), "doc_id")
+        .limit(100)
+    )
+
+
+def _dsir_scores(d):
+    """Spark half of _dsir_ctes over any documents-shaped DataFrame
+    (doc_id, text): returns (doc_id, n_tokens, s) with the raw
+    importance sum — callers round/rank/limit."""
+    par = d.sparkSession.sparkContext.defaultParallelism
     is_target = F.col("doc_id") % 20 == 0
     toks = d.repartition(par).select(
         "doc_id",
@@ -1302,12 +1323,64 @@ def q_corpus_dsir_select(spark, sf_dir):
             ).alias("s"),
         )
     )
+    return scored
+
+
+_PIPELINE_V4_ORACLE_TEMPLATE = """
+WITH {gopher_cte},
+gated AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN m USING (doc_id)
+  WHERE {gopher_pass}
+),
+{dsir_ctes}
+SELECT doc_id, lang, n_tokens, iw FROM (
+  SELECT s.doc_id, g.lang, s.n_tokens, ROUND(s.s, 6) AS iw,
+         ROW_NUMBER() OVER (
+           PARTITION BY g.lang
+           ORDER BY ROUND(s.s, 6) DESC, s.doc_id) AS rn
+  FROM ds_scored s JOIN gated g USING (doc_id)
+) WHERE rn <= 30
+"""
+
+
+@register(
+    "q_llm_prep_pipeline_v4",
+    _PIPELINE_V4_ORACLE_TEMPLATE.format(
+        gopher_cte=_GOPHER_SIGNALS_CTE,
+        gopher_pass=_GOPHER_PASS_SQL,
+        dsir_ctes=_dsir_ctes("gated"),
+    ),
+)
+def q_llm_prep_pipeline_v4(spark, sf_dir):
+    """The round-7 selection recipe composed end to end: Gopher rule
+    gate -> DSIR importance scoring against the eval-slice target ->
+    top-30 most-target-like documents PER LANGUAGE.  The per-language
+    quota is the guard DSIR's global top-k lacks — a target skewed
+    toward one language would otherwise evict every other language from
+    the selection (the concern UniMax answers for epoch budgets, applied
+    here to selection counts).  Each stage is a registered standalone
+    operator (q_corpus_gopher_rules, q_corpus_dsir_select shares
+    _dsir_scores/_dsir_ctes literally); this entry pins that they
+    compose, the v3 doctrine.
+
+    Scale shape: the gate is one narrow JVM pass; DSIR adds two
+    tokenize passes over the GATED corpus and a 256-row broadcast; the
+    per-language quota is a rank<=k filter, so Catalyst plants the
+    native WindowGroupLimit(..., Partial) below the lang-keyed Exchange
+    — a dominant language ships map_partitions x k slim rows, never its
+    corpus share.  Document text never shuffles in any stage."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = _gopher_signals(d, extra_cols=("lang", "text"))
+    gated = sig.where(_gopher_passes()).select("doc_id", "text", "lang")
+    ranked = _dsir_scores(gated).join(
+        gated.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "n_tokens", F.round("s", 6).alias("iw"))
+    w = Window.partitionBy("lang").orderBy(F.desc("iw"), "doc_id")
     return (
-        scored.select(
-            "doc_id", "n_tokens", F.round("s", 6).alias("iw")
-        )
-        .orderBy(F.desc("iw"), "doc_id")
-        .limit(100)
+        ranked.select("*", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 30)
+        .select("doc_id", "lang", "n_tokens", "iw")
     )
 
 

@@ -65,6 +65,7 @@ HEADLINE = [
     "q_corpus_lm_prune_2pass",  # added r7 (skew-safe LM prune)
     "q_corpus_mad_prune_2pass",  # added r7 (two-round sketch MAD)
     "q_corpus_dsir_select",  # added r7 (importance-resampling selection)
+    "q_llm_prep_pipeline_v4",  # added r7 (gate -> DSIR -> per-lang quota)
 ]
 
 # queries added to the headline per round — summed out of the
@@ -95,6 +96,7 @@ _R7_ADDED = {
     "q_corpus_lm_prune_2pass",
     "q_corpus_mad_prune_2pass",
     "q_corpus_dsir_select",
+    "q_llm_prep_pipeline_v4",
 }
 
 

@@ -125,6 +125,7 @@ _NLJ_ALLOWED = {
     "q_corpus_rebalance",  # 1-row broadcast of the (total, n_langs) scalar
     "q_corpus_dsir_select",  # 1-row broadcast of the (tt, tr) token totals
     "q_corpus_unimax",  # 1-row broadcast of the (tt, n_langs) scalar
+    "q_llm_prep_pipeline_v4",  # DSIR stage's 1-row token-totals broadcast
 }
 
 
@@ -361,6 +362,14 @@ def test_cluster_cap_partial_limit_before_exchange(spark, sf_dir, registry):
     Arrow codebook assignment upstream keeps jvm_only off."""
     df = registry["q_sample_cluster_cap"].fn(spark, sf_dir)
     _assert_partial_group_limit_below_exchange(plan_of(df), jvm_only=False)
+
+
+def test_pipeline_v4_partial_limit_before_exchange(spark, sf_dir, registry):
+    """The composed selection pipeline's per-language quota must ride the
+    same native group limit: a dominant language ships bounded rows to
+    its reducer, and the whole pipeline stays in the JVM."""
+    df = registry["q_llm_prep_pipeline_v4"].fn(spark, sf_dir)
+    _assert_partial_group_limit_below_exchange(plan_of(df))
 
 
 def test_2pass_prunes_have_no_rank_window(spark, sf_dir, registry):
