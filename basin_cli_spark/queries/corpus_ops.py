@@ -1262,10 +1262,11 @@ def q_corpus_dsir_select(spark, sf_dir):
     )
 
 
-def _dsir_scores(d):
-    """Spark half of _dsir_ctes over any documents-shaped DataFrame
-    (doc_id, text): returns (doc_id, n_tokens, s) with the raw
-    importance sum — callers round/rank/limit."""
+def _dsir_weight_table(d):
+    """The 256-row DSIR bucket weight table lw(b, w) from a
+    documents-shaped DataFrame — the trainable artifact of the method
+    (batch-built, then broadcast for batch scoring or collected as a
+    literal array for stateless streaming scoring)."""
     par = d.sparkSession.sparkContext.defaultParallelism
     is_target = F.col("doc_id") % 20 == 0
     toks = d.repartition(par).select(
@@ -1293,7 +1294,7 @@ def _dsir_scores(d):
         F.sum("ct").cast("long").alias("tt"),
         F.sum("cr").cast("long").alias("tr"),
     )
-    lw = model.crossJoin(F.broadcast(totals)).select(
+    return model.crossJoin(F.broadcast(totals)).select(
         "b",
         (
             F.log((F.col("ct") + 1).cast("double"))
@@ -1301,6 +1302,27 @@ def _dsir_scores(d):
             - F.log((F.col("cr") + 1).cast("double"))
             + F.log((F.col("tr") + 256).cast("double"))
         ).alias("w"),
+    )
+
+
+def _dsir_scores(d):
+    """Spark half of _dsir_ctes over any documents-shaped DataFrame
+    (doc_id, text): returns (doc_id, n_tokens, s) with the raw
+    importance sum — callers round/rank/limit."""
+    is_target = F.col("doc_id") % 20 == 0
+    lw = _dsir_weight_table(d)
+    par = d.sparkSession.sparkContext.defaultParallelism
+    bucketed = d.repartition(par).select(
+        "doc_id",
+        is_target.alias("is_target"),
+        F.explode(D.tokens("text")).alias("tok"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+            % 256
+        ).alias("b"),
     )
     per_doc_bucket = (
         bucketed.where(~F.col("is_target"))

@@ -491,3 +491,90 @@ def q_stream_cdc_apply(spark, sf_dir):
         _typed(F.element_at("_kv", "id"), "integer").alias("id"),
         F.element_at("_kv", "name").alias("name"),
     )
+
+
+def _stream_dsir_oracle() -> str:
+    """Replay the batch weight table (the shared _dsir_ctes fragment) and
+    the STREAM's scoring order: a left fold of per-token weights in
+    document token order — LIST_REDUCE over LIST(w ORDER BY pos) — which
+    is exactly the order the stateless streaming expression adds them."""
+    from basin_cli_spark.queries.corpus_ops import _dsir_ctes
+
+    toks = (
+        "LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0)"
+    )
+    return f"""
+WITH {_dsir_ctes("documents")},
+raw_tok AS (
+  SELECT doc_id,
+         UNNEST({toks}) AS tok,
+         UNNEST(RANGE(1, LEN({toks}) + 1)) AS pos
+  FROM documents WHERE doc_id % 20 <> 0
+),
+wtok AS (
+  SELECT r.doc_id, r.pos, ds_lw.w
+  FROM (SELECT doc_id, pos,
+               CAST(('0x' || SUBSTRING(MD5(tok), 1, 4)) AS BIGINT) % 256 AS b
+        FROM raw_tok) r JOIN ds_lw USING (b)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(LIST_REDUCE(LIST(w ORDER BY pos), (x, y) -> x + y), 6) AS iw
+FROM wtok GROUP BY doc_id
+"""
+
+
+@register("q_stream_dsir_score", _stream_dsir_oracle())
+def q_stream_dsir_score(spark, sf_dir):
+    """STREAMING DSIR scoring — the serving shape of importance
+    resampling: the 256-bucket weight table is TRAINED in batch
+    (_dsir_weight_table, the method's artifact) and collected into a
+    literal array, so the stream side is a pure per-row expression —
+    tokenize, bucket, left-fold the bucket weights in token order —
+    with ZERO streaming state (contrast q_stream_quality_gate's O(gates)
+    state; this is O(0): append mode, no aggregation, no watermark).
+    A crawl intake can gate on iw at wire speed while the model retrain
+    stays an offline batch job, the q_stream_ivf_assign doctrine.
+
+    The fold order is the document's token order (not the batch query's
+    bucket-sorted order), and the oracle replays THAT order, so the
+    hash gate pins the streaming arithmetic itself.  The weight
+    literals are bit-identical in both engines: four LNs of exact
+    integer counts, and the 256-row collect is the codebook-artifact
+    pattern (k-row driver reduce, not a corpus collect)."""
+    from basin_cli_spark.operators import dedup as D
+    from basin_cli_spark.queries.corpus_ops import _dsir_weight_table
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    batch_docs = load_table(spark, sf_dir, "documents")
+    ws = [0.0] * 256
+    for row in _dsir_weight_table(batch_docs).collect():
+        ws[int(row["b"])] = float(row["w"])
+    warr = F.array(*[F.lit(w) for w in ws])
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toked = docs.where(F.col("doc_id") % 20 != 0).select(
+        "doc_id", D.tokens("text").alias("_toks")
+    ).where(F.size("_toks") > 0)
+    bucket_w = lambda t: F.element_at(  # noqa: E731
+        warr,
+        (
+            F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int") % 256
+        ) + 1,
+    )
+    scored = toked.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("_toks"), bucket_w),
+                F.lit(0.0),
+                lambda acc, w: acc + w,
+            ),
+            6,
+        ).alias("iw"),
+    )
+    return _drain(scored, "append")
