@@ -84,7 +84,7 @@ def register(name: str, oracle: str | None = None):
 # aggregates, streaming, dedup, text analysis, similarity/embeddings,
 # curation, multimodal.  Everything else follows in registration order.
 #
-# r8 rotation TODO — the 33 entries still without a driver row after r7
+# r8 rotation TODO — the 35 entries still without a driver row after r7
 # (everything else will then be attested): q_histogram,
 # q_llm_prep_pipeline, q_sample_weighted, q_corpus_quantile_prune,
 # q_text_pii_scrub, q_token_budget_pack, q_text_hash_embedding,
@@ -94,10 +94,11 @@ def register(name: str, oracle: str | None = None):
 # q_interval_arith, q_uuid_canonical, q_union_all, q_intersect_all,
 # q_json_roundtrip, q_stream_dedup, q_stream_static_join, q_window_rank,
 # q_window_lag_lead, q_window_running, q_window_moving_avg,
-# q_window_sliding, q_window_percent_rank, plus the four swapped out
-# for the r7 flagship additions: q_dedup_provenance, q_text_entropy,
+# q_window_sliding, q_window_percent_rank; the four swapped out for the
+# r7 flagship additions: q_dedup_provenance, q_text_entropy,
 # q_corpus_source_stats, q_llm_prep_pipeline_v2 (v4 composes its
-# successor stages; v2's components are all individually attested).
+# successor stages; v2's components are all individually attested); and
+# the late-r7 tail addition q_stream_dsir_score.
 REPRESENTATIVE_HEAD = [
     # relational basics
     "q_like_isnull", "q_distinct", "q_limit_offset", "q_orderby_nulls",

@@ -1262,11 +1262,26 @@ def q_corpus_dsir_select(spark, sf_dir):
     )
 
 
+def _dsir_bucket(col):
+    """The DSIR md5-nibble bucket of a token column — the ONE Spark
+    definition of the bucketing idiom (the DuckDB twin lives inside
+    _dsir_ctes); every batch/stream scoring site must use this so the
+    trained weight table and any scorer bucket identically."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("long") % 256
+
+
 def _dsir_weight_table(d):
-    """The 256-row DSIR bucket weight table lw(b, w) from a
+    """The DENSE 256-row DSIR bucket weight table lw(b, w) from a
     documents-shaped DataFrame — the trainable artifact of the method
     (batch-built, then broadcast for batch scoring or collected as a
-    literal array for stateless streaming scoring)."""
+    literal array for stateless streaming scoring).  Buckets unseen in
+    training still get their Laplace-smoothed weight
+    ln((0+1)/(tt+256)) - ln((0+1)/(tr+256)) — a SERVING-time scorer may
+    meet vocabulary the training corpus never produced, and an unseen
+    bucket's evidence is the smoothing prior, not zero.  (Batch scoring
+    inner-joins on seen buckets, so densifying changes nothing there;
+    the batch oracle keeps its sparse model CTE for the same reason.)"""
     par = d.sparkSession.sparkContext.defaultParallelism
     is_target = F.col("doc_id") % 20 == 0
     toks = d.repartition(par).select(
@@ -1277,18 +1292,26 @@ def _dsir_weight_table(d):
     bucketed = toks.select(
         "doc_id",
         "is_target",
-        (
-            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
-            % 256
-        ).alias("b"),
+        _dsir_bucket("tok").alias("b"),
     )
-    model = bucketed.groupBy("b").agg(
+    seen = bucketed.groupBy("b").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0))
         .cast("long")
         .alias("ct"),
         F.sum(F.when(~F.col("is_target"), 1).otherwise(0))
         .cast("long")
         .alias("cr"),
+    )
+    spark = d.sparkSession
+    model = (
+        spark.range(256)
+        .select(F.col("id").alias("b"))
+        .join(seen, "b", "left")
+        .select(
+            "b",
+            F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
+            F.coalesce("cr", F.lit(0)).cast("long").alias("cr"),
+        )
     )
     totals = model.agg(
         F.sum("ct").cast("long").alias("tt"),
@@ -1319,10 +1342,7 @@ def _dsir_scores(d):
     ).select(
         "doc_id",
         "is_target",
-        (
-            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
-            % 256
-        ).alias("b"),
+        _dsir_bucket("tok").alias("b"),
     )
     per_doc_bucket = (
         bucketed.where(~F.col("is_target"))

@@ -1745,11 +1745,14 @@ ORDER BY vec_id
 
 
 def _proto_scores(spark, sf_dir):
-    """Loader wrapper around _proto_scores_df for the fixture table."""
+    """Loader wrapper around _proto_scores_df for the fixture table.
+    The fixture parquet reads as few partitions, so the centroid lineage
+    is repartitioned for parallelism here; callers with an
+    already-partitioned frame pass repartition=False."""
     return _proto_scores_df(load_table(spark, sf_dir, "embeddings"))
 
 
-def _proto_scores_df(e):
+def _proto_scores_df(e, repartition=True):
     """Shared builder: (vec_id, label, proto_sim) — cosine of every
     vector against its label's centroid.  The per-(label, dim) centroid
     aggregation is a plain hash-agg with map-side partials (posexplode
@@ -1759,10 +1762,16 @@ def _proto_scores_df(e):
     components round to 6 before the distance (the
     q_embedding_label_centroids convention).  Takes the embeddings
     DataFrame directly so non-fixture frames (the scale smoke's
-    skew-labeled corpus) run the same lineage."""
-    par = e.sparkSession.sparkContext.defaultParallelism
+    skew-labeled corpus) run the same lineage.  repartition=False skips
+    the centroid-lineage repartition when the input frame is already
+    well-partitioned (it exists for few-partition fixture reads; an
+    extra full-corpus shuffle is measured cost on a persisted frame)."""
+    src = e
+    if repartition:
+        par = e.sparkSession.sparkContext.defaultParallelism
+        src = e.repartition(par)
     cent = (
-        e.repartition(par)
+        src
         .select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))

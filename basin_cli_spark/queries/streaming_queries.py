@@ -542,7 +542,10 @@ def q_stream_dsir_score(spark, sf_dir):
     integer counts, and the 256-row collect is the codebook-artifact
     pattern (k-row driver reduce, not a corpus collect)."""
     from basin_cli_spark.operators import dedup as D
-    from basin_cli_spark.queries.corpus_ops import _dsir_weight_table
+    from basin_cli_spark.queries.corpus_ops import (
+        _dsir_bucket,
+        _dsir_weight_table,
+    )
 
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
@@ -560,10 +563,7 @@ def q_stream_dsir_score(spark, sf_dir):
         "doc_id", D.tokens("text").alias("_toks")
     ).where(F.size("_toks") > 0)
     bucket_w = lambda t: F.element_at(  # noqa: E731
-        warr,
-        (
-            F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int") % 256
-        ) + 1,
+        warr, (_dsir_bucket(t).cast("int")) + 1
     )
     scored = toked.select(
         "doc_id",

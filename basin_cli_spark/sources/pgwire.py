@@ -124,7 +124,11 @@ def scram_client_final(
     # nonce it sent — a replaced nonce severs the session binding the
     # nonce exists to provide, so abort instead of proving over it.
     client_nonce = _parse_scram_attrs(client_first_bare).get("r", "")
-    if not client_nonce or not full_nonce.startswith(client_nonce):
+    if (
+        not client_nonce
+        or not full_nonce.startswith(client_nonce)
+        or len(full_nonce) <= len(client_nonce)  # echo adds no freshness
+    ):
         raise ValueError(
             "SCRAM server-first nonce does not extend the client nonce"
         )

@@ -125,6 +125,8 @@ def main() -> None:
         ).count()
 
     def dsir_select():
+        from basin_cli_spark.queries.corpus_ops import _dsir_bucket
+
         # DSIR importance scoring at 10x docs: two tokenize passes (model
         # build + per-doc scoring), a 256-row weight broadcast, and a
         # global top-100 TakeOrderedAndProject — the q_corpus_dsir_select
@@ -137,10 +139,7 @@ def main() -> None:
         ).select(
             "doc_id",
             "is_target",
-            (
-                F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
-                % 256
-            ).alias("b"),
+            _dsir_bucket("tok").alias("b"),
         )
         model = b.groupBy("b").agg(
             F.sum(F.when(F.col("is_target"), 1).otherwise(0))
@@ -334,7 +333,7 @@ def main() -> None:
                 F.col("label")
             ),
         )
-        scored = _proto_scores_df(sk)
+        scored = _proto_scores_df(sk, repartition=False)
         th = scored.groupBy("label").agg(
             F.percentile_approx("proto_sim", 0.1, 100000).alias("lo")
         )

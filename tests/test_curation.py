@@ -352,3 +352,38 @@ def test_boilerplate_scrub_reassembly_preserves_order(spark):
     assert out[1]["n_segs"] == 10 and out[1]["n_removed"] == 0
     for d in (10, 11, 12):
         assert out[d]["clean_text"] == "" and out[d]["n_removed"] == 1
+
+
+def test_dsir_weight_table_dense_with_smoothed_default(spark):
+    """The trained DSIR weight table must cover ALL 256 buckets: a
+    serving-time scorer can meet vocabulary the training corpus never
+    produced, and an unseen bucket's weight is the Laplace prior
+    ln((0+1)/(tt+256)) - ln((0+1)/(tr+256)), not 0.0."""
+    import math
+
+    from basin_cli_spark.queries.corpus_ops import (
+        _dsir_bucket,
+        _dsir_weight_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma delta"), (2, "beta beta")],
+        "doc_id long, text string",
+    )
+    rows = {r["b"]: r["w"] for r in _dsir_weight_table(docs).collect()}
+    assert len(rows) == 256
+    # exact totals from the tiny corpus: doc 0 is the target slice
+    tt, tr = 2, 5
+    seen = {
+        r["b"]
+        for r in spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",), ("delta",)], "tok string"
+        ).select(_dsir_bucket("tok").alias("b")).collect()
+    }
+    expected_default = math.log(1.0 / (tt + 256)) - math.log(
+        1.0 / (tr + 256)
+    )
+    unseen = set(range(256)) - seen
+    assert unseen, "test corpus unexpectedly covers all buckets"
+    for b in unseen:
+        assert abs(rows[b] - expected_default) < 1e-12

@@ -812,6 +812,20 @@ def test_scram_rfc7677_known_answer():
     assert v.verify_client_final(bad) is None
 
 
+def test_scram_rejects_non_extending_server_nonce():
+    """RFC 5802 §5.1: the combined nonce must START WITH and be STRICTLY
+    LONGER than the client nonce — a substituted nonce severs session
+    binding, and a bare echo adds no server freshness (libpq rejects
+    both)."""
+    import pytest as _pytest
+
+    _, bare = W.scram_client_first("ClientNonce")
+    for r in ("EvilNonce", "ClientNonce"):  # substituted / echoed
+        server_first = f"r={r},s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+        with _pytest.raises(ValueError, match="nonce"):
+            W.scram_client_final("pencil", bare, server_first)
+
+
 def test_loopback_scram_auth_success_streams():
     """Full walsender session over the socket with a SCRAM challenge in
     the startup: same golden ack as the trust-auth resume test — auth is
