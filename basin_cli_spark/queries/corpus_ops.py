@@ -1428,8 +1428,11 @@ def q_llm_prep_pipeline_v4(spark, sf_dir):
 
 # -- UniMax language-sampling budget allocation --------------------------------
 
-_UNIMAX_ORACLE = """
-WITH counts AS (
+# the water-filling allocation as a shared CTE chain (alloc holds the
+# per-language cap flag + the exact integers the budget/epoch CASE
+# expressions need) and the unrounded epoch/budget expressions — shared
+# by the allocation query and the mixture-materialization apply query
+_UNIMAX_CTES = """counts AS (
   SELECT lang,
          CAST(SUM(LENGTH(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
                                      t -> LENGTH(t) > 0))) AS BIGINT) AS n_tok
@@ -1454,15 +1457,22 @@ alloc AS (
          CAST(COALESCE(SUM(CASE WHEN capped THEN n_tok END) OVER (), 0)
               AS BIGINT) AS pk
   FROM flagged
-)
-SELECT lang, n_tok AS n_tokens,
-       ROUND(CASE WHEN capped THEN CAST(3 * n_tok AS DOUBLE)
+)"""
+
+_UNIMAX_BUDGET_SQL = """CASE WHEN capped THEN CAST(3 * n_tok AS DOUBLE)
                   ELSE (0.5 * CAST(tt AS DOUBLE) - 3 * CAST(pk AS DOUBLE))
-                       / CAST(n_langs - k AS DOUBLE) END, 6) AS budget_tokens,
-       ROUND(CASE WHEN capped THEN 3.0
+                       / CAST(n_langs - k AS DOUBLE) END"""
+
+_UNIMAX_EPOCHS_SQL = """CASE WHEN capped THEN 3.0
                   ELSE ((0.5 * CAST(tt AS DOUBLE) - 3 * CAST(pk AS DOUBLE))
                         / CAST(n_langs - k AS DOUBLE))
-                       / CAST(n_tok AS DOUBLE) END, 6) AS epochs
+                       / CAST(n_tok AS DOUBLE) END"""
+
+_UNIMAX_ORACLE = f"""
+WITH {_UNIMAX_CTES}
+SELECT lang, n_tok AS n_tokens,
+       ROUND({_UNIMAX_BUDGET_SQL}, 6) AS budget_tokens,
+       ROUND({_UNIMAX_EPOCHS_SQL}, 6) AS epochs
 FROM alloc
 """
 
@@ -1496,6 +1506,24 @@ def q_corpus_unimax(spark, sf_dir):
     where the global sort/windows are bounded by language cardinality,
     the same tiny-relation tail as q_corpus_rebalance's rates table."""
     d = load_table(spark, sf_dir, "documents")
+    alloc = _unimax_alloc(d)
+    share = _unimax_share()
+    return alloc.select(
+        "lang",
+        F.col("n_tok").alias("n_tokens"),
+        F.round(
+            F.when(F.col("capped"), (3 * F.col("n_tok")).cast("double"))
+            .otherwise(share),
+            6,
+        ).alias("budget_tokens"),
+        F.round(_unimax_epochs(), 6).alias("epochs"),
+    )
+
+
+def _unimax_alloc(d):
+    """The languages-sized allocation relation (lang, n_tok, tt, n_langs,
+    i, p, capped, k, pk) the water-filling CASE expressions evaluate
+    over — the Spark half of _UNIMAX_CTES."""
     counts = d.groupBy("lang").agg(
         F.sum(F.size(D.tokens("text"))).cast("long").alias("n_tok")
     )
@@ -1534,22 +1562,74 @@ def q_corpus_unimax(spark, sf_dir):
         .cast("long")
         .alias("pk"),
     )
-    share = (
+    return alloc
+
+
+def _unimax_share():
+    """Unrounded uncapped-language budget share, exact-integer inputs."""
+    return (
         0.5 * F.col("tt").cast("double") - 3 * F.col("pk").cast("double")
     ) / (F.col("n_langs") - F.col("k")).cast("double")
-    return alloc.select(
+
+
+def _unimax_epochs():
+    """Unrounded per-language epoch count (the _UNIMAX_EPOCHS_SQL twin)."""
+    return F.when(F.col("capped"), F.lit(3.0)).otherwise(
+        _unimax_share() / F.col("n_tok").cast("double")
+    )
+
+
+_UNIMAX_APPLY_ORACLE = f"""
+WITH {_UNIMAX_CTES},
+eps AS (
+  SELECT lang, {_UNIMAX_EPOCHS_SQL} AS e FROM alloc
+)
+SELECT d.doc_id, d.lang,
+       CAST(FLOOR(e) AS BIGINT)
+       + CASE WHEN (CAST(('0x' || SUBSTRING(MD5(d.text), 1, 4)) AS BIGINT)
+                    % 10000) < (e - FLOOR(e)) * 10000
+              THEN 1 ELSE 0 END AS n_copies
+FROM documents d JOIN eps USING (lang)
+"""
+
+
+@register("q_corpus_unimax_apply", _UNIMAX_APPLY_ORACLE)
+def q_corpus_unimax_apply(spark, sf_dir):
+    """Materialize the UniMax mixture: turn each language's epoch count
+    into a per-document copy count — the manifest a training writer
+    explodes into the actual shuffled dataset.  Whole epochs replicate
+    every document of the language; the fractional remainder is a
+    deterministic content-hash draw (the q_corpus_rebalance bucket
+    idiom), so a language allocated 2.4 epochs keeps 2 copies of every
+    doc plus a 3rd copy of a reproducible 40% subset — no RNG state,
+    stable across runs and engines.
+
+    Expected-value contract: sum(n_copies * doc_tokens) per language ~=
+    the language's UniMax budget (exact for capped languages, a
+    hash-draw estimate for the fractional part).
+
+    Scale shape: the allocation tail is the languages-sized relation of
+    q_corpus_unimax; the apply is ONE broadcast join of a
+    language-count-sized epochs table against the corpus followed by a
+    stateless per-row expression — no corpus shuffle anywhere (the
+    manifest carries doc_id, not text; the writer's explode happens at
+    write time)."""
+    d = load_table(spark, sf_dir, "documents")
+    eps = _unimax_alloc(d.select("doc_id", "lang", "text")).select(
+        "lang", _unimax_epochs().alias("e")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 10000
+    )
+    return d.join(F.broadcast(eps), "lang").select(
+        "doc_id",
         "lang",
-        F.col("n_tok").alias("n_tokens"),
-        F.round(
-            F.when(F.col("capped"), (3 * F.col("n_tok")).cast("double"))
-            .otherwise(share),
-            6,
-        ).alias("budget_tokens"),
-        F.round(
-            F.when(F.col("capped"), F.lit(3.0))
-            .otherwise(share / F.col("n_tok").cast("double")),
-            6,
-        ).alias("epochs"),
+        (
+            F.floor("e").cast("long")
+            + F.when(
+                bucket < (F.col("e") - F.floor("e")) * 10000, 1
+            ).otherwise(0)
+        ).alias("n_copies"),
     )
 
 

@@ -125,6 +125,7 @@ _NLJ_ALLOWED = {
     "q_corpus_rebalance",  # 1-row broadcast of the (total, n_langs) scalar
     "q_corpus_dsir_select",  # 1-row broadcast of the (tt, tr) token totals
     "q_corpus_unimax",  # 1-row broadcast of the (tt, n_langs) scalar
+    "q_corpus_unimax_apply",  # same scalar broadcast inside the alloc tail
     "q_llm_prep_pipeline_v4",  # DSIR stage's 1-row token-totals broadcast
 }
 
