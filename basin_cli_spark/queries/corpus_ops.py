@@ -1579,6 +1579,76 @@ def _unimax_epochs():
     )
 
 
+_TEMPERATURE_MIX_ORACLE = """
+WITH counts AS (
+  SELECT lang,
+         CAST(SUM(LENGTH(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                     t -> LENGTH(t) > 0))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tt FROM counts),
+w AS (
+  SELECT lang, n_tok, tt,
+         EXP(LN(CAST(n_tok AS DOUBLE) / CAST(tt AS DOUBLE)) / 3.3) AS u
+  FROM counts CROSS JOIN tot
+),
+z AS (SELECT SUM(u) AS zsum FROM w)
+SELECT lang, n_tok AS n_tokens,
+       ROUND(u / zsum, 6) AS sample_prob,
+       ROUND((0.5 * CAST(tt AS DOUBLE) * (u / zsum))
+             / CAST(n_tok AS DOUBLE), 6) AS epochs
+FROM w CROSS JOIN z
+"""
+
+
+@register("q_corpus_temperature_mix", _TEMPERATURE_MIX_ORACLE)
+def q_corpus_temperature_mix(spark, sf_dir):
+    """Temperature-based language sampling — the mC4/mT5 baseline (Xue
+    et al. 2021, public arXiv 2010.11934, tau=3.3): sampling probability
+    q_l proportional to p_l^(1/tau), flattening the language
+    distribution so low-resource languages are up-sampled, reported per
+    language with the implied epoch count under the same half-corpus
+    budget q_corpus_unimax uses — the side-by-side a mixture designer
+    compares before picking UniMax (which caps the tail's epoch blowup
+    this method is known for).
+
+    p^(1/tau) is spelled EXP(LN(p)/tau) in BOTH engines — exp/ln over
+    identical doubles are the float primitives this repo's oracles
+    already hash-match (the DSIR weight table) — rather than POWER,
+    whose rounding the two engines don't contractually share.
+
+    Scale shape: identical to q_corpus_unimax — one per-language token
+    hash-agg over a 2-column projection is the only corpus-sized work;
+    the temperature tail is a languages-sized relation with two 1-row
+    scalar broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.sum(F.size(D.tokens("text"))).cast("long").alias("n_tok")
+    )
+    tot = counts.agg(F.sum("n_tok").cast("long").alias("tt"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_tok", "tt",
+        F.exp(
+            F.log(
+                F.col("n_tok").cast("double") / F.col("tt").cast("double")
+            )
+            / 3.3
+        ).alias("u"),
+    )
+    z = w.agg(F.sum("u").alias("zsum"))
+    q = F.col("u") / F.col("zsum")
+    return w.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n_tok").alias("n_tokens"),
+        F.round(q, 6).alias("sample_prob"),
+        F.round(
+            (0.5 * F.col("tt").cast("double") * q)
+            / F.col("n_tok").cast("double"),
+            6,
+        ).alias("epochs"),
+    )
+
+
 _UNIMAX_APPLY_ORACLE = f"""
 WITH {_UNIMAX_CTES},
 eps AS (

@@ -126,6 +126,7 @@ _NLJ_ALLOWED = {
     "q_corpus_dsir_select",  # 1-row broadcast of the (tt, tr) token totals
     "q_corpus_unimax",  # 1-row broadcast of the (tt, n_langs) scalar
     "q_corpus_unimax_apply",  # same scalar broadcast inside the alloc tail
+    "q_corpus_temperature_mix",  # (tt) and (zsum) 1-row scalar broadcasts
     "q_llm_prep_pipeline_v4",  # DSIR stage's 1-row token-totals broadcast
 }
 
