@@ -1432,12 +1432,25 @@ def q_llm_prep_pipeline_v4(spark, sf_dir):
 # per-language cap flag + the exact integers the budget/epoch CASE
 # expressions need) and the unrounded epoch/budget expressions — shared
 # by the allocation query and the mixture-materialization apply query
-_UNIMAX_CTES = """counts AS (
+# per-language token counts — the corpus-sized head every mixture
+# query shares (UniMax, its apply, temperature sampling); ONE SQL text
+# and ONE Spark builder so tokenization cannot drift between them
+_LANG_COUNTS_CTE = """counts AS (
   SELECT lang,
          CAST(SUM(LENGTH(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
                                      t -> LENGTH(t) > 0))) AS BIGINT) AS n_tok
   FROM documents GROUP BY lang
-),
+)"""
+
+
+def _lang_token_counts(d):
+    """Spark twin of _LANG_COUNTS_CTE."""
+    return d.groupBy("lang").agg(
+        F.sum(F.size(D.tokens("text"))).cast("long").alias("n_tok")
+    )
+
+
+_UNIMAX_CTES = f"""{_LANG_COUNTS_CTE},
 tot AS (
   SELECT CAST(SUM(n_tok) AS BIGINT) AS tt, COUNT(*) AS n_langs FROM counts
 ),
@@ -1524,9 +1537,7 @@ def _unimax_alloc(d):
     """The languages-sized allocation relation (lang, n_tok, tt, n_langs,
     i, p, capped, k, pk) the water-filling CASE expressions evaluate
     over — the Spark half of _UNIMAX_CTES."""
-    counts = d.groupBy("lang").agg(
-        F.sum(F.size(D.tokens("text"))).cast("long").alias("n_tok")
-    )
+    counts = _lang_token_counts(d)
     tot = counts.agg(
         F.sum("n_tok").cast("long").alias("tt"),
         F.count(F.lit(1)).alias("n_langs"),
@@ -1579,20 +1590,18 @@ def _unimax_epochs():
     )
 
 
-_TEMPERATURE_MIX_ORACLE = """
-WITH counts AS (
-  SELECT lang,
-         CAST(SUM(LENGTH(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
-                                     t -> LENGTH(t) > 0))) AS BIGINT) AS n_tok
-  FROM documents GROUP BY lang
-),
+_TEMPERATURE_MIX_ORACLE = f"""
+WITH {_LANG_COUNTS_CTE},
 tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tt FROM counts),
 w AS (
   SELECT lang, n_tok, tt,
          EXP(LN(CAST(n_tok AS DOUBLE) / CAST(tt AS DOUBLE)) / 3.3) AS u
   FROM counts CROSS JOIN tot
+  WHERE n_tok > 0
 ),
-z AS (SELECT SUM(u) AS zsum FROM w)
+z AS (
+  SELECT LIST_REDUCE(LIST(u ORDER BY lang), (x, y) -> x + y) AS zsum FROM w
+)
 SELECT lang, n_tok AS n_tokens,
        ROUND(u / zsum, 6) AS sample_prob,
        ROUND((0.5 * CAST(tt AS DOUBLE) * (u / zsum))
@@ -1615,18 +1624,20 @@ def q_corpus_temperature_mix(spark, sf_dir):
     p^(1/tau) is spelled EXP(LN(p)/tau) in BOTH engines — exp/ln over
     identical doubles are the float primitives this repo's oracles
     already hash-match (the DSIR weight table) — rather than POWER,
-    whose rounding the two engines don't contractually share.
+    whose rounding the two engines don't contractually share.  The
+    normalizer is a SORTED FOLD over the languages (not a float SUM,
+    whose accumulation order differs between engines), and zero-token
+    languages are excluded before the LN (their probability limit is 0;
+    DuckDB would otherwise raise on ln(0) where Spark yields NULL).
 
     Scale shape: identical to q_corpus_unimax — one per-language token
     hash-agg over a 2-column projection is the only corpus-sized work;
     the temperature tail is a languages-sized relation with two 1-row
     scalar broadcasts."""
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(
-        F.sum(F.size(D.tokens("text"))).cast("long").alias("n_tok")
-    )
+    counts = _lang_token_counts(d)
     tot = counts.agg(F.sum("n_tok").cast("long").alias("tt"))
-    w = counts.crossJoin(F.broadcast(tot)).select(
+    w = counts.where(F.col("n_tok") > 0).crossJoin(F.broadcast(tot)).select(
         "lang", "n_tok", "tt",
         F.exp(
             F.log(
@@ -1635,7 +1646,13 @@ def q_corpus_temperature_mix(spark, sf_dir):
             / 3.3
         ).alias("u"),
     )
-    z = w.agg(F.sum("u").alias("zsum"))
+    z = w.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "u"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["u"],
+        ).alias("zsum")
+    )
     q = F.col("u") / F.col("zsum")
     return w.crossJoin(F.broadcast(z)).select(
         "lang",
@@ -1685,9 +1702,7 @@ def q_corpus_unimax_apply(spark, sf_dir):
     manifest carries doc_id, not text; the writer's explode happens at
     write time)."""
     d = load_table(spark, sf_dir, "documents")
-    eps = _unimax_alloc(d.select("doc_id", "lang", "text")).select(
-        "lang", _unimax_epochs().alias("e")
-    )
+    eps = _unimax_alloc(d).select("lang", _unimax_epochs().alias("e"))
     bucket = (
         F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 10000
     )
