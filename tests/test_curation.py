@@ -387,3 +387,41 @@ def test_dsir_weight_table_dense_with_smoothed_default(spark):
     assert unseen, "test corpus unexpectedly covers all buckets"
     for b in unseen:
         assert abs(rows[b] - expected_default) < 1e-12
+
+
+def test_unimax_apply_materializes_the_allocated_budget(spark):
+    """The mixture manifest must spend what the allocation granted:
+    per language, sum(n_copies * doc_tokens) equals the UniMax budget
+    exactly for capped languages (whole epochs, no draw) and within the
+    hash-draw tolerance for fractional ones."""
+    from basin_cli_spark.queries import load_all
+
+    src = "/root/testdata/sf0.001"
+    reg = load_all()
+    alloc = {
+        r["lang"]: r
+        for r in reg["q_corpus_unimax"].fn(spark, src).collect()
+    }
+    manifest = reg["q_corpus_unimax_apply"].fn(spark, src)
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    from basin_cli_spark.operators.dedup import tokens
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    spent = {
+        r["lang"]: r["spent"]
+        for r in manifest.join(toks, "doc_id")
+        .groupBy("lang")
+        .agg(F.sum(F.col("n_copies") * F.col("n_tok")).alias("spent"))
+        .collect()
+    }
+    for lang, a in alloc.items():
+        budget = a["budget_tokens"]
+        if a["epochs"] == 3.0:  # capped: exact (3 whole copies, no draw)
+            assert spent[lang] == budget, (lang, spent[lang], budget)
+        else:  # fractional epoch part is a hash draw over doc tokens
+            assert abs(spent[lang] - budget) / budget < 0.25, (
+                lang, spent[lang], budget,
+            )
