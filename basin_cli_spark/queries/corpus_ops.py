@@ -1444,9 +1444,15 @@ _LANG_COUNTS_CTE = """counts AS (
 
 
 def _lang_token_counts(d):
-    """Spark twin of _LANG_COUNTS_CTE."""
-    return d.groupBy("lang").agg(
-        F.sum(F.size(D.tokens("text"))).cast("long").alias("n_tok")
+    """Spark twin of _LANG_COUNTS_CTE.  PERSISTED: every caller consumes
+    the counts relation from at least two branches (totals + the
+    per-language tail), and without the cache each branch re-tokenizes
+    the full corpus to rebuild a languages-sized table — the plan audit
+    showed the corpus scanned 2-3x for a table of a few rows."""
+    return persist_once(
+        d.groupBy("lang").agg(
+            F.sum(F.size(D.tokens("text"))).cast("long").alias("n_tok")
+        )
     )
 
 
