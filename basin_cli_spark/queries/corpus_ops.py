@@ -677,7 +677,11 @@ def q_corpus_rebalance(spark, sf_dir):
     filter — the corpus is never shuffled, and the hash-bucket draw
     makes the sample reproducible across runs and appends."""
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # persisted: tot and rates both consume the languages-sized counts,
+    # each otherwise re-scanning the corpus for a few-row relation
+    counts = persist_once(
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    )
     tot = counts.agg(
         F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_langs")
     )
@@ -1303,7 +1307,10 @@ def _dsir_weight_table(d):
         .alias("cr"),
     )
     spark = d.sparkSession
-    model = (
+    # persisted: totals and the weight projection both consume the
+    # 256-row model, and each would otherwise re-run the corpus
+    # tokenize+agg lineage beneath it
+    model = persist_once(
         spark.range(256)
         .select(F.col("id").alias("b"))
         .join(seen, "b", "left")
