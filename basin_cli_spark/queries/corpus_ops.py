@@ -556,16 +556,20 @@ def q_llm_prep_pipeline_v3(spark, sf_dir):
     this entry pins that they COMPOSE.
 
     Scale shape, stage by stage: the gate is one narrow JVM pass
-    (higher-order array folds, no shuffle); the MAD thresholds are two
-    source-keyed aggs over a slim (source, n_chars) projection joined
-    back as a filter; the cap window rides the native
-    WindowGroupLimit(Partial) pre-filter below its Exchange — document
-    text is never shuffled by any stage (the md5 sort key is computed
-    before the window's exchange moves only slim columns)."""
+    (higher-order array folds, no shuffle) whose slim gated output
+    (doc_id, source, n_chars, md5 sort key — text reduced to its key at
+    the gate, never carried further) is PERSISTED, because three
+    consumers (median, MAD, the filter+cap) would otherwise each re-run
+    the tokenize+fold gate over the corpus; the MAD thresholds are two
+    source-keyed aggs over that cached projection joined back as a
+    filter; the cap window rides the native WindowGroupLimit(Partial)
+    pre-filter below its Exchange, moving only the slim columns."""
     d = load_table(spark, sf_dir, "documents")
     sig = _gopher_signals(d, extra_cols=("source", "n_chars", "text"))
-    gated = sig.where(_gopher_passes()).select(
-        "doc_id", "source", "n_chars", "text"
+    gated = persist_once(
+        sig.where(_gopher_passes()).select(
+            "doc_id", "source", "n_chars", F.md5("text").alias("_mk")
+        )
     )
     slim = gated.select("source", "n_chars")
     med = slim.groupBy("source").agg(F.median("n_chars").alias("med"))
@@ -578,7 +582,7 @@ def q_llm_prep_pipeline_v3(spark, sf_dir):
     pruned = gated.join(madt, "source").where(
         F.abs(F.col("n_chars") - F.col("med")) <= thresh
     )
-    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    w = Window.partitionBy("source").orderBy("_mk", "doc_id")
     return (
         pruned.select(
             "doc_id", "source", "n_chars",
@@ -894,7 +898,12 @@ def q_tfidf_topterms(spark, sf_dir):
     tf is a (doc, term) hash-agg; df a term hash-agg; the scalar corpus
     count is a 1-row broadcast.  The tf->df join keys on the term —
     at 100 TB both sides are term-partitioned so the join co-locates;
-    the final top-3 is a per-doc window over at most |doc vocab| rows."""
+    the final top-3 is a per-doc window over at most |doc vocab| rows.
+
+    df DERIVES FROM tf (one row per (doc, term), so COUNT(*) per term
+    IS the distinct-doc count) and tf is persisted: the corpus is
+    tokenized+exploded once, where computing df from the raw token
+    relation would run the explode a second time for the same number."""
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     tok = (
@@ -902,8 +911,10 @@ def q_tfidf_topterms(spark, sf_dir):
         .select("doc_id", D.tokens("text").alias("_toks"))
         .select("doc_id", F.explode("_toks").alias("term"))
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    tf = persist_once(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "term")
@@ -1413,18 +1424,27 @@ def q_llm_prep_pipeline_v4(spark, sf_dir):
     _dsir_scores/_dsir_ctes literally); this entry pins that they
     compose, the v3 doctrine.
 
-    Scale shape: the gate is one narrow JVM pass; DSIR adds two
-    tokenize passes over the GATED corpus and a 256-row broadcast; the
+    Scale shape: the gate is one narrow JVM pass whose verdict is
+    PERSISTED as a slim (doc_id, lang) table — DSIR's two tokenize
+    passes then re-read the corpus narrowly (column-pruned parquet,
+    the boilerplate-scrub doctrine: a narrow re-scan over caching
+    corpus text) and semi-join the cached ids instead of re-running
+    the HOF gate per pass; the 256-row weight table broadcasts; the
     per-language quota is a rank<=k filter, so Catalyst plants the
     native WindowGroupLimit(..., Partial) below the lang-keyed Exchange
     — a dominant language ships map_partitions x k slim rows, never its
     corpus share.  Document text never shuffles in any stage."""
     d = load_table(spark, sf_dir, "documents")
-    sig = _gopher_signals(d, extra_cols=("lang", "text"))
-    gated = sig.where(_gopher_passes()).select("doc_id", "text", "lang")
-    ranked = _dsir_scores(gated).join(
-        gated.select("doc_id", "lang"), "doc_id"
-    ).select("doc_id", "lang", "n_tokens", F.round("s", 6).alias("iw"))
+    sig = _gopher_signals(d, extra_cols=("lang",))
+    gated_ids = persist_once(
+        sig.where(_gopher_passes()).select("doc_id", "lang")
+    )
+    gated = d.select("doc_id", "text").join(
+        gated_ids.select("doc_id"), "doc_id", "left_semi"
+    )
+    ranked = _dsir_scores(gated).join(gated_ids, "doc_id").select(
+        "doc_id", "lang", "n_tokens", F.round("s", 6).alias("iw")
+    )
     w = Window.partitionBy("lang").orderBy(F.desc("iw"), "doc_id")
     return (
         ranked.select("*", F.row_number().over(w).alias("rn"))
