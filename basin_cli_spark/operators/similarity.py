@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from basin_cli_spark.session import persist_once
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double (deterministic order)."""
@@ -516,8 +518,13 @@ def cosine_topk_ivf(
     nprobe nearest inverted lists, and scores exactly inside them.  At
     100 TB the assignment's cent_id is the partition key, so a probe scans
     nprobe/|codebook| of the corpus."""
-    cents = df.where(F.col(id_col) % stride == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    # persisted: the probe and the assignment broadcast both consume the
+    # stride codebook, and the modulo predicate cannot push down, so each
+    # consumer would otherwise re-read the full vector column to filter
+    cents = persist_once(
+        df.where(F.col(id_col) % stride == 0).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+        )
     )
     q = df.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("_q_emb")
