@@ -571,3 +571,72 @@ def cosine_topk_ivf(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> list[tuple[int, int, float | None]]:
+    """Greedy k-center (farthest-point) coreset selection under cosine
+    similarity: seed with the smallest id, then repeatedly add the vector
+    whose maximum cosine to the already-chosen set is smallest (i.e. the
+    point farthest from every pick so far).  The classic diversity /
+    coreset draw (Gonzalez 1985; used for training-data diversity
+    selection) with the 2-approximation guarantee for the k-center
+    objective.
+
+    Returns ``[(step, id, far_cos)]`` — ``far_cos`` is the selected
+    point's max-cosine-to-prior-picks rounded to ``round_to`` (None for
+    the seed).  Monotone non-decreasing in ``step`` by construction.
+
+    Determinism: cosines are sequential-fold doubles (identical fold
+    order in the DuckDB oracle), rounded BEFORE the argmin so rank order
+    is engine-independent; ties break on the smallest id.
+
+    Scale shape: the chosen set is a model parameter (k vectors — a few
+    KB), carried as a broadcast-style array literal into k-1 narrow
+    passes; each pass is scan -> max-cos fold -> TakeOrderedAndProject,
+    so exactly ONE slim row reaches the driver per iteration and the
+    vector column never shuffles.  k sequential passes over the corpus is
+    the textbook distributed FPS trade (same altitude as the Lloyd loop
+    in operators/kmeans.py); for k beyond tens, run it over cluster
+    centroids (q_sample_cluster_cap's cells) instead of raw rows.
+    """
+    seed = (
+        df.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(1)
+        .collect()[0]
+    )
+    chosen: list[tuple[int, list[float]]] = [
+        (seed[0], [float(x) for x in seed[1]])
+    ]
+    out: list[tuple[int, int, float | None]] = [(0, seed[0], None)]
+    for step in range(1, k):
+        chosen_ids = [cid for cid, _ in chosen]
+        cands = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in vec])
+                for _, vec in chosen
+            ]
+        )
+        max_cos = F.array_max(
+            F.transform(cands, lambda c: cosine(F.col(vec_col), c))
+        )
+        pick = (
+            df.where(~F.col(id_col).isin(chosen_ids))
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.round(max_cos, round_to).alias("_mc"),
+            )
+            .orderBy(F.col("_mc").asc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((pick[0], [float(x) for x in pick[1]]))
+        out.append((step, pick[0], float(pick[2])))
+    return out

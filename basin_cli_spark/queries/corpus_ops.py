@@ -2123,3 +2123,126 @@ def q_corpus_datasheet(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# -- Gopher repetition signals (dup/top n-gram character coverage) ------------
+
+def _gram_list_sql(n: int) -> str:
+    """DuckDB word-n-gram list over the shared `tokens` convention —
+    space-joined, same separator as operators/dedup.shingles."""
+    joined = " || ' ' || ".join(f"tokens[i+{j}]" if j else "tokens[i]"
+                                for j in range(n))
+    return (
+        f"CASE WHEN LEN(tokens) >= {n} THEN "
+        f"LIST_TRANSFORM(RANGE(1, LEN(tokens) - {n} + 2), i -> {joined}) "
+        f"ELSE [] END"
+    )
+
+
+_DUP_NGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, LENGTH(text) AS n_chars,
+         LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), t -> LENGTH(t) > 0)
+           AS tokens
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, 2 AS n, UNNEST({_gram_list_sql(2)}) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 3 AS n, UNNEST({_gram_list_sql(3)}) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 4 AS n, UNNEST({_gram_list_sql(4)}) AS gram FROM toks
+  UNION ALL
+  SELECT doc_id, 5 AS n, UNNEST({_gram_list_sql(5)}) AS gram FROM toks
+),
+counts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS c, LENGTH(gram) AS glen
+  FROM grams GROUP BY doc_id, n, gram
+),
+per_doc AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN c * glen END) AS t2,
+         MAX(CASE WHEN n = 3 THEN c * glen END) AS t3,
+         MAX(CASE WHEN n = 4 THEN c * glen END) AS t4,
+         SUM(CASE WHEN n = 5 AND c >= 2 THEN c * glen ELSE 0 END) AS d5
+  FROM counts GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_chars,
+       ROUND(COALESCE(p.t2, 0) / CAST(t.n_chars AS DOUBLE), 6) AS top2_frac,
+       ROUND(COALESCE(p.t3, 0) / CAST(t.n_chars AS DOUBLE), 6) AS top3_frac,
+       ROUND(COALESCE(p.t4, 0) / CAST(t.n_chars AS DOUBLE), 6) AS top4_frac,
+       ROUND(COALESCE(p.d5, 0) / CAST(t.n_chars AS DOUBLE), 6) AS dup5_frac
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("q_corpus_dup_ngram_stats", _DUP_NGRAM_ORACLE)
+def q_corpus_dup_ngram_stats(spark, sf_dir):
+    """Gopher repetition signals (Rae et al. 2021 Appendix A, public):
+    per document, the fraction of characters covered by the single
+    highest-coverage word {2,3,4}-gram and by all word 5-grams that
+    occur more than once — the standard 'degenerately repetitive text'
+    filters that run beside the q_corpus_gopher_rules quality gate.
+
+    Deterministic variant: 'top' n-gram means max of count*len(gram)
+    (character coverage), which needs no tie-break between equally
+    frequent grams of different lengths; coverage counts every
+    occurrence, so overlapping repeats can push a fraction past 1.0
+    (documented Gopher behavior for pathological text).
+
+    Scale shape: tokenize once into a persisted token-array projection,
+    then one explode per gram size over that cache (four cache reads,
+    zero re-tokenizes — four separate branches rather than one nested
+    HOF because nesting a labeling transform() around shingles()'s
+    internal lambda collides Catalyst's positional lambda variables and
+    scrambles the slices), then two hash-aggregations — (doc_id, n,
+    gram) count with map-side partials, then a conditional fold to one
+    slim row per doc.  Only (id, n, gram, count) rows shuffle, never
+    the text; the final join back to the slim (doc_id, n_chars)
+    projection is AQE-broadcast at test scale and a co-keyed slim
+    shuffle at 100 TB.  Same tokenizer as the dedup family, so these
+    signals compose with shingle counts."""
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = persist_once(
+        d.repartition(par).select(
+            "doc_id",
+            F.length("text").alias("n_chars"),
+            D.tokens("text").alias("__toks"),
+        )
+    )
+    gram_rows = None
+    for n in (2, 3, 4, 5):
+        g = toks.select(
+            "doc_id",
+            F.lit(n).alias("n"),
+            F.explode(D.shingles(F.col("__toks"), n)).alias("gram"),
+        )
+        gram_rows = g if gram_rows is None else gram_rows.unionAll(g)
+    counts = (
+        gram_rows.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("doc_id", "n", (F.col("c") * F.length("gram")).alias("cov"),
+                "c")
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("cov"))).alias("t2"),
+        F.max(F.when(F.col("n") == 3, F.col("cov"))).alias("t3"),
+        F.max(F.when(F.col("n") == 4, F.col("cov"))).alias("t4"),
+        F.sum(
+            F.when((F.col("n") == 5) & (F.col("c") >= 2), F.col("cov"))
+            .otherwise(F.lit(0))
+        ).alias("d5"),
+    )
+    nc = F.col("n_chars").cast("double")
+    return (
+        toks.select("doc_id", "n_chars")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id", "n_chars",
+            F.round(F.coalesce("t2", F.lit(0)) / nc, 6).alias("top2_frac"),
+            F.round(F.coalesce("t3", F.lit(0)) / nc, 6).alias("top3_frac"),
+            F.round(F.coalesce("t4", F.lit(0)) / nc, 6).alias("top4_frac"),
+            F.round(F.coalesce("d5", F.lit(0)) / nc, 6).alias("dup5_frac"),
+        )
+    )

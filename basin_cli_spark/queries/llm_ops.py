@@ -2658,3 +2658,77 @@ def q_llm_prep_pipeline_v2(spark, sf_dir):
     return clean.join(drop_dup, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars", F.size("_tk").alias("n_tokens")
     )
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    """Unrolled greedy farthest-point selection (k static stages — the
+    loop the Spark driver runs, replayed as chained CTEs): stage i ranks
+    every unchosen vector by its rounded max-cosine to the chosen set
+    and admits the (mc ASC, vec_id ASC) minimum."""
+    cos = _cosine_sql("e.embedding", "c.embedding")
+    parts = [
+        "ch0(step, vec_id, embedding) AS ("
+        "  SELECT CAST(0 AS INT), vec_id, embedding FROM embeddings"
+        "  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings))"
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"""p{i} AS (
+  SELECT e.vec_id, ROUND(MAX({cos}), 6) AS mc
+  FROM embeddings e CROSS JOIN ch{i - 1} c
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM ch{i - 1})
+  GROUP BY e.vec_id)"""
+        )
+        parts.append(
+            f"s{i} AS (SELECT vec_id, mc FROM p{i} "
+            f"ORDER BY mc ASC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"ch{i}(step, vec_id, embedding) AS ("
+            f"  SELECT step, vec_id, embedding FROM ch{i - 1}"
+            f"  UNION ALL"
+            f"  SELECT CAST({i} AS INT), e.vec_id, e.embedding"
+            f"  FROM embeddings e JOIN s{i} USING (vec_id))"
+        )
+    finals = [
+        "SELECT CAST(0 AS INT) AS step, vec_id, "
+        "CAST(NULL AS DOUBLE) AS far_cos FROM ch0"
+    ] + [
+        f"SELECT CAST({i} AS INT), vec_id, mc FROM s{i}" for i in range(1, k)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("q_sample_kcenter", _kcenter_oracle())
+def q_sample_kcenter(spark, sf_dir):
+    """Greedy k-center (farthest-point) diversity selection: seed with
+    the smallest id, then repeatedly admit the vector farthest (smallest
+    max-cosine) from everything already chosen — the classic coreset /
+    diversity draw (Gonzalez 1985) that training-data pipelines run to
+    pick maximally-spread exemplars, prompts, or eval anchors from an
+    embedding space.  Complements q_sample_cluster_cap: cluster-cap
+    flattens density, k-center maximizes spread.
+
+    Scale shape (operators/similarity.kcenter_select): the chosen set is
+    a model parameter — k vectors, a few KB — carried into k-1 narrow
+    passes as array literals; each pass is scan -> sequential-fold
+    max-cos -> TakeOrderedAndProject, so ONE slim row reaches the driver
+    per iteration and the embedding column never shuffles.  The oracle
+    replays the identical greedy as unrolled CTE stages with the same
+    round-before-rank + smallest-id tie-break."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    from basin_cli_spark.operators.similarity import kcenter_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    picks = kcenter_select(e, k=6)
+    schema = StructType([
+        StructField("step", IntegerType()),
+        StructField("vec_id", LongType()),
+        StructField("far_cos", DoubleType()),
+    ])
+    return spark.createDataFrame(
+        [(s, int(v), c) for s, v, c in picks], schema
+    )

@@ -261,3 +261,38 @@ def test_prototype_prune_drops_least_prototypical(spark, sf_dir):
         k = kept_by_label[lab]
         assert 0 < k < n  # something kept, something dropped
         assert abs(k / n - 0.9) < 0.05
+
+
+def test_kcenter_select_maximizes_spread(spark, sf_dir):
+    """Greedy FPS invariants: picks are unique, far_cos is monotone
+    non-decreasing (each admitted point is nearer the chosen set than
+    its predecessors were), and every pick's far_cos is genuinely the
+    minimum max-cosine among unchosen vectors at its step (spot-checked
+    against a numpy replay)."""
+    import numpy as np
+
+    from basin_cli_spark.operators.similarity import kcenter_select
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    picks = kcenter_select(e, k=5)
+    ids = [v for _, v, _ in picks]
+    assert len(set(ids)) == 5
+    fars = [c for _, _, c in picks[1:]]
+    assert fars == sorted(fars)
+
+    # numpy replay of the same greedy (round-before-rank, min-id ties)
+    rows = e.select("vec_id", "embedding").collect()
+    vid = np.array([r[0] for r in rows])
+    M = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    order = np.argsort(vid)
+    vid, Mn = vid[order], Mn[order]
+    chosen = [0]  # index of min vec_id after sort
+    replay = [(0, int(vid[0]), None)]
+    for step in range(1, 5):
+        mc = np.round(Mn @ Mn[chosen].T, 6).max(axis=1)
+        mc[chosen] = np.inf
+        j = int(np.argmin(mc))  # argmin takes first occurrence = min id
+        chosen.append(j)
+        replay.append((step, int(vid[j]), float(mc[j])))
+    assert [(s, v) for s, v, _ in picks] == [(s, v) for s, v, _ in replay]
