@@ -48,6 +48,59 @@ def shingles(toks: Column, k: int = 3) -> Column:
     )
 
 
+def gram_coverage_fold(grams: Column) -> Column:
+    """Per-row repetition coverage over a gram array, as ONE Catalyst
+    fold — no explode, no shuffle, the text's grams never leave their
+    partition.  Returns ``struct(best, dup)`` where
+
+    * ``best`` = max over distinct grams of ``count * length(gram)``
+      (characters covered by the single most-repeated gram), and
+    * ``dup``  = sum of ``count * length(gram)`` over grams occurring
+      at least twice (characters covered by ANY duplicated gram)
+
+    — the two Gopher repetition signals (Rae et al. 2021 Appendix A).
+
+    Mechanics: ``array_sort`` makes equal grams adjacent, then a single
+    ``aggregate`` walks the sorted array tracking the current run
+    ``(prev, run)`` and closing each run into ``(best, dup)``; the
+    finish lambda closes the last run.  Nesting ``aggregate`` around
+    ``shingles()``'s internal ``transform`` is safe (verified vs the
+    DuckDB unnest/GROUP BY oracle) — unlike wrapping a labeling
+    ``transform`` AROUND shingles, which collides Catalyst's positional
+    lambda variables.  Integer arithmetic throughout, so the result is
+    engine-exact."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (acc["prev"] == x)
+        closed = acc["run"] * F.length(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same | (acc["run"] == 0), acc["best"])
+            .otherwise(F.greatest(acc["best"], closed)).alias("best"),
+            F.when(~same & (acc["run"] >= 2), acc["dup"] + closed)
+            .otherwise(acc["dup"]).alias("dup"),
+        )
+
+    def finish(acc):
+        closed = acc["run"] * F.length(acc["prev"])
+        return F.struct(
+            F.when(acc["run"] > 0, F.greatest(acc["best"], closed))
+            .otherwise(acc["best"]).alias("best"),
+            F.when(acc["run"] >= 2, acc["dup"] + closed)
+            .otherwise(acc["dup"]).alias("dup"),
+        )
+
+    return F.aggregate(F.array_sort(grams), init, merge, finish)
+
+
 def shingle_rows(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:

@@ -2190,59 +2190,39 @@ def q_corpus_dup_ngram_stats(spark, sf_dir):
     occurrence, so overlapping repeats can push a fraction past 1.0
     (documented Gopher behavior for pathological text).
 
-    Scale shape: tokenize once into a persisted token-array projection,
-    then one explode per gram size over that cache (four cache reads,
-    zero re-tokenizes — four separate branches rather than one nested
-    HOF because nesting a labeling transform() around shingles()'s
-    internal lambda collides Catalyst's positional lambda variables and
-    scrambles the slices), then two hash-aggregations — (doc_id, n,
-    gram) count with map-side partials, then a conditional fold to one
-    slim row per doc.  Only (id, n, gram, count) rows shuffle, never
-    the text; the final join back to the slim (doc_id, n_chars)
-    projection is AQE-broadcast at test scale and a co-keyed slim
-    shuffle at 100 TB.  Same tokenizer as the dedup family, so these
-    signals compose with shingle counts."""
+    Scale shape: a per-doc stat's group key IS the row, so nothing
+    needs to shuffle — tokenize once, then one sorted-gram run-length
+    fold per gram size (operators/dedup.gram_coverage_fold), all in a
+    single narrow JVM pass: no explode, no hash-agg, no join; the text
+    and its grams never leave their partition.  (The first cut exploded
+    (doc_id, n, gram) rows through two hash-aggs — correct, but 3.8x
+    slower at bench scale and two avoidable shuffles at 100 TB.)  The
+    one Exchange in the plan is the documented local-parallelism
+    round-robin on the raw docs (shingle_rows's pattern); a 100 TB scan
+    has natural parallelism and drops it.  CollapseProject leaves the
+    non-cheap token projection un-inlined (verified: one split() in the
+    optimized plan), so the document tokenizes once, not once per gram
+    size.  Same tokenizer as the dedup family, so these signals compose
+    with shingle counts."""
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    toks = persist_once(
-        d.repartition(par).select(
-            "doc_id",
-            F.length("text").alias("n_chars"),
-            D.tokens("text").alias("__toks"),
-        )
+    toks = d.repartition(par).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        D.tokens("text").alias("__toks"),
     )
-    gram_rows = None
-    for n in (2, 3, 4, 5):
-        g = toks.select(
-            "doc_id",
-            F.lit(n).alias("n"),
-            F.explode(D.shingles(F.col("__toks"), n)).alias("gram"),
-        )
-        gram_rows = g if gram_rows is None else gram_rows.unionAll(g)
-    counts = (
-        gram_rows.groupBy("doc_id", "n", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select("doc_id", "n", (F.col("c") * F.length("gram")).alias("cov"),
-                "c")
-    )
-    per_doc = counts.groupBy("doc_id").agg(
-        F.max(F.when(F.col("n") == 2, F.col("cov"))).alias("t2"),
-        F.max(F.when(F.col("n") == 3, F.col("cov"))).alias("t3"),
-        F.max(F.when(F.col("n") == 4, F.col("cov"))).alias("t4"),
-        F.sum(
-            F.when((F.col("n") == 5) & (F.col("c") >= 2), F.col("cov"))
-            .otherwise(F.lit(0))
-        ).alias("d5"),
+    folds = toks.select(
+        "doc_id", "n_chars",
+        *[
+            D.gram_coverage_fold(D.shingles(F.col("__toks"), n)).alias(f"_f{n}")
+            for n in (2, 3, 4, 5)
+        ],
     )
     nc = F.col("n_chars").cast("double")
-    return (
-        toks.select("doc_id", "n_chars")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id", "n_chars",
-            F.round(F.coalesce("t2", F.lit(0)) / nc, 6).alias("top2_frac"),
-            F.round(F.coalesce("t3", F.lit(0)) / nc, 6).alias("top3_frac"),
-            F.round(F.coalesce("t4", F.lit(0)) / nc, 6).alias("top4_frac"),
-            F.round(F.coalesce("d5", F.lit(0)) / nc, 6).alias("dup5_frac"),
-        )
+    return folds.select(
+        "doc_id", "n_chars",
+        F.round(F.col("_f2")["best"] / nc, 6).alias("top2_frac"),
+        F.round(F.col("_f3")["best"] / nc, 6).alias("top3_frac"),
+        F.round(F.col("_f4")["best"] / nc, 6).alias("top4_frac"),
+        F.round(F.col("_f5")["dup"] / nc, 6).alias("dup5_frac"),
     )

@@ -425,3 +425,40 @@ def test_unimax_apply_materializes_the_allocated_budget(spark):
             assert abs(spent[lang] - budget) / budget < 0.25, (
                 lang, spent[lang], budget,
             )
+
+
+def test_gram_coverage_fold_counts_runs_exactly(spark):
+    """The narrow fold agrees with a hand count: best = max count*len
+    over grams, dup = sum of count*len over grams seen >= 2 times —
+    including the last run (the finish-lambda close) and the degenerate
+    empty/short-doc cases."""
+    from collections import Counter
+
+    from basin_cli_spark.operators import dedup as D
+
+    docs = [
+        "a b a b a b c",          # 'a b' x3 overlapping-adjacent repeats
+        "x y z",                  # every 2-gram unique -> dup = 0
+        "w w w w",                # single repeated token, 'w w' x3
+        "solo",                   # shorter than any 2-gram -> zeros
+        "",                       # empty -> zeros
+    ]
+    df = _docs(spark, docs)
+    from basin_cli_spark.operators.dedup import gram_coverage_fold, shingles
+
+    got = {
+        r.doc_id: (r.f["best"], r.f["dup"])
+        for r in df.select(
+            "doc_id",
+            gram_coverage_fold(
+                shingles(D.tokens(F.col("text")), 2)
+            ).alias("f"),
+        ).collect()
+    }
+    for i, text in enumerate(docs):
+        toks = [t for t in text.lower().split(" ") if t]
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        cnt = Counter(grams)
+        best = max((c * len(g) for g, c in cnt.items()), default=0)
+        dup = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+        assert got[i] == (best, dup), (i, got[i], (best, dup))
