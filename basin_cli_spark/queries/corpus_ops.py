@@ -2226,3 +2226,96 @@ def q_corpus_dup_ngram_stats(spark, sf_dir):
         F.round(F.col("_f4")["best"] / nc, 6).alias("top4_frac"),
         F.round(F.col("_f5")["dup"] / nc, 6).alias("dup5_frac"),
     )
+
+
+# -- domain shift: per-source KL divergence from the corpus mix ---------------
+
+_DOMAIN_KL_ORACLE = """
+WITH tok AS (
+  SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                    t -> LENGTH(t) > 0)) AS token
+  FROM documents
+),
+cst AS (SELECT source, token, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+ns  AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s,
+               COUNT(*) AS vocab FROM cst GROUP BY 1),
+ct  AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY 1),
+nn  AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM ct),
+terms AS (
+  SELECT cst.source,
+         CAST(ROUND(
+           (CAST(c_st AS DOUBLE) / n_s)
+           * LN((CAST(c_st AS DOUBLE) * n) / (CAST(n_s AS DOUBLE) * c_t)),
+           12) AS DECIMAL(38, 12)) AS term
+  FROM cst JOIN ns USING (source) JOIN ct USING (token) CROSS JOIN nn
+)
+SELECT t.source, ns.n_s AS n_tokens, ns.vocab,
+       ROUND(CAST(SUM(t.term) AS DOUBLE), 6) AS kl_nats
+FROM terms t JOIN ns USING (source)
+GROUP BY t.source, ns.n_s, ns.vocab
+ORDER BY t.source
+"""
+
+
+@register("q_corpus_domain_kl", _DOMAIN_KL_ORACLE)
+def q_corpus_domain_kl(spark, sf_dir):
+    """Domain-shift audit: per-source KL divergence (nats) of the
+    source's unigram distribution from the whole-corpus mix —
+    KL(P_s || Q) = sum_t p_st * ln(p_st / q_t).  The standard
+    distribution-distance diagnostic behind domain-similarity data
+    weighting (the DSIR/DoReMi family measures exactly this gap between
+    a raw source and the target mix); a source drifting from the corpus
+    shows up as a rising kl_nats long before downstream evals move.
+    Every source token is by construction in the corpus, so q_t > 0 and
+    no smoothing is needed; KL >= 0 with equality iff the source matches
+    the mix.
+
+    Determinism: each term is one shared double expression
+    (p * ln(c_st*N / (n_s*c_t))) spelled identically in both engines,
+    rounded to 12 dp and summed as DECIMAL(38,12) — decimal sums are
+    exact and order-independent, so no sorted fold is needed and the
+    per-source aggregation keeps map-side partials (the sorted-fold
+    idiom would collect a vocab-sized list per source).
+
+    Scale shape: one explode -> (source, token) hash-agg is the only
+    corpus-sized shuffle, and it moves slim token rows with map-side
+    combine.  Everything downstream is vocab-sized: the persisted
+    (source, token, c_st) fragment feeds the per-source totals
+    (sources-sized broadcast), the per-token totals (token-keyed slim
+    join, AQE-broadcast at test scale), and the 1-row corpus total
+    (broadcast scalar, registered in the plan-guard allowlist).  Output
+    is one row per source."""
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = d.repartition(par).select(
+        "source", F.explode(D.tokens("text")).alias("token")
+    )
+    cst = persist_once(
+        tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    ns = cst.groupBy("source").agg(
+        F.sum("c_st").alias("n_s"), F.count(F.lit(1)).alias("vocab")
+    )
+    ct = cst.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    nn = ct.agg(F.sum("c_t").alias("n"))
+    term = (
+        (F.col("c_st").cast("double") / F.col("n_s"))
+        * F.log(
+            (F.col("c_st").cast("double") * F.col("n"))
+            / (F.col("n_s").cast("double") * F.col("c_t"))
+        )
+    )
+    terms = (
+        cst.join(F.broadcast(ns), "source")
+        .join(ct, "token")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source", "n_s", "vocab",
+            F.round(term, 12).cast("decimal(38,12)").alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("source", F.col("n_s").alias("n_tokens"), "vocab")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("kl_nats"))
+        .orderBy("source")
+    )

@@ -67,6 +67,7 @@ HEADLINE = [
     "q_corpus_dsir_select",  # added r7 (importance-resampling selection)
     "q_llm_prep_pipeline_v4",  # added r7 (gate -> DSIR -> per-lang quota)
     "q_corpus_dup_ngram_stats",  # added r7 (Gopher repetition coverage)
+    "q_corpus_domain_kl",  # added r7 (per-source KL domain-shift audit)
 ]
 
 # queries added to the headline per round — summed out of the
@@ -93,6 +94,7 @@ _R6_ADDED = {
     "q_corpus_boilerplate_scrub",
 }
 _R7_ADDED = {
+    "q_corpus_domain_kl",
     "q_corpus_dup_ngram_stats",
     "q_embedding_prototype_prune_2pass",
     "q_corpus_lm_prune_2pass",

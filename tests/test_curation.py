@@ -462,3 +462,35 @@ def test_gram_coverage_fold_counts_runs_exactly(spark):
         best = max((c * len(g) for g, c in cnt.items()), default=0)
         dup = sum(c * len(g) for g, c in cnt.items() if c >= 2)
         assert got[i] == (best, dup), (i, got[i], (best, dup))
+
+
+def test_domain_kl_zero_iff_source_matches_mix(spark, tmp_path):
+    """Two sources with identical token distributions both sit exactly
+    at the corpus mix (every p_st/q_t ratio is 1, terms are exactly 0);
+    a third, skewed source diverges with kl_nats > 0 — and its presence
+    must not perturb the matched pair's zero."""
+    from basin_cli_spark.queries import load_all
+
+    balanced = "alpha beta gamma delta"
+    rows = (
+        [(i, "mirror_a", balanced, len(balanced)) for i in range(5)]
+        + [(10 + i, "mirror_b", balanced, len(balanced)) for i in range(5)]
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    q = load_all()["q_corpus_domain_kl"].fn
+    got = {r.source: r for r in q(spark, str(tmp_path)).collect()}
+    assert got["mirror_a"].kl_nats == 0.0
+    assert got["mirror_b"].kl_nats == 0.0
+    assert got["mirror_a"].vocab == 4 and got["mirror_a"].n_tokens == 20
+
+    rows.append((20, "drift", "alpha alpha alpha alpha", 23))
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in q(spark, str(tmp_path)).collect()}
+    assert got["drift"].kl_nats > 0.1
+    # the mirrored sources now differ from the (drift-shifted) mix too,
+    # but only slightly — and symmetrically
+    assert got["mirror_a"].kl_nats == got["mirror_b"].kl_nats > 0.0

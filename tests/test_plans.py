@@ -128,6 +128,7 @@ _NLJ_ALLOWED = {
     "q_corpus_unimax_apply",  # same scalar broadcast inside the alloc tail
     "q_corpus_temperature_mix",  # (tt) and (zsum) 1-row scalar broadcasts
     "q_llm_prep_pipeline_v4",  # DSIR stage's 1-row token-totals broadcast
+    "q_corpus_domain_kl",  # 1-row broadcast of the corpus token total
 }
 
 
