@@ -51,14 +51,16 @@ def shingles(toks: Column, k: int = 3) -> Column:
 def gram_coverage_fold(grams: Column) -> Column:
     """Per-row repetition coverage over a gram array, as ONE Catalyst
     fold — no explode, no shuffle, the text's grams never leave their
-    partition.  Returns ``struct(best, dup)`` where
+    partition.  Returns ``struct(best, dup, top)`` where
 
     * ``best`` = max over distinct grams of ``count * length(gram)``
-      (characters covered by the single most-repeated gram), and
+      (characters covered by the single most-repeated gram),
     * ``dup``  = sum of ``count * length(gram)`` over grams occurring
-      at least twice (characters covered by ANY duplicated gram)
+      at least twice (characters covered by ANY duplicated gram), and
+    * ``top``  = max gram count (the most frequent gram's multiplicity)
 
-    — the two Gopher repetition signals (Rae et al. 2021 Appendix A).
+    — the Gopher repetition signals (Rae et al. 2021 Appendix A) plus
+    the top-shingle-share numerator (q_text_repetition).
 
     Mechanics: ``array_sort`` makes equal grams adjacent, then a single
     ``aggregate`` walks the sorted array tracking the current run
@@ -74,6 +76,7 @@ def gram_coverage_fold(grams: Column) -> Column:
         F.lit(0).cast("long").alias("run"),
         F.lit(0).cast("long").alias("best"),
         F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("top"),
     )
 
     def merge(acc, x):
@@ -87,6 +90,8 @@ def gram_coverage_fold(grams: Column) -> Column:
             .otherwise(F.greatest(acc["best"], closed)).alias("best"),
             F.when(~same & (acc["run"] >= 2), acc["dup"] + closed)
             .otherwise(acc["dup"]).alias("dup"),
+            F.when(same, acc["top"])
+            .otherwise(F.greatest(acc["top"], acc["run"])).alias("top"),
         )
 
     def finish(acc):
@@ -96,9 +101,43 @@ def gram_coverage_fold(grams: Column) -> Column:
             .otherwise(acc["best"]).alias("best"),
             F.when(acc["run"] >= 2, acc["dup"] + closed)
             .otherwise(acc["dup"]).alias("dup"),
+            F.greatest(acc["top"], acc["run"]).alias("top"),
         )
 
     return F.aggregate(F.array_sort(grams), init, merge, finish)
+
+
+def run_lnrun_fold(elems: Column) -> Column:
+    """Per-row ``sum(c * ln(c))`` over element multiplicities, as ONE
+    Catalyst fold — the entropy numerator (q_text_entropy) without the
+    per-element explode and two hash-aggs.  ``array_sort`` makes equal
+    elements adjacent; each closed run adds ``run * ln(run)`` to a
+    double accumulator seeded 0.0, so the additions happen in
+    element-sorted order — the exact sequence the DuckDB oracle's
+    ``LIST_REDUCE(LIST_SORT(...))`` fold performs, keeping the doubles
+    bit-identical pre-rounding."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+
+    def merge(acc, x):
+        same = acc["prev"].isNotNull() & (acc["prev"] == x)
+        closed = acc["run"].cast("double") * F.log(acc["run"].cast("double"))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same | (acc["run"] == 0), acc["s"])
+            .otherwise(acc["s"] + closed).alias("s"),
+        )
+
+    def finish(acc):
+        closed = acc["run"].cast("double") * F.log(acc["run"].cast("double"))
+        return F.when(acc["run"] > 0, acc["s"] + closed).otherwise(acc["s"])
+
+    return F.aggregate(F.array_sort(elems), init, merge, finish)
 
 
 def shingle_rows(

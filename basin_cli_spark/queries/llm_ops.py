@@ -1547,29 +1547,37 @@ FROM folded
 def q_text_entropy(spark, sf_dir):
     """Character-entropy quality signal: H = ln(N) - sum(c*ln(c))/N over
     per-doc char counts.  The c*ln(c) terms are folded in char-sorted
-    order on both engines so the doubles match bit-for-bit pre-rounding."""
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    chars = d.select(
-        # DOTALL lookahead so '\n' splits into its own char, matching the
-        # oracle's per-character SUBSTRING loop
-        "doc_id", F.explode(F.split("text", "(?!^)(?=(?s:.))")).alias("ch")
+    order on both engines so the doubles match bit-for-bit pre-rounding.
+
+    Scale shape: a per-doc stat's group key is the row, so the whole
+    signal is ONE narrow JVM pass — split to a char array, sorted-run
+    fold (operators/dedup.run_lnrun_fold) for the entropy numerator,
+    array size for N; no explode, no shuffle, the text never leaves its
+    partition.  (The first cut exploded one row per CHARACTER through
+    two hash-aggs — the worst shuffle-amplification in the registry.)
+    The run-close additions happen in char-sorted order, the exact
+    sequence of the oracle's LIST_REDUCE(LIST_SORT(...)), so the
+    doubles still match bit-for-bit.  Empty docs carry no chars and are
+    not scored (both engines drop them)."""
+    d = load_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 500) & (F.length("text") > 0)
     )
-    freq = chars.groupBy("doc_id", "ch").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
-    )
-    folded = freq.groupBy("doc_id").agg(
-        F.sum("c").cast("double").alias("n"),
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct("ch", "c"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["c"] * F.log(x["c"]),
-        ).alias("sum_clnc"),
-    )
-    return folded.select(
+    from basin_cli_spark.operators.dedup import run_lnrun_fold
+
+    par = spark.sparkContext.defaultParallelism
+    chars = d.repartition(par).select(
         "doc_id",
-        F.round(F.log("n") - F.col("sum_clnc") / F.col("n"), 9).alias(
-            "char_entropy"
-        ),
+        # DOTALL lookahead so '\n' splits into its own char, matching
+        # the oracle's per-character SUBSTRING loop
+        F.split("text", "(?!^)(?=(?s:.))").alias("__ch"),
+    )
+    return chars.select(
+        "doc_id",
+        F.round(
+            F.log(F.size("__ch").cast("double"))
+            - run_lnrun_fold(F.col("__ch")) / F.size("__ch").cast("double"),
+            9,
+        ).alias("char_entropy"),
     )
 
 
@@ -1594,16 +1602,44 @@ FROM counts GROUP BY doc_id
 def q_text_repetition(spark, sf_dir):
     """Repetition quality signal: share of the most frequent 3-gram
     shingle (near 1.0 = degenerate repeated text, a standard LLM-corpus
-    filter).  Integer counts divided once — no float accumulation."""
-    from basin_cli_spark.operators.dedup import shingle_rows
+    filter).  Integer counts divided once — no float accumulation.
+
+    Scale shape: per-doc, so ONE narrow JVM pass — tokenize, shingle,
+    sorted-run fold (operators/dedup.gram_coverage_fold's `top` field is
+    the max shingle multiplicity, the array size is the total); no
+    explode, no shuffle, the text never leaves its partition.  Docs
+    shorter than 3 tokens carry no shingles and are not scored (both
+    engines drop them)."""
+    from basin_cli_spark.operators.dedup import (
+        gram_coverage_fold, shingles, tokens,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    counts = shingle_rows(d, "text", "doc_id").groupBy(
-        "doc_id", "shingle"
-    ).agg(F.count(F.lit(1)).alias("c"))
-    return counts.groupBy("doc_id").agg(
-        (F.max("c").cast("double") / F.sum("c")).alias("top_shingle_share"),
-        F.sum("c").alias("n_shingles"),
+    par = spark.sparkContext.defaultParallelism
+    # docs-with-shingles filter runs on the token projection (size of
+    # __toks), NOT on size(__g): a filter referencing __g would be
+    # pushed below the gram projection and re-tokenize; and __toks must
+    # stay multiply-referenced so CollapseProject keeps the non-cheap
+    # token array materialized instead of inlining split() into every
+    # slice call of the shingle lambda (the O(tokens^2) trap —
+    # measured 5x on this query)
+    toks = (
+        d.repartition(par)
+        .select("doc_id", tokens("text").alias("__toks"))
+        .where(F.size("__toks") >= 3)
+    )
+    grams = toks.select(
+        "doc_id",
+        shingles(F.col("__toks"), 3).alias("__g"),
+        (F.size("__toks") - 2).cast("long").alias("__n"),
+    )
+    return grams.select(
+        "doc_id",
+        (
+            gram_coverage_fold(F.col("__g"))["top"].cast("double")
+            / F.col("__n")
+        ).alias("top_shingle_share"),
+        F.col("__n").alias("n_shingles"),
     )
 
 

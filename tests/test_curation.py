@@ -447,7 +447,7 @@ def test_gram_coverage_fold_counts_runs_exactly(spark):
     from basin_cli_spark.operators.dedup import gram_coverage_fold, shingles
 
     got = {
-        r.doc_id: (r.f["best"], r.f["dup"])
+        r.doc_id: (r.f["best"], r.f["dup"], r.f["top"])
         for r in df.select(
             "doc_id",
             gram_coverage_fold(
@@ -461,7 +461,8 @@ def test_gram_coverage_fold_counts_runs_exactly(spark):
         cnt = Counter(grams)
         best = max((c * len(g) for g, c in cnt.items()), default=0)
         dup = sum(c * len(g) for g, c in cnt.items() if c >= 2)
-        assert got[i] == (best, dup), (i, got[i], (best, dup))
+        top = max(cnt.values(), default=0)
+        assert got[i] == (best, dup, top), (i, got[i], (best, dup, top))
 
 
 def test_domain_kl_zero_iff_source_matches_mix(spark, tmp_path):
