@@ -241,6 +241,59 @@ def main() -> None:
           incremental, nd, results)
     timed(f"DSIR importance scoring + top-100 ({COPIES}x docs)",
           dsir_select, nd, results)
+
+    def dup_ngram_folds():
+        # Gopher repetition coverage as ONE narrow pass: four sorted-gram
+        # run-length folds per row, no explode/shuffle/join — this row
+        # checks the per-row fold cost stays linear in corpus size.
+        toks = docs10.select(
+            "doc_id", F.length("text").alias("n_chars"),
+            DD.tokens("text").alias("__toks"),
+        )
+        folds = toks.select(
+            "doc_id",
+            *[
+                DD.gram_coverage_fold(
+                    DD.shingles(F.col("__toks"), k)
+                ).alias(f"_f{k}")
+                for k in (2, 3, 4, 5)
+            ],
+        )
+        return folds.count()
+
+    timed(f"Gopher repetition folds, narrow pass ({COPIES}x docs)",
+          dup_ngram_folds, nd, results)
+
+    def domain_kl():
+        # per-source KL from the corpus mix: the only corpus-sized work
+        # is one slim (source, token) hash-agg with map-side combine;
+        # everything after is vocab-sized.
+        tok = docs10.select(
+            "source", F.explode(DD.tokens("text")).alias("token")
+        )
+        cst = tok.groupBy("source", "token").agg(
+            F.count(F.lit(1)).alias("c_st")
+        ).persist()
+        ns = cst.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+        ct = cst.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+        nn = ct.agg(F.sum("c_t").alias("n"))
+        term = (F.col("c_st").cast("double") / F.col("n_s")) * F.log(
+            (F.col("c_st").cast("double") * F.col("n"))
+            / (F.col("n_s").cast("double") * F.col("c_t"))
+        )
+        out = (
+            cst.join(F.broadcast(ns), "source")
+            .join(ct, "token")
+            .crossJoin(F.broadcast(nn))
+            .groupBy("source")
+            .agg(F.sum(term).alias("kl"))
+            .count()
+        )
+        cst.unpersist()
+        return out
+
+    timed(f"per-source KL domain audit ({COPIES}x docs)",
+          domain_kl, nd, results)
     docs10.unpersist()
 
     # Embedding near-dup candidate generation at 10x vectors: band_bits
