@@ -479,3 +479,53 @@ def test_unimax_closed_form_matches_sequential_greedy(counts, n_epochs,
     ]
 
     assert closed == greedy
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "d", "ee"]),
+            min_size=0, max_size=24,
+        ),
+        min_size=1, max_size=12,
+    ),
+    k=st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=10, deadline=None)
+def test_gram_coverage_fold_matches_counter_replay(spark, docs, k):
+    """gram_coverage_fold (best, dup, top) and run_lnrun_fold (the
+    entropy numerator over tokens) agree with a driver-side Counter
+    replay on arbitrary small-alphabet token lists — exercising empty
+    docs, all-identical docs, and every run boundary shape the
+    hand-written cases can't enumerate."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from basin_cli_spark.operators.dedup import (
+        gram_coverage_fold, run_lnrun_fold, shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)],
+        "doc_id long, toks array<string>",
+    )
+    rows = df.select(
+        "doc_id",
+        gram_coverage_fold(shingles(F.col("toks"), k)).alias("f"),
+        run_lnrun_fold(F.col("toks")).alias("s"),
+    ).collect()
+    got = {r.doc_id: (r.f["best"], r.f["dup"], r.f["top"], r.s) for r in rows}
+    for i, toks in enumerate(docs):
+        grams = [
+            " ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)
+        ]
+        cnt = Counter(grams)
+        best = max((c * len(g) for g, c in cnt.items()), default=0)
+        dup = sum(c * len(g) for g, c in cnt.items() if c >= 2)
+        top = max(cnt.values(), default=0)
+        s = sum(c * math.log(c) for c in Counter(toks).values())
+        gb, gd, gt, gs = got[i]
+        assert (gb, gd, gt) == (best, dup, top), (i, toks)
+        assert abs(gs - s) < 1e-9, (i, toks, gs, s)
