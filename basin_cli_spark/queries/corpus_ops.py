@@ -1963,42 +1963,42 @@ def q_vocab_oov_rate(spark, sf_dir):
     vocabulary boundary is deterministic) — the rare-token/gibberish
     signal tokenizer audits threshold on.
 
-    Scale shape: the vocab build is a token hash-agg plus one top-V
-    selection (a single-partition sort of the vocabulary TYPE count, not
-    the corpus — fine up to ~10^8 types; past that, swap the exact cut
-    for a count-threshold); membership is a token-keyed left-anti join
-    with no broadcast hint (a 500-row vocab broadcasts via AQE anyway,
-    but the shape stays safe if V scales)."""
-    from pyspark.sql import Window as W
-
+    Scale shape: the top-500 vocabulary is a MODEL PARAMETER, not a
+    relation — build it with one token hash-agg plus a distributed
+    TakeOrderedAndProject (per-partition top-k heaps, no global sort),
+    collect the 500 strings, and carry them back as an array literal.
+    The per-doc stats are then ONE narrow pass — n_tokens is the array
+    size, n_oov a filter over the token array against the literal —
+    with no doc-keyed shuffle, no anti-join, and the corpus tokenized
+    twice total (vocab build + scoring; the exploded token relation is
+    deliberately never cached, same doctrine as the bigram model).
+    Membership is a 500-way JVM scan per token; past V ~ 10^4 the
+    literal stops paying and the token-keyed anti-join (this query's
+    first form) is the right shape again."""
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    tok = (
-        d.repartition(par)
-        .select("doc_id", D.tokens("text").alias("_toks"))
-        .select("doc_id", F.explode("_toks").alias("token"))
+    toks = d.repartition(par).select(
+        "doc_id", D.tokens("text").alias("_toks")
     )
+    tok = toks.select(F.explode("_toks").alias("token"))
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
-    rn = F.row_number().over(
-        W.orderBy(F.col("_c").desc(), F.col("token"))
-    )
-    vocab = counts.select("token", rn.alias("_rn")).where(
-        F.col("_rn") <= 500
-    ).select("token")
-    per_doc = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
-    oov = (
-        tok.join(vocab, "token", "left_anti")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("_n_oov"))
-    )
-    return per_doc.join(oov, "doc_id", "left").select(
+    vocab = [
+        r.token
+        for r in counts.orderBy(F.col("_c").desc(), "token")
+        .limit(500).select("token").collect()
+    ]
+    vlit = F.array(*[F.lit(t) for t in sorted(vocab)])
+    scored = toks.where(F.size("_toks") > 0).select(
         "doc_id",
-        "n_tokens",
-        F.coalesce(F.col("_n_oov"), F.lit(0)).alias("n_oov"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(F.col("_toks"), lambda t: ~F.array_contains(vlit, t))
+        ).cast("long").alias("n_oov"),
+    )
+    return scored.select(
+        "doc_id", "n_tokens", "n_oov",
         F.round(
-            F.coalesce(F.col("_n_oov"), F.lit(0)).cast("double")
-            / F.col("n_tokens"),
-            6,
+            F.col("n_oov").cast("double") / F.col("n_tokens"), 6
         ).alias("oov_rate"),
     )
 
