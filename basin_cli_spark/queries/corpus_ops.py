@@ -2319,3 +2319,107 @@ def q_corpus_domain_kl(spark, sf_dir):
         .agg(F.round(F.sum("term").cast("double"), 6).alias("kl_nats"))
         .orderBy("source")
     )
+
+
+# -- corpus health: per-source Zipf rank-frequency slope ----------------------
+
+_ZIPF_ORACLE = """
+WITH tok AS (
+  SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                                    t -> LENGTH(t) > 0)) AS token
+  FROM documents
+),
+cst AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, token) AS r
+  FROM cst
+),
+terms AS (
+  SELECT source,
+         CAST(ROUND(LN(CAST(r AS DOUBLE)), 12) AS DECIMAL(38, 12)) AS x,
+         CAST(ROUND(LN(CAST(c AS DOUBLE)), 12) AS DECIMAL(38, 12)) AS y,
+         CAST(ROUND(LN(CAST(r AS DOUBLE)) * LN(CAST(c AS DOUBLE)), 12)
+              AS DECIMAL(38, 12)) AS xy,
+         CAST(ROUND(LN(CAST(r AS DOUBLE)) * LN(CAST(r AS DOUBLE)), 12)
+              AS DECIMAL(38, 12)) AS xx
+  FROM ranked WHERE r <= 100
+),
+sums AS (
+  SELECT source, COUNT(*) AS n_ranked,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+  FROM terms GROUP BY source
+)
+SELECT source, n_ranked,
+       ROUND((n_ranked * sxy - sx * sy)
+             / NULLIF(n_ranked * sxx - sx * sx, 0), 6) AS zipf_slope
+FROM sums
+ORDER BY source
+"""
+
+
+@register("q_corpus_zipf_slope", _ZIPF_ORACLE)
+def q_corpus_zipf_slope(spark, sf_dir):
+    """Corpus-health diagnostic: per-source Zipf rank-frequency slope —
+    the least-squares fit of ln(count) against ln(rank) over each
+    source's top-100 tokens.  Natural language sits near -1 (Zipf 1949;
+    Piantadosi 2014 reviews the law's robustness, both public);
+    machine-generated or template text flattens toward 0, degenerate
+    repetition steepens — drift in this slope flags a source whose
+    generator changed long before downstream evals notice.
+
+    Determinism: ranks are total ((count DESC, token)); each regression
+    term (x, y, xy, x²) is one shared double expression rounded to
+    12 dp and summed as DECIMAL(38,12) — exact, order-independent sums
+    with map-side partials — and only the final closed-form slope
+    divides doubles, rounded to 6.  A source with a single distinct
+    rank would zero the denominator (NULLIF -> NULL slope in both
+    engines).
+
+    Scale shape: one slim (source, token) hash-agg off the token
+    explode, then the per-source top-100 rank filter rides Catalyst's
+    native WindowGroupLimit(Partial) BELOW the source-keyed Exchange
+    (the q_sample_per_source_cap contract — at most 100 rows per source
+    leave each map partition, so a source with 10^8 token types ships
+    ~partitions x 100 slim rows, never its vocabulary).  Everything
+    after is sources x 100 rows."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = d.repartition(par).select(
+        "source", F.explode(D.tokens("text")).alias("token")
+    )
+    cst = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    r = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("c").desc(), "token")
+    )
+    ranked = cst.select("source", "c", r.alias("r")).where(F.col("r") <= 100)
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+
+    def dec12(col):
+        return F.round(col, 12).cast("decimal(38,12)")
+
+    sums = ranked.select(
+        "source",
+        dec12(lx).alias("x"), dec12(ly).alias("y"),
+        dec12(lx * ly).alias("xy"), dec12(lx * lx).alias("xx"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    den = F.col("n_ranked") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "source", "n_ranked",
+        F.round(
+            (F.col("n_ranked") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(den, F.lit(0.0)),
+            6,
+        ).alias("zipf_slope"),
+    ).orderBy("source")

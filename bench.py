@@ -68,6 +68,7 @@ HEADLINE = [
     "q_llm_prep_pipeline_v4",  # added r7 (gate -> DSIR -> per-lang quota)
     "q_corpus_dup_ngram_stats",  # added r7 (Gopher repetition coverage)
     "q_corpus_domain_kl",  # added r7 (per-source KL domain-shift audit)
+    "q_corpus_zipf_slope",  # added r7 (rank-frequency corpus health)
 ]
 
 # queries added to the headline per round — summed out of the
@@ -95,6 +96,7 @@ _R6_ADDED = {
 }
 _R7_ADDED = {
     "q_corpus_domain_kl",
+    "q_corpus_zipf_slope",
     "q_corpus_dup_ngram_stats",
     "q_embedding_prototype_prune_2pass",
     "q_corpus_lm_prune_2pass",

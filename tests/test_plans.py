@@ -358,6 +358,16 @@ def test_mining_windows_partial_group_limit(spark, sf_dir, registry):
         _assert_partial_group_limit_below_exchange(plan, jvm_only=False)
 
 
+def test_zipf_slope_partial_group_limit(spark, sf_dir, registry):
+    """The Zipf-slope top-100 rank filter rides the same native
+    group-limit: the Partial WindowGroupLimit sits below the
+    source-keyed Exchange, so a source with a huge vocabulary ships at
+    most map_partitions x 100 slim (source, token, count) rows, never
+    its whole type inventory."""
+    plan = plan_of(registry["q_corpus_zipf_slope"].fn(spark, sf_dir))
+    _assert_partial_group_limit_below_exchange(plan)
+
+
 def test_cluster_cap_partial_limit_before_exchange(spark, sf_dir, registry):
     """Cluster-balanced sampling carries the same native skew escape as
     the per-source cap, keyed on the IVF cell: a degenerate hot cell
