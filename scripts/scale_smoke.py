@@ -294,6 +294,40 @@ def main() -> None:
 
     timed(f"per-source KL domain audit ({COPIES}x docs)",
           domain_kl, nd, results)
+
+    def zipf_slope():
+        # per-source Zipf slope: the top-100 rank filter must ride the
+        # native WindowGroupLimit(Partial) below the source-keyed
+        # Exchange, so the shuffle stays ~partitions x 100 slim rows per
+        # source no matter how many token types a source has.
+        from pyspark.sql import Window as W
+
+        tok = docs10.select(
+            "source", F.explode(DD.tokens("text")).alias("token")
+        )
+        cst = tok.groupBy("source", "token").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        r = F.row_number().over(
+            W.partitionBy("source").orderBy(F.col("c").desc(), "token")
+        )
+        ranked = cst.select("source", "c", r.alias("r")).where(
+            F.col("r") <= 100
+        )
+        lx = F.log(F.col("r").cast("double"))
+        ly = F.log(F.col("c").cast("double"))
+        return (
+            ranked.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(lx).alias("sx"), F.sum(ly).alias("sy"),
+                F.sum(lx * ly).alias("sxy"), F.sum(lx * lx).alias("sxx"),
+            )
+            .count()
+        )
+
+    timed(f"Zipf slope, native group-limit rank cut ({COPIES}x docs)",
+          zipf_slope, nd, results)
     docs10.unpersist()
 
     # Embedding near-dup candidate generation at 10x vectors: band_bits
@@ -398,6 +432,17 @@ def main() -> None:
 
     timed(f"prototype 2-pass prune, 90%-skewed label ({COPIES}x vectors)",
           proto_prune_2pass_skewed, ne, results)
+    def kcenter():
+        # greedy farthest-point selection at 10x vectors: k-1 narrow
+        # scan -> max-cos fold -> TakeOrderedAndProject passes, one slim
+        # row to the driver per step — cost is k corpus scans, the
+        # distributed-FPS trade this row checks stays linear.
+        from basin_cli_spark.operators.similarity import kcenter_select
+
+        return len(kcenter_select(emb10, k=4))
+
+    timed(f"k-center FPS selection, k=4 ({COPIES}x vectors)",
+          kcenter, ne, results)
     emb10.unpersist()
 
     # MuHash digest of 10x documents: the digest scale path — one partial
