@@ -495,3 +495,36 @@ def test_domain_kl_zero_iff_source_matches_mix(spark, tmp_path):
     # the mirrored sources now differ from the (drift-shifted) mix too,
     # but only slightly — and symmetrically
     assert got["mirror_a"].kl_nats == got["mirror_b"].kl_nats > 0.0
+
+
+def test_zipf_slope_exact_on_constructed_sources(spark, tmp_path):
+    """A source whose token counts follow count(r) = 60/r exactly is
+    perfectly ln-linear, so the least-squares slope is exactly -1.0; a
+    uniform source (all counts equal) has constant ln(count), slope
+    exactly 0.0.  Integer counts keep both fits residual-free, so no
+    tolerance is needed beyond the query's own 6-dp rounding."""
+    from basin_cli_spark.queries import load_all
+
+    def doc_stream(source, counts):
+        # one doc per token occurrence keeps every count exact
+        words = []
+        for r, c in enumerate(counts, start=1):
+            words += [f"{source}tok{r:02d}"] * c
+        text = " ".join(words)
+        return (hash(source) % 1000, source, text, len(text))
+
+    rows = [
+        doc_stream("zipfian", [60 // r for r in (1, 2, 3, 4, 5, 6)]),
+        doc_stream("uniform", [7, 7, 7, 7, 7]),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: r
+        for r in load_all()["q_corpus_zipf_slope"]
+        .fn(spark, str(tmp_path)).collect()
+    }
+    assert got["zipfian"].zipf_slope == -1.0
+    assert got["zipfian"].n_ranked == 6
+    assert got["uniform"].zipf_slope == 0.0
