@@ -505,17 +505,17 @@ def test_zipf_slope_exact_on_constructed_sources(spark, tmp_path):
     tolerance is needed beyond the query's own 6-dp rounding."""
     from basin_cli_spark.queries import load_all
 
-    def doc_stream(source, counts):
+    def doc_stream(doc_id, source, counts):
         # one doc per token occurrence keeps every count exact
         words = []
         for r, c in enumerate(counts, start=1):
             words += [f"{source}tok{r:02d}"] * c
         text = " ".join(words)
-        return (hash(source) % 1000, source, text, len(text))
+        return (doc_id, source, text, len(text))
 
     rows = [
-        doc_stream("zipfian", [60 // r for r in (1, 2, 3, 4, 5, 6)]),
-        doc_stream("uniform", [7, 7, 7, 7, 7]),
+        doc_stream(0, "zipfian", [60 // r for r in (1, 2, 3, 4, 5, 6)]),
+        doc_stream(1, "uniform", [7, 7, 7, 7, 7]),
     ]
     spark.createDataFrame(
         rows, "doc_id long, source string, text string, n_chars int"
