@@ -604,13 +604,22 @@ def kcenter_select(
     the textbook distributed FPS trade (same altitude as the Lloyd loop
     in operators/kmeans.py); for k beyond tens, run it over cluster
     centroids (q_sample_cluster_cap's cells) instead of raw rows.
+
+    NULL-embedding rows are dropped up front (a NULL max-cos would sort
+    NULLS FIRST and win every argmin); if the table holds fewer than
+    ``k`` usable rows the selection stops early and returns every row,
+    in pick order — an empty table raises ValueError.
     """
-    seed = (
-        df.select(id_col, vec_col)
+    src = df.where(F.col(vec_col).isNotNull())
+    seed_rows = (
+        src.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())
         .limit(1)
-        .collect()[0]
+        .collect()
     )
+    if not seed_rows:
+        raise ValueError("kcenter_select: no rows with a non-null vector")
+    seed = seed_rows[0]
     chosen: list[tuple[int, list[float]]] = [
         (seed[0], [float(x) for x in seed[1]])
     ]
@@ -626,8 +635,8 @@ def kcenter_select(
         max_cos = F.array_max(
             F.transform(cands, lambda c: cosine(F.col(vec_col), c))
         )
-        pick = (
-            df.where(~F.col(id_col).isin(chosen_ids))
+        pick_rows = (
+            src.where(~F.col(id_col).isin(chosen_ids))
             .select(
                 F.col(id_col),
                 F.col(vec_col),
@@ -635,8 +644,11 @@ def kcenter_select(
             )
             .orderBy(F.col("_mc").asc(), F.col(id_col).asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not pick_rows:  # k exceeds the usable row count
+            break
+        pick = pick_rows[0]
         chosen.append((pick[0], [float(x) for x in pick[1]]))
         out.append((step, pick[0], float(pick[2])))
     return out

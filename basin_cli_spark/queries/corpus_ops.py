@@ -2218,13 +2218,19 @@ def q_corpus_dup_ngram_stats(spark, sf_dir):
             for n in (2, 3, 4, 5)
         ],
     )
+    # empty docs stay in the output with NULL fractions, matching the
+    # oracle's x/0 -> NULL (Spark's 0/0.0 would be NaN, not NULL)
     nc = F.col("n_chars").cast("double")
+
+    def frac(col):
+        return F.when(nc > 0, F.round(col / nc, 6))
+
     return folds.select(
         "doc_id", "n_chars",
-        F.round(F.col("_f2")["best"] / nc, 6).alias("top2_frac"),
-        F.round(F.col("_f3")["best"] / nc, 6).alias("top3_frac"),
-        F.round(F.col("_f4")["best"] / nc, 6).alias("top4_frac"),
-        F.round(F.col("_f5")["dup"] / nc, 6).alias("dup5_frac"),
+        frac(F.col("_f2")["best"]).alias("top2_frac"),
+        frac(F.col("_f3")["best"]).alias("top3_frac"),
+        frac(F.col("_f4")["best"]).alias("top4_frac"),
+        frac(F.col("_f5")["dup"]).alias("dup5_frac"),
     )
 
 

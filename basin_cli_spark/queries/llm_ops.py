@@ -1616,13 +1616,15 @@ def q_text_repetition(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    # docs-with-shingles filter runs on the token projection (size of
-    # __toks), NOT on size(__g): a filter referencing __g would be
-    # pushed below the gram projection and re-tokenize; and __toks must
-    # stay multiply-referenced so CollapseProject keeps the non-cheap
-    # token array materialized instead of inlining split() into every
-    # slice call of the shingle lambda (the O(tokens^2) trap —
-    # measured 5x on this query)
+    # docs-with-shingles filter keyed on size(__toks), NOT size(__g):
+    # a filter on __g would re-derive the whole shingle transform below
+    # the projection.  PushDownPredicate still rewrites this filter to
+    # size(tokens(text)) >= 3 on the scan — ONE extra O(tokens) pass
+    # per doc (2 split() calls in the optimized plan), which is fine;
+    # the trap being avoided is CollapseProject inlining a
+    # singly-referenced __toks into every slice call of the shingle
+    # lambda (O(tokens^2) — measured 5x on this query).  __toks stays
+    # multiply-referenced (shingles + the __n carry) for that reason.
     toks = (
         d.repartition(par)
         .select("doc_id", tokens("text").alias("__toks"))

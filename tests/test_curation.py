@@ -528,3 +528,41 @@ def test_zipf_slope_exact_on_constructed_sources(spark, tmp_path):
     assert got["zipfian"].zipf_slope == -1.0
     assert got["zipfian"].n_ranked == 6
     assert got["uniform"].zipf_slope == 0.0
+
+
+def test_dup_ngram_stats_empty_doc_matches_oracle(spark, tmp_path):
+    """An empty document must survive to the output with NULL fractions
+    in BOTH engines (DuckDB's x/0 is NULL; unguarded Spark 0/0.0 would
+    be NaN and hash-mismatch), and whitespace-only text (n_chars > 0,
+    zero tokens) yields exact 0.0 coverage."""
+    import duckdb
+
+    from basin_cli_spark.queries import load_all
+
+    rows = [
+        (0, "src", "a b a b a b", 11),
+        (1, "src", "", 0),
+        (2, "src", "   ", 3),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spec = load_all()["q_corpus_dup_ngram_stats"]
+    got = {r.doc_id: r for r in spec.fn(spark, str(tmp_path)).collect()}
+    assert got[1].top2_frac is None and got[1].dup5_frac is None
+    assert got[2].top2_frac == 0.0 and got[2].dup5_frac == 0.0
+    assert got[0].dup5_frac is not None and got[0].top2_frac > 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    ora = {
+        r[0]: r for r in con.execute(spec.oracle).fetchall()
+    }
+    for i in (0, 1, 2):
+        g = got[i]
+        assert (g.top2_frac, g.top3_frac, g.top4_frac, g.dup5_frac) == (
+            ora[i][2], ora[i][3], ora[i][4], ora[i][5]
+        ), (i, g, ora[i])

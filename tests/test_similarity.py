@@ -296,3 +296,22 @@ def test_kcenter_select_maximizes_spread(spark, sf_dir):
         chosen.append(j)
         replay.append((step, int(vid[j]), float(mc[j])))
     assert [(s, v) for s, v, _ in picks] == [(s, v) for s, v, _ in replay]
+
+
+def test_kcenter_select_edge_guards(spark):
+    """k past the usable row count stops early with every row selected;
+    NULL-embedding rows never win a pick; an empty table raises."""
+    import pytest
+
+    from basin_cli_spark.operators.similarity import kcenter_select
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    picks = kcenter_select(df, k=10)
+    assert [v for _, v, _ in picks] == [1, 2]  # early stop, no NULL pick
+
+    empty = df.where("vec_id < 0")
+    with pytest.raises(ValueError):
+        kcenter_select(empty, k=2)
