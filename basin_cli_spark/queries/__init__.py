@@ -84,7 +84,7 @@ def register(name: str, oracle: str | None = None):
 # aggregates, streaming, dedup, text analysis, similarity/embeddings,
 # curation, multimodal.  Everything else follows in registration order.
 #
-# r8 rotation TODO — the 41 entries still without a driver row after r7
+# r8 rotation TODO — the 42 entries still without a driver row after r7
 # (everything else will then be attested): q_histogram,
 # q_llm_prep_pipeline, q_sample_weighted, q_corpus_quantile_prune,
 # q_text_pii_scrub, q_token_budget_pack, q_text_hash_embedding,
@@ -100,7 +100,7 @@ def register(name: str, oracle: str | None = None):
 # successor stages; v2's components are all individually attested); and
 # the late-r7 tail additions q_stream_dsir_score, q_corpus_unimax_apply,
 # q_corpus_temperature_mix, q_corpus_dup_ngram_stats, q_sample_kcenter,
-# q_corpus_domain_kl, q_corpus_zipf_slope.
+# q_corpus_domain_kl, q_corpus_zipf_slope, q_embedding_anisotropy.
 REPRESENTATIVE_HEAD = [
     # relational basics
     "q_like_isnull", "q_distinct", "q_limit_offset", "q_orderby_nulls",

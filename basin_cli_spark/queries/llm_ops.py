@@ -2770,3 +2770,115 @@ def q_sample_kcenter(spark, sf_dir):
     return spark.createDataFrame(
         [(s, int(v), c) for s, v, c in picks], schema
     )
+
+
+# -- embedding-space health: anisotropy (mean pairwise cosine) ----------------
+
+_ANISOTROPY_ORACLE = f"""
+WITH base AS (
+  SELECT label, embedding,
+         SQRT({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+vh AS (
+  SELECT label,
+         LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+                        i -> ROUND(CAST(embedding[i] AS DOUBLE) / nrm, 12))
+           AS v
+  FROM base WHERE nrm > 0
+),
+ex AS (
+  SELECT label, CAST(i AS INT) AS dim, v[CAST(i AS INT)] AS comp
+  FROM vh, RANGE(1, 65) t(i)
+),
+a1 AS (
+  SELECT label, dim,
+         SUM(CAST(comp AS DECIMAL(38, 12))) AS sd,
+         SUM(CAST(ROUND(comp * comp, 12) AS DECIMAL(38, 12))) AS tp,
+         COUNT(*) AS cnt
+  FROM ex GROUP BY label, dim
+),
+a2 AS (
+  SELECT label,
+         SUM(CAST(ROUND(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE), 12)
+                  AS DECIMAL(38, 12))) AS s2,
+         SUM(tp) AS t,
+         MAX(CASE WHEN dim = 1 THEN cnt END) AS n
+  FROM a1 GROUP BY label
+)
+SELECT label, n AS n_vecs,
+       ROUND((CAST(s2 AS DOUBLE) - CAST(t AS DOUBLE))
+             / NULLIF(CAST(n * (n - 1) AS DOUBLE), 0), 6)
+         AS mean_pairwise_cos
+FROM a2 ORDER BY label
+"""
+
+
+@register("q_embedding_anisotropy", _ANISOTROPY_ORACLE)
+def q_embedding_anisotropy(spark, sf_dir):
+    """Embedding-space health: per-label anisotropy — the mean cosine
+    over ALL ordered pairs of distinct vectors (Ethayarajh 2019's
+    isotropy diagnostic, public).  Near 0 = directions spread; drifting
+    toward 1 = the space is collapsing into a cone, the classic failure
+    of a degenerating embedding model and an early-warning signal for
+    every cosine-based dedup/ANN operator downstream.
+
+    The whole all-pairs statistic folds closed-form — NO pairs are ever
+    materialized:  sum_{{i != j}} cos(i,j) = ||sum_i v_i||^2 - sum_i
+    ||v_i||^2 over L2-normalized vectors, so one pass over the corpus
+    suffices at any scale.
+
+    Determinism: normalized components round to 12 dp; every downstream
+    accumulation (per-dim component sums, per-row squared norms, the
+    final sum of squared dim-sums) is a DECIMAL(38,12) sum of 12-dp
+    rounded doubles — exact, order-independent, map-side partials
+    intact.  Zero-norm vectors are excluded in both engines.
+
+    Scale shape: one narrow normalize pass, one posexplode to slim
+    (label, dim, comp) rows, ONE hash-agg keyed (label, dim) (the only
+    shuffle — 64 rows per label reach the final labels-sized rollup).
+    n rides the dim=1 count, so no second corpus pass for the
+    denominator."""
+    from basin_cli_spark.operators.similarity import norm_sq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    s1 = e.repartition(par).select(
+        "label", "embedding", F.sqrt(norm_sq(F.col("embedding"))).alias("_n")
+    )
+    # _n stays multiply-referenced (lambda + pass-through) so
+    # CollapseProject keeps the norm materialized instead of re-folding
+    # it per element inside the divide lambda
+    s2 = s1.where(F.col("_n") > 0).select(
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") / F.col("_n"), 12)
+        ).alias("vh"),
+        "_n",
+    )
+    ex = s2.select("label", F.posexplode("vh").alias("pos", "comp")).select(
+        "label", (F.col("pos") + 1).cast("int").alias("dim"), "comp"
+    )
+    a1 = ex.groupBy("label", "dim").agg(
+        F.sum(F.col("comp").cast("decimal(38,12)")).alias("sd"),
+        F.sum(
+            F.round(F.col("comp") * F.col("comp"), 12).cast("decimal(38,12)")
+        ).alias("tp"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    sd_d = F.col("sd").cast("double")
+    a2 = a1.groupBy("label").agg(
+        F.sum(F.round(sd_d * sd_d, 12).cast("decimal(38,12)")).alias("s2"),
+        F.sum("tp").alias("t"),
+        F.max(F.when(F.col("dim") == 1, F.col("cnt"))).alias("n"),
+    )
+    pairs = (F.col("n") * (F.col("n") - 1)).cast("double")
+    return a2.select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        F.round(
+            (F.col("s2").cast("double") - F.col("t").cast("double"))
+            / F.nullif(pairs, F.lit(0.0)),
+            6,
+        ).alias("mean_pairwise_cos"),
+    ).orderBy("label")

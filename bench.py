@@ -69,6 +69,7 @@ HEADLINE = [
     "q_corpus_dup_ngram_stats",  # added r7 (Gopher repetition coverage)
     "q_corpus_domain_kl",  # added r7 (per-source KL domain-shift audit)
     "q_corpus_zipf_slope",  # added r7 (rank-frequency corpus health)
+    "q_embedding_anisotropy",  # added r7 (closed-form all-pairs cosine)
 ]
 
 # queries added to the headline per round — summed out of the
@@ -97,6 +98,7 @@ _R6_ADDED = {
 _R7_ADDED = {
     "q_corpus_domain_kl",
     "q_corpus_zipf_slope",
+    "q_embedding_anisotropy",
     "q_corpus_dup_ngram_stats",
     "q_embedding_prototype_prune_2pass",
     "q_corpus_lm_prune_2pass",

@@ -432,6 +432,35 @@ def main() -> None:
 
     timed(f"prototype 2-pass prune, 90%-skewed label ({COPIES}x vectors)",
           proto_prune_2pass_skewed, ne, results)
+    def anisotropy():
+        # closed-form all-pairs mean cosine: ||sum v_hat||^2 identity,
+        # so ONE normalize pass + ONE slim (label, dim) hash-agg covers
+        # every pair at 10x vectors — no pair relation ever exists.
+        from basin_cli_spark.operators.similarity import norm_sq
+
+        s1 = emb10.select(
+            "label", "embedding",
+            F.sqrt(norm_sq(F.col("embedding"))).alias("_n"),
+        )
+        s2 = s1.where(F.col("_n") > 0).select(
+            "label",
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("_n")
+            ).alias("vh"),
+            "_n",
+        )
+        ex = s2.select("label", F.posexplode("vh").alias("dim", "comp"))
+        a1 = ex.groupBy("label", "dim").agg(
+            F.sum("comp").alias("sd"), F.count(F.lit(1)).alias("cnt")
+        )
+        return a1.groupBy("label").agg(
+            F.sum(F.col("sd") * F.col("sd")).alias("s2"),
+            F.max("cnt").alias("n"),
+        ).count()
+
+    timed(f"embedding anisotropy, closed-form all-pairs ({COPIES}x vectors)",
+          anisotropy, ne, results)
+
     def kcenter():
         # greedy farthest-point selection at 10x vectors: k-1 narrow
         # scan -> max-cos fold -> TakeOrderedAndProject passes, one slim

@@ -315,3 +315,33 @@ def test_kcenter_select_edge_guards(spark):
     empty = df.where("vec_id < 0")
     with pytest.raises(ValueError):
         kcenter_select(empty, k=2)
+
+
+def test_anisotropy_exact_on_constructed_cones(spark, tmp_path):
+    """A fully collapsed label (identical vectors) has mean pairwise
+    cosine exactly 1.0; an antipodal pair exactly -1.0; an orthogonal
+    pair exactly 0.0; a singleton label has no pairs (NULL)."""
+    from basin_cli_spark.queries import load_all
+
+    rows = [
+        (1, 0, [3.0, 0.0, 0.0, 4.0] + [0.0] * 60),
+        (2, 0, [3.0, 0.0, 0.0, 4.0] + [0.0] * 60),
+        (3, 0, [3.0, 0.0, 0.0, 4.0] + [0.0] * 60),
+        (4, 1, [1.0, 1.0] + [0.0] * 62),
+        (5, 1, [-1.0, -1.0] + [0.0] * 62),
+        (6, 2, [1.0, 0.0] + [0.0] * 62),
+        (7, 2, [0.0, 1.0] + [0.0] * 62),
+        (8, 3, [5.0] + [0.0] * 63),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.label: r
+        for r in load_all()["q_embedding_anisotropy"]
+        .fn(spark, str(tmp_path)).collect()
+    }
+    assert got[0].mean_pairwise_cos == 1.0 and got[0].n_vecs == 3
+    assert got[1].mean_pairwise_cos == -1.0
+    assert got[2].mean_pairwise_cos == 0.0
+    assert got[3].mean_pairwise_cos is None and got[3].n_vecs == 1
