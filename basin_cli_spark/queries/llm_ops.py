@@ -2834,30 +2834,28 @@ def q_embedding_anisotropy(spark, sf_dir):
     rounded doubles — exact, order-independent, map-side partials
     intact.  Zero-norm vectors are excluded in both engines.
 
-    Scale shape: one narrow normalize pass, one posexplode to slim
-    (label, dim, comp) rows, ONE hash-agg keyed (label, dim) (the only
-    shuffle — 64 rows per label reach the final labels-sized rollup).
-    n rides the dim=1 count, so no second corpus pass for the
-    denominator."""
+    Scale shape: one narrow norm pass, one posexplode of the RAW
+    embedding with the row norm carried through the Generate, the
+    normalize division applied per exploded component — deliberately
+    NOT a transform() over the array, because CollapseProject inlines a
+    norm referenced from inside a lambda into every element (the fold
+    runs d times per row, O(d^2) — measured 5.3s -> 0.9s at sf0.1).
+    ONE hash-agg keyed (label, dim) is the only shuffle — 64 rows per
+    label reach the final labels-sized rollup.  n rides the dim=1
+    count, so no second corpus pass for the denominator."""
     from basin_cli_spark.operators.similarity import norm_sq
 
     e = load_table(spark, sf_dir, "embeddings")
     par = spark.sparkContext.defaultParallelism
     s1 = e.repartition(par).select(
         "label", "embedding", F.sqrt(norm_sq(F.col("embedding"))).alias("_n")
-    )
-    # _n stays multiply-referenced (lambda + pass-through) so
-    # CollapseProject keeps the norm materialized instead of re-folding
-    # it per element inside the divide lambda
-    s2 = s1.where(F.col("_n") > 0).select(
+    ).where(F.col("_n") > 0)
+    ex = s1.select(
+        "label", "_n", F.posexplode("embedding").alias("pos", "raw")
+    ).select(
         "label",
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") / F.col("_n"), 12)
-        ).alias("vh"),
-        "_n",
-    )
-    ex = s2.select("label", F.posexplode("vh").alias("pos", "comp")).select(
-        "label", (F.col("pos") + 1).cast("int").alias("dim"), "comp"
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("raw").cast("double") / F.col("_n"), 12).alias("comp"),
     )
     a1 = ex.groupBy("label", "dim").agg(
         F.sum(F.col("comp").cast("decimal(38,12)")).alias("sd"),

@@ -434,22 +434,23 @@ def main() -> None:
           proto_prune_2pass_skewed, ne, results)
     def anisotropy():
         # closed-form all-pairs mean cosine: ||sum v_hat||^2 identity,
-        # so ONE normalize pass + ONE slim (label, dim) hash-agg covers
+        # so ONE norm pass + ONE slim (label, dim) hash-agg covers
         # every pair at 10x vectors — no pair relation ever exists.
+        # Normalize AFTER the explode (norm carried through Generate):
+        # dividing inside a transform() lambda re-folds the norm per
+        # element once CollapseProject inlines it.
         from basin_cli_spark.operators.similarity import norm_sq
 
         s1 = emb10.select(
             "label", "embedding",
             F.sqrt(norm_sq(F.col("embedding"))).alias("_n"),
+        ).where(F.col("_n") > 0)
+        ex = s1.select(
+            "label", "_n", F.posexplode("embedding").alias("dim", "raw")
+        ).select(
+            "label", "dim",
+            (F.col("raw").cast("double") / F.col("_n")).alias("comp"),
         )
-        s2 = s1.where(F.col("_n") > 0).select(
-            "label",
-            F.transform(
-                "embedding", lambda x: x.cast("double") / F.col("_n")
-            ).alias("vh"),
-            "_n",
-        )
-        ex = s2.select("label", F.posexplode("vh").alias("dim", "comp"))
         a1 = ex.groupBy("label", "dim").agg(
             F.sum("comp").alias("sd"), F.count(F.lit(1)).alias("cnt")
         )
