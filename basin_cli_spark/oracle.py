@@ -4,8 +4,20 @@ Mirrors the driver's correctness gate (SURVEY.md §5 item 3): run the Spark
 query and the DuckDB oracle SQL over the same parquet fixtures, normalize
 both results to canonical value tuples, compare order-insensitively.
 
-Our normalization is *stricter* than a hash compare needs to be — exact
-canonical-string equality — so anything passing here also hash-matches.
+Driver-strictness contract (hardened round 8 after five red driver rows):
+* Canonicalization is COLUMN-wise, never row-wise — the old row-major
+  ``df.iloc[i][c]`` silently upcast ints to float inside a mixed-dtype row
+  Series, which made the suite blind to BIGINT-vs-DOUBLE column divergence
+  the driver's value hash does see.
+* The output TYPE CLASS of every column must match between the Spark
+  schema and the DuckDB oracle's Arrow schema (int/float/bool/str/
+  timestamp/date/bytes/decimal).  This is checked at the engine-schema
+  level, not the pandas level, so it cannot be masked by symmetric
+  NULL-driven upcasts.
+* Raw container (array/map/struct) output columns are REJECTED on either
+  side — the registry rule (queries/__init__.py docstring) is that array
+  outputs are sorted/joined to strings; a raw list crashes the driver's
+  canonicalizer (``TypeError: unhashable type: 'list'``, CORRECTNESS_r07).
 """
 
 from __future__ import annotations
@@ -17,6 +29,8 @@ import math
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyspark.sql.types as T
 
 from basin_cli_spark.sources import TABLES
 
@@ -30,6 +44,57 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
         )
     return con
+
+
+# -- type-class mapping (engine-schema level, pre-pandas) ---------------------
+
+def spark_type_class(dt: T.DataType) -> str:
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return f"CONTAINER:{dt.simpleString()}"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    return f"other:{dt.simpleString()}"
+
+
+def arrow_type_class(t: pa.DataType) -> str:
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_map(t)
+        or pa.types.is_struct(t)
+    ):
+        return f"CONTAINER:{t}"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    return f"other:{t}"
 
 
 def canon_value(v):
@@ -76,16 +141,75 @@ def canon_value(v):
 
 def canon_frame(df: pd.DataFrame, *, ordered: bool = False) -> list[tuple]:
     """Columns sorted by name; rows as canonical tuples; rows sorted unless
-    the comparison is order-sensitive."""
+    the comparison is order-sensitive.  COLUMN-wise extraction (``df[c]``,
+    one Series per column) so a mixed-dtype frame never upcasts an int
+    column through a row Series."""
     cols = sorted(df.columns)
-    rows = [
-        tuple(canon_value(df.iloc[i][c]) for c in cols) for i in range(len(df))
+    col_values = [
+        [canon_value(v) for v in df[c].tolist()] for c in cols
     ]
+    rows = list(zip(*col_values)) if col_values and len(df) else []
     return rows if ordered else sorted(rows)
 
 
-def compare(spark_df, oracle_pdf: pd.DataFrame) -> tuple[bool, str]:
-    """Compare a Spark DataFrame result against the oracle's pandas result."""
+def _container_cols_spark(schema: T.StructType) -> list[str]:
+    return [
+        f"{f.name} ({spark_type_class(f.dataType)})"
+        for f in schema.fields
+        if spark_type_class(f.dataType).startswith("CONTAINER")
+    ]
+
+
+def compare(spark_df, oracle_result) -> tuple[bool, str]:
+    """Compare a Spark DataFrame result against the oracle's result.
+
+    ``oracle_result`` is a ``pyarrow.Table`` (pass ``con.execute(sql)
+    .arrow()``) so the oracle's engine-level column types are visible for
+    the dtype-class check; a plain pandas frame (legacy call sites) still
+    works but skips that check.
+    """
+    bad = _container_cols_spark(spark_df.schema)
+    if bad:
+        return False, (
+            f"raw container output column(s) {bad} — registry rule: sort and "
+            "join arrays to strings (queries/__init__.py docstring); raw "
+            "lists crash the driver's canonicalizer"
+        )
+
+    if isinstance(oracle_result, pa.Table):
+        o_classes = {f.name: arrow_type_class(f.type) for f in oracle_result.schema}
+        s_classes = {
+            f.name: spark_type_class(f.dataType) for f in spark_df.schema.fields
+        }
+        bad_o = [
+            f"{c} ({cls})" for c, cls in o_classes.items()
+            if cls.startswith("CONTAINER")
+        ]
+        if bad_o:
+            return False, f"oracle returns raw container column(s) {bad_o}"
+        if sorted(s_classes) != sorted(o_classes):
+            return False, (
+                f"column mismatch: spark={sorted(s_classes)} "
+                f"oracle={sorted(o_classes)}"
+            )
+        diffs = [
+            f"{c}: spark={s_classes[c]} oracle={o_classes[c]}"
+            for c in sorted(s_classes)
+            if s_classes[c] != o_classes[c]
+        ]
+        if diffs:
+            return False, (
+                "dtype-class mismatch (driver value hashes are dtype-"
+                f"sensitive): {diffs}"
+            )
+        # date_as_object: keep DATE cells as datetime.date (not midnight
+        # datetime64) so both engines' date columns canonicalize to the
+        # same ISO day string — explicit because the pyarrow default has
+        # shifted across versions.
+        oracle_pdf = oracle_result.to_pandas(date_as_object=True)
+    else:
+        oracle_pdf = oracle_result
+
     spdf = spark_df.toPandas()
     if sorted(spdf.columns) != sorted(oracle_pdf.columns):
         return False, f"column mismatch: spark={sorted(spdf.columns)} oracle={sorted(oracle_pdf.columns)}"

@@ -75,70 +75,47 @@ def register(name: str, oracle: str | None = None):
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries, so
-# iteration order is part of the contract.  Round-7 rotation: rounds 1-6
-# attested 111 distinct entries; this head is drawn ENTIRELY from the 79
-# that have never carried a driver CORRECTNESS row (full rotation — every
-# previously-attested entry moves to the tail, still covered by the
-# in-repo all-queries oracle suite).  Family spread is preserved:
-# relational basics, set ops, scalar families, sources, windows,
-# aggregates, streaming, dedup, text analysis, similarity/embeddings,
-# curation, multimodal.  Everything else follows in registration order.
-#
-# r8 rotation TODO — the 42 entries still without a driver row after r7
-# (everything else will then be attested): q_histogram,
-# q_llm_prep_pipeline, q_sample_weighted, q_corpus_quantile_prune,
-# q_text_pii_scrub, q_token_budget_pack, q_text_hash_embedding,
-# q_similarity_text_hash, q_text_normalize, q_corpus_split,
-# q_chunk_documents, q_vocab_oov_rate, q_array_funcs, q_hash_funcs,
-# q_conditional_null, q_explode_posexplode, q_map_funcs,
-# q_interval_arith, q_uuid_canonical, q_union_all, q_intersect_all,
-# q_json_roundtrip, q_stream_dedup, q_stream_static_join, q_window_rank,
-# q_window_lag_lead, q_window_running, q_window_moving_avg,
-# q_window_sliding, q_window_percent_rank; the four swapped out for the
-# r7 flagship additions: q_dedup_provenance, q_text_entropy,
-# q_corpus_source_stats, q_llm_prep_pipeline_v2 (v4 composes its
-# successor stages; v2's components are all individually attested); and
-# the late-r7 tail additions q_stream_dsir_score, q_corpus_unimax_apply,
-# q_corpus_temperature_mix, q_corpus_dup_ngram_stats, q_sample_kcenter,
-# q_corpus_domain_kl, q_corpus_zipf_slope, q_embedding_anisotropy.
+# iteration order is part of the contract.  Round-8 rotation — the
+# attestation-completion head: rounds 1-7 attested 161 distinct entries;
+# this head carries (a) the 42 entries that have never had a driver
+# CORRECTNESS row (everything never-attested, per the r7 TODO), (b) the 5
+# entries red in CORRECTNESS_r07, all fixed this round (canonicalization/
+# dtype contract violations, not wrong values — see oracle.py's hardened
+# compare()), and (c) 3 re-attestation picks: q_ecmh_digest_by_group
+# (its only driver rows predate its oracle, so it has never been
+# hash-attested), q_datetime_funcs (oracle day_start/month_start now CAST
+# AS TIMESTAMP for the dtype-class gate), and q_window_nth_value (judge-
+# flagged NULL-masked int-vs-double risk; arrow-level audit says int==int,
+# this row proves it under the driver).  After a green r8, cumulative
+# driver attestation is 203/203.
 REPRESENTATIVE_HEAD = [
-    # relational basics
-    "q_like_isnull", "q_distinct", "q_limit_offset", "q_orderby_nulls",
-    # set ops
-    "q_union_distinct", "q_intersect", "q_except",
-    # scalar function families
-    "q_datetime_funcs", "q_math_funcs", "q_array_hof_fold",
-    "q_regexp_extract", "q_fuzzy_prefix_match",
-    # sources/sinks
-    "q_orc_roundtrip", "q_in_memory_rows",
-    # windows / time series
-    "q_window_range_frame", "q_window_ignore_nulls",
-    "q_window_nth_value", "q_session_window",
-    # aggregates
-    "q_approx_percentile", "q_muhash_digest_by_group",
-    # streaming
-    "q_stream_session_window", "q_stream_ivf_assign",
-    "q_stream_dedup_within_watermark", "q_stream_stream_join",
-    # deduplication
-    "q_dedup_clusters", "q_dedup_source_overlap",
-    # sampling / data selection (r7 flagships)
-    "q_corpus_dsir_select", "q_sample_cluster_cap",
-    # text analysis
-    "q_text_quality_score", "q_text_fingerprint",
-    "q_text_repetition", "q_text_bigram_logprob",
-    # similarity / embeddings (r7: the new skew-safe 2pass prune in)
-    "q_similarity_knn_label", "q_embedding_label_centroids",
-    "q_embedding_prototype_prune_2pass", "q_embedding_center_normalize",
-    "q_embedding_quantize",
-    # curation (r7: all three new skew-safe 2pass prunes in, plus the
-    # quantile-2pass pattern source; the exact quantile form stays
-    # in-repo oracle-tested)
-    "q_corpus_lm_prune_2pass", "q_corpus_mad_prune_2pass",
-    "q_corpus_quantile_prune_2pass", "q_contamination_score",
-    "q_vocab_topk", "q_tfidf_topterms", "q_corpus_unimax",
-    "q_corpus_datasheet", "q_sample_stratified", "q_llm_prep_pipeline_v4",
-    # multimodal plumbing (decode/frames/features UDF surface)
-    "q_multimodal_decode", "q_multimodal_frames", "q_multimodal_features",
+    # scalar/relational families never attested
+    "q_array_funcs", "q_hash_funcs", "q_conditional_null",
+    "q_explode_posexplode", "q_map_funcs", "q_interval_arith",
+    "q_uuid_canonical", "q_json_roundtrip", "q_histogram",
+    # set ops (ALL variants)
+    "q_union_all", "q_intersect_all",
+    # window family
+    "q_window_rank", "q_window_lag_lead", "q_window_running",
+    "q_window_moving_avg", "q_window_sliding", "q_window_percent_rank",
+    # streaming tail
+    "q_stream_dedup", "q_stream_static_join", "q_stream_dsir_score",
+    # text analysis / curation never attested
+    "q_text_normalize", "q_text_pii_scrub", "q_text_entropy",
+    "q_text_hash_embedding", "q_similarity_text_hash",
+    "q_chunk_documents", "q_vocab_oov_rate", "q_corpus_split",
+    "q_corpus_source_stats", "q_corpus_quantile_prune",
+    "q_token_budget_pack", "q_sample_weighted", "q_dedup_provenance",
+    "q_llm_prep_pipeline", "q_llm_prep_pipeline_v2",
+    # late-r7 tail flagships
+    "q_corpus_unimax_apply", "q_corpus_temperature_mix",
+    "q_corpus_dup_ngram_stats", "q_sample_kcenter", "q_corpus_domain_kl",
+    "q_corpus_zipf_slope", "q_embedding_anisotropy",
+    # the five r7-red entries, fixed this round
+    "q_math_funcs", "q_regexp_extract", "q_text_repetition",
+    "q_embedding_center_normalize", "q_multimodal_features",
+    # re-attestation picks
+    "q_ecmh_digest_by_group", "q_datetime_funcs", "q_window_nth_value",
 ]
 
 

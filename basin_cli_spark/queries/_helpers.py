@@ -69,6 +69,33 @@ def dec_avg(c: Column, alias: str) -> Column:
     return (F.sum(c).cast("double") / F.count(F.lit(1))).alias(alias)
 
 
+def vec_str(col: Column | str, scale: int = 6) -> Column:
+    """Double-array -> canonical string (registry rule: no raw container
+    output columns — a raw list crashes the driver's canonicalizer).
+
+    Each element is assumed already rounded to ``scale`` decimal places on
+    both engines; it is scaled to an integer (ROUND first — Spark's
+    double->long cast truncates while DuckDB's rounds, so the cast must see
+    an exact .0) and joined with ','.  Scaled integers also dodge the
+    -0.0-vs-0.0 and shortest-repr formatting traps of stringifying doubles
+    directly."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(
+        F.transform(
+            c, lambda x: F.round(x * (10 ** scale), 0).cast("long").cast("string")
+        ),
+        ",",
+    )
+
+
+def sql_vec_str(expr: str, scale: int = 6) -> str:
+    """DuckDB replay of vec_str over a DOUBLE list expression."""
+    return (
+        f"ARRAY_TO_STRING(LIST_TRANSFORM({expr}, "
+        f"x -> CAST(ROUND(x * {10 ** scale}) AS BIGINT)), ',')"
+    )
+
+
 def sql_dec(expr: str) -> str:
     return f"CAST({expr} AS DECIMAL(18,2))"
 

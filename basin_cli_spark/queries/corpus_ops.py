@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from basin_cli_spark.operators import curation as C
 from basin_cli_spark.operators import dedup as D
 from basin_cli_spark.queries import register
+from basin_cli_spark.queries._helpers import vec_str
 from basin_cli_spark.session import persist_once
 from basin_cli_spark.queries.llm_ops import (
     _MINHASH_BANDS,
@@ -1770,8 +1771,10 @@ centered AS (
   FROM v CROSS JOIN carr
 )
 SELECT vec_id,
-       LIST_TRANSFORM(cv, x -> ROUND(x / SQRT(
-         LIST_REDUCE(LIST_TRANSFORM(cv, y -> y * y), (a, b) -> a + b)), 6))
+       ARRAY_TO_STRING(LIST_TRANSFORM(
+         LIST_TRANSFORM(cv, x -> ROUND(x / SQRT(
+           LIST_REDUCE(LIST_TRANSFORM(cv, y -> y * y), (a, b) -> a + b)), 6)),
+         x -> CAST(ROUND(x * 1000000) AS BIGINT)), ',')
          AS unit_vec
 FROM centered
 """
@@ -1807,9 +1810,14 @@ def q_embedding_center_normalize(spark, sf_dir):
             lambda a, b: a + b,
         )
     )
+    # vec_str (no-raw-container rule): the unit vector surfaces as a
+    # ','-joined scaled-integer string, not an array<double> the driver's
+    # canonicalizer cannot hash
     return centered.select(
         "vec_id",
-        F.transform("cv", lambda x: F.round(x / norm, 6)).alias("unit_vec"),
+        vec_str(F.transform("cv", lambda x: F.round(x / norm, 6))).alias(
+            "unit_vec"
+        ),
     )
 
 

@@ -18,6 +18,7 @@ from basin_cli_spark.operators import dedup as D
 from basin_cli_spark.operators import similarity as S
 from basin_cli_spark.operators import text as TX
 from basin_cli_spark.queries import register
+from basin_cli_spark.queries._helpers import sql_vec_str, vec_str
 from basin_cli_spark.session import persist_once
 from basin_cli_spark.sources import load_table
 
@@ -893,7 +894,7 @@ def q_multimodal_frames(spark, sf_dir):
 _MM_FEATS_ORACLE = f"""
 WITH media AS ({_MM_BASE}), d AS (SELECT media_id, MD5(text) AS h FROM media)
 SELECT media_id,
-       [{', '.join(_hexpair_sql('h', 2 * i + 1) + ' / 255.0' for i in range(4))}]
+       {sql_vec_str('[' + ', '.join(_hexpair_sql('h', 2 * i + 1) + ' / 255.0' for i in range(4)) + ']')}
          AS features
 FROM d
 """
@@ -901,11 +902,15 @@ FROM d
 
 @register("q_multimodal_features", _MM_FEATS_ORACLE)
 def q_multimodal_features(spark, sf_dir):
-    """Fixed-dim feature vectors via scalar pandas_udf (stub featurizer)."""
+    """Fixed-dim feature vectors via scalar pandas_udf (stub featurizer).
+    The vector surfaces through vec_str (no-raw-container rule); the
+    operator itself keeps the real array<double> column for downstream
+    similarity consumers."""
     from basin_cli_spark.operators import multimodal as MM
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return MM.extract_features(MM.synthesize_media(d, "text", "doc_id"))
+    feats = MM.extract_features(MM.synthesize_media(d, "text", "doc_id"))
+    return feats.withColumn("features", vec_str("features"))
 
 
 _MM_AUDIO_ORACLE = """
@@ -1593,7 +1598,7 @@ counts AS (
 )
 SELECT doc_id,
        CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_shingle_share,
-       SUM(c) AS n_shingles
+       CAST(SUM(c) AS BIGINT) AS n_shingles
 FROM counts GROUP BY doc_id
 """
 
@@ -2553,8 +2558,16 @@ FROM dense d JOIN norms n USING (doc_id)
 GROUP BY d.doc_id
 """
 
+# Registry-facing variant: the embedding surfaces via sql_vec_str (the
+# no-raw-container rule); _HASH_EMB_ORACLE itself stays a LIST so
+# _TEXT_SIM_ORACLE below can keep consuming it as a CTE.
+_HASH_EMB_STR_ORACLE = f"""
+WITH emb AS ({{inner}})
+SELECT doc_id, {sql_vec_str('embedding')} AS embedding FROM emb
+""".format(inner=_HASH_EMB_ORACLE.strip())
 
-@register("q_text_hash_embedding", _HASH_EMB_ORACLE)
+
+@register("q_text_hash_embedding", _HASH_EMB_STR_ORACLE)
 def q_text_hash_embedding(spark, sf_dir):
     """Feature-hashed 64-dim document embeddings (operators/text.py
     hash_embedding — the hashing trick): signed token counts per hashed
@@ -2562,9 +2575,11 @@ def q_text_hash_embedding(spark, sf_dir):
     whole similarity/dedup family consumes, with no model dependency.
     Exact integer cell sums keep the values order-independent; the
     oracle replays the same md5-nibble arithmetic the SimHash oracle
-    uses."""
+    uses.  Surfaces through vec_str (no-raw-container rule); the operator
+    keeps the real array column for the similarity family."""
     d = load_table(spark, sf_dir, "documents")
-    return TX.hash_embedding(d, "text", "doc_id", dim=64)
+    emb = TX.hash_embedding(d, "text", "doc_id", dim=64)
+    return emb.withColumn("embedding", vec_str("embedding"))
 
 
 _TEXT_SIM_ORACLE = f"""

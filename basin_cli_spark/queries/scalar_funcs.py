@@ -89,8 +89,8 @@ def q_fuzzy_prefix_match(spark, sf_dir):
     "q_datetime_funcs",
     """
 SELECT event_id,
-       DATE_TRUNC('day', ts) AS day_start,
-       DATE_TRUNC('month', ts) AS month_start,
+       CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day_start,
+       CAST(DATE_TRUNC('month', ts) AS TIMESTAMP) AS month_start,
        YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS d,
        HOUR(ts) AS h, MINUTE(ts) AS mi, SECOND(ts) AS s,
        CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
@@ -127,12 +127,12 @@ def q_datetime_funcs(spark, sf_dir):
     """
 SELECT l_orderkey, l_linenumber,
        ABS(l_discount - 0.05) AS abs_diff,
-       FLOOR(l_extendedprice) AS price_floor,
-       CEIL(l_extendedprice) AS price_ceil,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
        SQRT(l_quantity) AS qty_sqrt,
        POWER(l_quantity, 2) AS qty_sq,
        l_orderkey % 7 AS key_mod,
-       SIGN(l_discount - 0.05) AS disc_sign,
+       CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign,
        ROUND(EXP(l_discount), 9) AS exp_disc,
        ROUND(LN(l_quantity), 9) AS ln_qty,
        GREATEST(l_quantity, 25.0) AS qty_hi,
@@ -422,7 +422,8 @@ def q_uuid_canonical(spark, sf_dir):
 
 _REGEX_EXTRACT_ORACLE = """
 SELECT doc_id,
-       regexp_extract_all(text, '[0-9]+') AS numbers,
+       COALESCE(ARRAY_TO_STRING(regexp_extract_all(text, '[0-9]+'), ','), '')
+         AS numbers,
        LEN(regexp_extract_all(text, '[a-z]+')) AS n_words,
        regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word
 FROM documents WHERE doc_id < 100
@@ -433,11 +434,15 @@ FROM documents WHERE doc_id < 100
 def q_regexp_extract(spark, sf_dir):
     """Regex extraction surface: all-matches array, match count, and a
     capture-group pull — identical PCRE-ish semantics in both engines for
-    these character-class patterns."""
+    these character-class patterns.  The match array surfaces joined to a
+    string (match order preserved) per the registry's no-raw-container
+    output rule."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return d.select(
         "doc_id",
-        F.regexp_extract_all("text", F.lit("[0-9]+"), 0).alias("numbers"),
+        F.array_join(
+            F.regexp_extract_all("text", F.lit("[0-9]+"), 0), ","
+        ).alias("numbers"),
         F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("n_words"),
         F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
     )

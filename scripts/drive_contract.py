@@ -36,7 +36,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         if name in oracles:
-            ok, msg = compare(sdf, con.execute(oracles[name]).df())
+            ok, msg = compare(sdf, con.execute(oracles[name]).arrow())
             status = "OK " if ok else "FAIL"
             if not ok:
                 failed.append((name, msg))

@@ -26,9 +26,12 @@ def test_query_matches_oracle(spark, sf_dir, oracle_con, name):
     spark.catalog.clearCache()
     spec = QUERIES[name]
     sdf = spec.fn(spark, sf_dir)
-    opdf = oracle_con.execute(spec.oracle).df()
-    ok, msg = compare(sdf, opdf)
+    # .arrow() (not .df()) so compare() sees the oracle's engine-level
+    # column types for the driver-strict dtype-class check
+    otbl = oracle_con.execute(spec.oracle).arrow()
+    ok, msg = compare(sdf, otbl)
     assert ok, f"{name}: {msg}"
+    opdf = otbl.to_pandas(date_as_object=True)
     # Guard against vacuous passes: an empty expected result means the
     # query's filters select nothing at this scale factor, and the match
     # above proved nothing (this has bitten real date-literal bugs).

@@ -1,0 +1,120 @@
+"""Registry output-schema contract — the permanent pin for the round-7
+driver-red failure class (CORRECTNESS_r07: 5 red rows, none a wrong value,
+all canonicalization/dtype contract violations the value-diff suite was
+structurally blind to).
+
+Two invariants over EVERY registry entry:
+1. No raw container (array/map/struct) output column — the driver's
+   canonicalizer hashes cells via a pandas sort and a raw list raises
+   ``TypeError: unhashable type: 'list'`` (registry rule:
+   queries/__init__.py docstring — arrays surface joined to strings).
+2. The Spark output schema's type class (int/float/bool/str/timestamp/
+   date/bytes/decimal) matches the DuckDB oracle's Arrow-schema class per
+   column — the driver's value hash is dtype-sensitive (BIGINT "7" vs
+   DOUBLE "7.0"), and checking at the engine-schema level means a
+   symmetric pandas NULL-upcast can never mask a divergence.
+
+Plus negative tests proving compare() actually rejects both violation
+kinds (a gate that cannot fail is not a gate).
+"""
+
+import duckdb
+import pytest
+
+from basin_cli_spark.oracle import (
+    arrow_type_class,
+    compare,
+    duckdb_connect,
+    spark_type_class,
+)
+from basin_cli_spark.queries import load_all
+
+QUERIES = load_all()
+ORACLE_BACKED = [n for n, s in QUERIES.items() if s.oracle]
+ALL = list(QUERIES)
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_no_raw_container_outputs(spark, sf_dir, name):
+    sdf = QUERIES[name].fn(spark, sf_dir)
+    bad = [
+        (f.name, spark_type_class(f.dataType))
+        for f in sdf.schema.fields
+        if spark_type_class(f.dataType).startswith("CONTAINER")
+    ]
+    assert not bad, (
+        f"{name} outputs raw container column(s) {bad} — join to string "
+        "(queries/_helpers.vec_str for double vectors, F.array_join for "
+        "string arrays); a raw list crashes the driver's canonicalizer"
+    )
+    spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", ORACLE_BACKED)
+def test_dtype_class_matches_oracle(spark, sf_dir, oracle_con, name):
+    spec = QUERIES[name]
+    sdf = spec.fn(spark, sf_dir)
+    s_classes = {f.name: spark_type_class(f.dataType) for f in sdf.schema.fields}
+    # LIMIT 0: only the oracle's result schema matters here, and DuckDB
+    # still type-checks the full query
+    tbl = oracle_con.execute(
+        f"SELECT * FROM ({spec.oracle}) LIMIT 0"
+    ).arrow()
+    o_classes = {f.name: arrow_type_class(f.type) for f in tbl.schema}
+    assert sorted(s_classes) == sorted(o_classes), (
+        f"{name}: column sets differ: spark={sorted(s_classes)} "
+        f"oracle={sorted(o_classes)}"
+    )
+    diffs = {
+        c: (s_classes[c], o_classes[c])
+        for c in s_classes
+        if s_classes[c] != o_classes[c]
+    }
+    assert not diffs, (
+        f"{name}: dtype-class divergence (driver hashes are dtype-"
+        f"sensitive; CAST the oracle side): {diffs}"
+    )
+    spark.catalog.clearCache()
+
+
+def test_compare_rejects_mistyped_column(spark, sf_dir):
+    """A deliberately int-vs-double column must fail compare() even though
+    every VALUE is numerically equal — the exact blindness that let five
+    r7 driver rows go red while 485 in-repo tests passed."""
+    sdf = spark.range(5).selectExpr("id AS k", "CAST(id * 2 AS BIGINT) AS v")
+    con = duckdb.connect()
+    tbl = con.execute(
+        "SELECT range AS k, CAST(range * 2 AS DOUBLE) AS v FROM range(5)"
+    ).arrow()
+    ok, msg = compare(sdf, tbl)
+    assert not ok and "dtype-class" in msg, f"gate did not trip: {msg}"
+
+
+def test_compare_rejects_raw_array_column(spark):
+    sdf = spark.range(3).selectExpr("id AS k", "array(id, id + 1) AS v")
+    con = duckdb.connect()
+    tbl = con.execute(
+        "SELECT range AS k, [range, range + 1] AS v FROM range(3)"
+    ).arrow()
+    ok, msg = compare(sdf, tbl)
+    assert not ok and "container" in msg, f"gate did not trip: {msg}"
+
+
+def test_compare_still_passes_on_equal_typed_frames(spark):
+    sdf = spark.range(4).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v", "CAST(id AS STRING) AS s"
+    )
+    con = duckdb.connect()
+    tbl = con.execute(
+        "SELECT range AS k, CAST(range AS DOUBLE) AS v, "
+        "CAST(range AS VARCHAR) AS s FROM range(4)"
+    ).arrow()
+    ok, msg = compare(sdf, tbl)
+    assert ok, msg

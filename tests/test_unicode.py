@@ -63,5 +63,5 @@ def test_unicode_corpus_differential(spark, uni_dir, name):
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{uni_dir}/documents.parquet/*.parquet')"
     )
-    ok, msg = compare(spec.fn(spark, uni_dir), con.execute(spec.oracle).df())
+    ok, msg = compare(spec.fn(spark, uni_dir), con.execute(spec.oracle).arrow())
     assert ok, f"{name} diverges on unicode corpus: {msg}"
