@@ -17,10 +17,13 @@ to its provider).
 
 from __future__ import annotations
 
+import logging
 import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 # Reference vault-name regex (reference cmd/vaults/commands.go:32).
 VAULT_NAME_RE = re.compile(r"^([a-zA-Z_][a-zA-Z0-9_]*)[.]([a-zA-Z_][a-zA-Z0-9_]*$)")
@@ -200,12 +203,19 @@ def gateway_resolver(
             # read-only disk must surface as itself, not masquerade as
             # "content not resolvable".
             raise
-        except Exception:
+        except Exception as e:
             # An UNTRUSTED gateway can return arbitrary bytes; carv1
             # parsing of truncated/garbage input surfaces IndexError/
             # AttributeError as readily as ValueError, and every parse
             # failure is the same event under the resolver contract: a
-            # miss, never a crash of the whole retrieve() chain.
+            # miss, never a crash of the whole retrieve() chain.  The
+            # swallowed type IS recorded (warning log) so a programming
+            # error from a future carv1 refactor shows up as a stream of
+            # same-typed warnings instead of a silent 100% miss rate.
+            _LOG.warning(
+                "gateway resolver: treating %s as a miss for cid=%s (%s)",
+                type(e).__name__, cid, e,
+            )
             return None
 
     return resolve

@@ -662,7 +662,7 @@ rates AS (
 )
 SELECT d.doc_id, d.lang, ROUND(r.rate, 9) AS rate
 FROM documents d JOIN rates r USING (lang)
-WHERE (CAST(('0x' || SUBSTRING(MD5(d.text), 1, 4)) AS BIGINT) % 10000)
+WHERE (CAST(('0x' || SUBSTRING(MD5(d.text), 1, 8)) AS BIGINT) % 10000)
       < r.rate * 10000
 """
 
@@ -680,7 +680,9 @@ def q_corpus_rebalance(spark, sf_dir):
     partials); the rates table is bounded by language cardinality, so
     the broadcast hint is safe at any corpus size; pass 2 is a streamed
     filter — the corpus is never shuffled, and the hash-bucket draw
-    makes the sample reproducible across runs and appends."""
+    makes the sample reproducible across runs and appends.  The draw is
+    8 md5 hex chars (32 bits) mod 10000 — uniform to ~2.3e-6 relative;
+    16 bits would over-keep low buckets by up to ~6.8% at small rates."""
     d = load_table(spark, sf_dir, "documents")
     # persisted: tot and rates both consume the languages-sized counts,
     # each otherwise re-scanning the corpus for a few-row relation
@@ -696,7 +698,7 @@ def q_corpus_rebalance(spark, sf_dir):
             F.lit(1.0), (F.col("total") / F.col("n_langs")) / F.col("n")
         ).alias("rate"),
     )
-    bucket = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 10000
+    bucket = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 10000
     return (
         d.join(F.broadcast(rates), "lang")
         .where(bucket < F.col("rate") * 10000)
@@ -1707,7 +1709,7 @@ eps AS (
 )
 SELECT d.doc_id, d.lang,
        CAST(FLOOR(e) AS BIGINT)
-       + CASE WHEN (CAST(('0x' || SUBSTRING(MD5(d.text), 1, 4)) AS BIGINT)
+       + CASE WHEN (CAST(('0x' || SUBSTRING(MD5(d.text), 1, 8)) AS BIGINT)
                     % 10000) < (e - FLOOR(e)) * 10000
               THEN 1 ELSE 0 END AS n_copies
 FROM documents d JOIN eps USING (lang)
@@ -1727,7 +1729,11 @@ def q_corpus_unimax_apply(spark, sf_dir):
 
     Expected-value contract: sum(n_copies * doc_tokens) per language ~=
     the language's UniMax budget (exact for capped languages, a
-    hash-draw estimate for the fractional part).
+    hash-draw estimate for the fractional part).  The draw takes 8 md5
+    hex chars (32 bits) mod 10000, so the bucket distribution is uniform
+    to ~2.3e-6 relative — a 4-char draw (16 bits mod 10000) would
+    over-select low buckets by up to ~6.8% relative and bias the
+    expected-value contract.
 
     Scale shape: the allocation tail is the languages-sized relation of
     q_corpus_unimax; the apply is ONE broadcast join of a
@@ -1738,7 +1744,7 @@ def q_corpus_unimax_apply(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     eps = _unimax_alloc(d).select("lang", _unimax_epochs().alias("e"))
     bucket = (
-        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 10000
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 10000
     )
     return d.join(F.broadcast(eps), "lang").select(
         "doc_id",

@@ -328,6 +328,70 @@ def main() -> None:
 
     timed(f"Zipf slope, native group-limit rank cut ({COPIES}x docs)",
           zipf_slope, nd, results)
+
+    def unimax_apply():
+        # UniMax mixture materialization: the allocation tail is a
+        # languages-sized relation; the apply is ONE broadcast join plus a
+        # stateless per-row copy-count expression — no corpus shuffle.
+        from basin_cli_spark.queries.corpus_ops import (
+            _unimax_alloc,
+            _unimax_epochs,
+        )
+
+        eps = _unimax_alloc(docs10).select("lang", _unimax_epochs().alias("e"))
+        bucket = (
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+            % 10000
+        )
+        return (
+            docs10.join(F.broadcast(eps), "lang")
+            .select(
+                "doc_id",
+                "lang",
+                (
+                    F.floor("e").cast("long")
+                    + F.when(
+                        bucket < (F.col("e") - F.floor("e")) * 10000, 1
+                    ).otherwise(0)
+                ).alias("n_copies"),
+            )
+            .count()
+        )
+
+    timed(f"UniMax apply, copy-count manifest ({COPIES}x docs)",
+          unimax_apply, nd, results)
+
+    def temperature_mix():
+        # temperature sampling probabilities: the only corpus-sized work is
+        # the per-language token hash-agg; the p^(1/tau) tail is
+        # languages-sized with two 1-row scalar broadcasts.
+        from basin_cli_spark.queries.corpus_ops import _lang_token_counts
+
+        counts = _lang_token_counts(docs10)
+        tot = counts.agg(F.sum("n_tok").cast("long").alias("tt"))
+        w = (
+            counts.where(F.col("n_tok") > 0)
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "lang",
+                F.exp(
+                    F.log(
+                        F.col("n_tok").cast("double")
+                        / F.col("tt").cast("double")
+                    )
+                    / 3.3
+                ).alias("u"),
+            )
+        )
+        z = w.agg(F.sum("u").alias("zsum"))
+        return (
+            w.crossJoin(F.broadcast(z))
+            .select("lang", (F.col("u") / F.col("zsum")).alias("q"))
+            .count()
+        )
+
+    timed(f"temperature language mix, tau=3.3 ({COPIES}x docs)",
+          temperature_mix, nd, results)
     docs10.unpersist()
 
     # Embedding near-dup candidate generation at 10x vectors: band_bits

@@ -208,7 +208,10 @@ def test_center_normalize_unit_norm(spark, sf_dir):
     reg = load_all()
     rows = reg["q_embedding_center_normalize"].fn(spark, sf_dir).collect()
     for r in rows[:20]:
-        norm = math.sqrt(sum(x * x for x in r.unit_vec))
+        # unit_vec surfaces via vec_str (scaled-by-1e6 ints joined with ',')
+        # per the no-raw-container registry rule
+        vec = [int(s) / 1e6 for s in r.unit_vec.split(",")]
+        norm = math.sqrt(sum(x * x for x in vec))
         assert abs(norm - 1.0) < 1e-3  # rounded components, loose bound
 
 

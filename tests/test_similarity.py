@@ -241,6 +241,47 @@ def test_hard_negative_mining_triplet_semantics(spark, sf_dir):
         assert len({r["pos_id"] for r in rs}) == 1
 
 
+def test_hard_negative_mining_singleton_anchor_edges(spark):
+    """The two label-cardinality edges of the miner's documented contract
+    (operators/similarity.py mine_hard_negatives docstring):
+    * a SINGLETON-LABEL anchor (no same-label positive) still emits its
+      negatives, with NULL pos_id/pos_score/margin (LEFT join);
+    * an anchor with ZERO different-label candidates (single-label corpus
+      slice) emits no rows at all — no negative => no triplet."""
+    from basin_cli_spark.operators.similarity import mine_hard_negatives
+    import pyspark.sql.functions as F
+
+    # vec 0 is the only 'a'; vecs 1-3 are 'b'
+    df = spark.createDataFrame(
+        [
+            (0, "a", [1.0, 0.0]),
+            (1, "b", [0.9, 0.1]),
+            (2, "b", [0.0, 1.0]),
+            (3, "b", [0.5, 0.5]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    rows = mine_hard_negatives(
+        df, probe_filter=F.col("vec_id") == 0, k=2,
+        id_col="vec_id", vec_col="embedding", label_col="label",
+    ).collect()
+    assert rows, "singleton-label anchor must still emit its negatives"
+    assert all(r["p_id"] == 0 for r in rows)
+    assert all(r["pos_id"] is None for r in rows)
+    assert all(r["pos_score"] is None and r["margin"] is None for r in rows)
+    assert {r["neg_id"] for r in rows} <= {1, 2, 3}
+
+    # single-label corpus: anchor 0 has no different-label candidate
+    mono = df.withColumn("label", F.lit("a"))
+    assert (
+        mine_hard_negatives(
+            mono, probe_filter=F.col("vec_id") == 0, k=2,
+            id_col="vec_id", vec_col="embedding", label_col="label",
+        ).count()
+        == 0
+    )
+
+
 def test_prototype_prune_drops_least_prototypical(spark, sf_dir):
     """Per label: ~10% of vectors are dropped, and every dropped vector
     scores at most the minimum kept similarity for that label."""
