@@ -59,7 +59,15 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query builder to the registry (wrapped so the
-    session always carries REQUIRED_CONFS, whoever constructed it)."""
+    session always carries REQUIRED_CONFS, whoever constructed it).
+
+    Output contract (driver-strict, enforced at run time rather than here
+    because a builder's schema needs a live SparkSession): no raw
+    array/map/struct output columns (use _helpers.vec_str / F.array_join),
+    and every column's type class must match the oracle's Arrow schema.
+    oracle.compare() rejects violations and
+    tests/test_registry_contract.py walks every entry, so a rule-breaking
+    registration fails the suite the first time it executes."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,6 +96,11 @@ def register(name: str, oracle: str | None = None):
 # flagged NULL-masked int-vs-double risk; arrow-level audit says int==int,
 # this row proves it under the driver).  After a green r8, cumulative
 # driver attestation is 203/203.
+#
+# r9 rotation note: with attestation complete, rotate back to a
+# representative family spread, prioritizing (a) any entry red in r8,
+# (b) entries whose code changed since their last green row, (c) the
+# longest-unattested entries (r1-r4 rows predate the hardened oracle).
 REPRESENTATIVE_HEAD = [
     # scalar/relational families never attested
     "q_array_funcs", "q_hash_funcs", "q_conditional_null",
