@@ -324,7 +324,17 @@ def boilerplate_scrub(
     cheap narrow re-scan for executor storage pressure at 100 TB — the
     opposite call from the slim signature/assignment tables this repo
     does persist.  The hot list is corpus-dependent (NOT constant-size),
-    so no broadcast hint: AQE sizes that join at runtime."""
+    so no broadcast hint: AQE sizes that join at runtime.
+
+    Measured dead end (round 8, don't retry): rewriting clean_text from
+    the ORIGINAL doc row — shuffling only hot (id, seg_idx) pairs and
+    replaying the segmentation as a narrow expression — is 1.8-2.2x
+    SLOWER at sf0.1 than this shape.  CollapseProject copies the
+    segmentation expression into every referencing output column (9-11
+    split() calls in the optimized plan across two variants, including
+    an ints-first kept-index form), so the "shuffle-free" rewrite pays
+    3-4 segmentation passes of per-row CPU, which costs more than one
+    segmentation pass plus the text shuffle it was meant to remove."""
     segs = segment_rows(docs, text_col, id_col, seg_words).withColumn(
         "_segh", F.xxhash64("seg")
     )
