@@ -118,8 +118,12 @@ def main() -> None:
     # so gating at write time would measure ourselves) and start the timed
     # pass only once the 1-min load is below the target — or the wait
     # budget runs out, in which case the artifact documents that.
+    # wait budget bounded at 300s: a 1-min loadavg decays from ~10 to <2
+    # within ~3 min of true idle, so a longer wait only helps under
+    # sustained external load (where it wouldn't converge anyway) and
+    # risks the round driver's own bench timeout.
     load_target = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
-    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "600"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "300"))
     load_at_gate = os.getloadavg()[0]
     waited = 0.0
     while load_at_gate >= load_target and waited < wait_budget:
