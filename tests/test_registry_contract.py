@@ -54,6 +54,13 @@ def test_no_raw_container_outputs(spark, sf_dir, name):
         "(queries/_helpers.vec_str for double vectors, F.array_join for "
         "string arrays); a raw list crashes the driver's canonicalizer"
     )
+    # Spark happily produces duplicate output names (e.g. an unaliased
+    # join key from both sides); pandas then mangles them and the
+    # driver's column-sorted hash breaks
+    names = [f.name for f in sdf.schema.fields]
+    assert len(set(names)) == len(names), (
+        f"{name} has duplicate output column names: {names}"
+    )
     spark.catalog.clearCache()
 
 
