@@ -529,3 +529,40 @@ def test_gram_coverage_fold_matches_counter_replay(spark, docs, k):
         gb, gd, gt, gs = got[i]
         assert (gb, gd, gt) == (best, dup, top), (i, toks)
         assert abs(gs - s) < 1e-9, (i, toks, gs, s)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-2.0, max_value=2.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_vec_str_spark_duckdb_differential(spark, xs):
+    """_helpers.vec_str and sql_vec_str must agree bit-for-bit on any
+    double vector that went through round(·, 6) first (the helper's
+    documented precondition) — including negatives, near-zero values
+    that round to -0.0, and values whose x*1e6 sits a ULP off an
+    integer.  This is the seam where Spark's truncating double->long
+    cast and DuckDB's rounding one diverge if ROUND is skipped."""
+    import duckdb
+
+    from basin_cli_spark.queries._helpers import sql_vec_str, vec_str
+
+    from pyspark.sql import functions as F
+
+    rounded = [round(x, 6) for x in xs]
+    sdf = spark.createDataFrame(
+        [(rounded,)], "v array<double>"
+    ).select(vec_str("v").alias("s"))
+    got_spark = sdf.collect()[0]["s"]
+
+    con = duckdb.connect()
+    lit = "[" + ", ".join(repr(x) for x in rounded) + "]"
+    got_duck = con.execute(
+        f"SELECT {sql_vec_str(f'CAST({lit} AS DOUBLE[])')} AS s"
+    ).fetchone()[0]
+    assert got_spark == got_duck, (rounded, got_spark, got_duck)
