@@ -588,6 +588,122 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
+    # ---- 100x spot checks: one order closer to the target scale --------
+    # A subset of the core shapes at 100x (60M fact rows / 500k docs):
+    # the shapes whose scaling law is the claim (hash-agg map-side
+    # partials, per-group window heaps, narrow per-row folds, skew-escaped
+    # group limit, bucketed pair generation).  The embedding pair-gen and
+    # boilerplate shapes are EXCLUDED here on honesty grounds: synthetic
+    # 100x replication makes every row a 100-way exact duplicate, so
+    # their candidate sets grow as copies^2 by construction — that
+    # measures the fixture's degeneracy, not the operator (the 10x rows
+    # above already carry the same caveat mildly; at 100x it dominates).
+    C100 = 100
+    li100 = li.withColumn(
+        "_copy", F.explode(F.array(*[F.lit(i) for i in range(C100)]))
+    ).withColumn(
+        "l_orderkey", F.col("l_orderkey") * C100 + F.col("_copy")
+    ).drop("_copy").repartition(
+        spark.sparkContext.defaultParallelism
+    ).persist()
+    n100 = li100.count()
+    results100: list[tuple] = []
+
+    def q1_100():
+        price, disc = dec("l_extendedprice"), dec("l_discount")
+        return (
+            li100.where(
+                F.col("l_shipdate")
+                <= F.lit("1998-09-02").cast("timestamp_ntz")
+            )
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                dec_sum(dec("l_quantity"), "sum_qty"),
+                dec_sum(price * (1 - disc), "sum_disc_price"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .count()
+        )
+
+    def dedup_100():
+        return (
+            li100.groupBy(
+                F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber"))
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+            .count()
+        )
+
+    def topk_100():
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("l_returnflag").orderBy(F.desc("l_extendedprice"))
+        return (
+            li100.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 100)
+            .count()
+        )
+
+    timed(f"q1-shape agg ({C100}x)", q1_100, n100, results100)
+    timed(f"exact dedup hash-agg ({C100}x)", dedup_100, n100, results100)
+    timed(f"top-100 per group window ({C100}x)", topk_100, n100, results100)
+    li100.unpersist()
+
+    docs100 = docs.withColumn(
+        "_copy", F.explode(F.array(*[F.lit(i) for i in range(C100)]))
+    ).withColumn(
+        "doc_id", F.col("doc_id") * C100 + F.col("_copy")
+    ).drop("_copy").repartition(
+        spark.sparkContext.defaultParallelism
+    ).persist()
+    nd100 = docs100.count()
+
+    def folds_100():
+        toks = docs100.select(
+            "doc_id", DD.tokens("text").alias("__toks")
+        )
+        return toks.select(
+            "doc_id",
+            *[
+                DD.gram_coverage_fold(
+                    DD.shingles(F.col("__toks"), k)
+                ).alias(f"_f{k}")
+                for k in (2, 3, 4, 5)
+            ],
+        ).count()
+
+    def cap_100():
+        from pyspark.sql import Window as W
+
+        skewed = docs100.withColumn(
+            "source",
+            F.when(F.col("doc_id") % 10 < 9, F.lit("giant")).otherwise(
+                F.col("source")
+            ),
+        ).select("doc_id", "source", F.md5("text").alias("_mk"))
+        w = W.partitionBy("source").orderBy("_mk", "doc_id")
+        return (
+            skewed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 50)
+            .count()
+        )
+
+    def gopher_100():
+        from basin_cli_spark.queries.corpus_ops import (
+            _gopher_passes,
+            _gopher_signals,
+        )
+
+        return _gopher_signals(docs100).where(_gopher_passes()).count()
+
+    timed(f"Gopher repetition folds, narrow pass ({C100}x docs)",
+          folds_100, nd100, results100)
+    timed(f"per-source cap, 90%-skewed source ({C100}x docs)",
+          cap_100, nd100, results100)
+    timed(f"Gopher rule stack, JVM array folds ({C100}x docs)",
+          gopher_100, nd100, results100)
+    docs100.unpersist()
+
     lines = [
         "# SCALE — 10x smoke results",
         "",
@@ -598,6 +714,25 @@ def main() -> None:
         "|---|---|---|---|---|",
     ]
     for label, rows_in, n_out, sec, mrps in results:
+        lines.append(
+            f"| {label} | {rows_in:,} | {n_out:,} | {sec:.2f} | {mrps * 1000:,.0f} |"
+        )
+    lines += [
+        "",
+        "## 100x spot checks",
+        "",
+        f"Same session, {n100:,} fact rows / {nd100:,} documents.  A",
+        "shape scales if its K rows/s here is within ~2x of its 10x row",
+        "(per-partition work constant; only partition count grows).",
+        "Pair-generation and segment-rewrite shapes are excluded at 100x:",
+        "synthetic replication makes every row a 100-way exact duplicate,",
+        "so their candidate sets grow as copies^2 by construction and the",
+        "measurement would reflect fixture degeneracy, not the operator.",
+        "",
+        "| workload | rows in | rows out | sec | K rows/s |",
+        "|---|---|---|---|---|",
+    ]
+    for label, rows_in, n_out, sec, mrps in results100:
         lines.append(
             f"| {label} | {rows_in:,} | {n_out:,} | {sec:.2f} | {mrps * 1000:,.0f} |"
         )
