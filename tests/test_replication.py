@@ -435,7 +435,14 @@ class LoopbackWalsender(threading.Thread):
             struct.pack(">i", W.AUTH_SASL)
             + W.SCRAM_MECHANISM.encode() + b"\0\0",
         ))
-        t, payload = W.recv_message(conn)
+        msg = W.recv_message(conn)
+        if msg is None:
+            # client aborted the handshake — the expected path in the
+            # rejection tests; without this guard the unpack raises in
+            # the server thread (PytestUnhandledThreadExceptionWarning)
+            self.auth_result = "client-aborted"
+            return False
+        t, payload = msg
         assert t == W.SASL_RESPONSE
         mech, rest = payload.split(b"\0", 1)
         assert mech.decode() == W.SCRAM_MECHANISM
@@ -458,7 +465,11 @@ class LoopbackWalsender(threading.Thread):
             # the client must have aborted; nothing more to read
             self.auth_result = "scram-nonce-replaced"
             return False
-        t, payload = W.recv_message(conn)
+        msg = W.recv_message(conn)
+        if msg is None:
+            self.auth_result = "client-aborted"
+            return False
+        t, payload = msg
         assert t == W.SASL_RESPONSE
         server_final = verifier.verify_client_final(payload.decode())
         if server_final is None:
