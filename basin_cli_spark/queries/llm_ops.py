@@ -1572,9 +1572,13 @@ def q_text_entropy(spark, sf_dir):
     par = spark.sparkContext.defaultParallelism
     chars = d.repartition(par).select(
         "doc_id",
-        # DOTALL lookahead so '\n' splits into its own char, matching
-        # the oracle's per-character SUBSTRING loop
-        F.split("text", "(?!^)(?=(?s:.))").alias("__ch"),
+        # empty-pattern split = one element per CODEPOINT (Java 8+ split
+        # never cuts a surrogate pair on a zero-width match boundary,
+        # unlike the lookahead form "(?!^)(?=(?s:.))", which splits emoji
+        # and other supplementary chars into broken surrogate halves and
+        # diverges from the oracle's per-character SUBSTRING loop —
+        # caught by tests/test_unicode.py on the emoji docs)
+        F.split("text", "").alias("__ch"),
     )
     return chars.select(
         "doc_id",
