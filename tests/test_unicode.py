@@ -35,8 +35,11 @@ _TEXTS = [
 @pytest.fixture(scope="module")
 def uni_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("unicorpus")
+    # lang='en' so the lang-filtered operators (q_text_fingerprint) are
+    # non-vacuous; n_chars counts PYTHON codepoints, the same unit Spark
+    # length()/substring() and DuckDB LENGTH()/SUBSTRING use
     rows = [
-        (i, t * 8, "xx", f"src{i % 2}", len(t * 8))
+        (i, t * 8, "en", f"src{i % 2}", len(t * 8))
         for i, t in enumerate(_TEXTS)
     ]
     spark.createDataFrame(
@@ -64,6 +67,11 @@ def uni_dir(spark, tmp_path_factory):
         "q_text_hash_embedding",  # md5-nibble dims + vec_str stringify
         "q_corpus_boilerplate_scrub",  # segmentation + rewrite join
         "q_text_bigram_logprob",  # bigram LM over unicode tokens
+        "q_text_pii_scrub",       # regex redaction over unicode text
+        "q_text_quality_score",   # punct/stopword/length feature probe
+        "q_vocab_oov_rate",       # top-500 vocab + membership scan
+        "q_chunk_documents",      # substring windows in CODEPOINT units
+        "q_text_fingerprint",     # [^a-z ]-strip + rolling hash (lang=en)
     ],
 )
 def test_unicode_corpus_differential(spark, uni_dir, name):
