@@ -72,7 +72,10 @@ def dot_arrow(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
+    """try_divide: a zero-norm vector has no cosine — NULL, matching
+    DuckDB's x/0, instead of an ANSI DIVIDE_BY_ZERO that would kill the
+    whole job on one malformed embedding."""
+    return F.try_divide(dot(a, b), F.sqrt(norm_sq(a) * norm_sq(b)))
 
 
 def cosine_topk(

@@ -26,21 +26,31 @@ def _hits(toks: Column, words: list[str]) -> Column:
 
 def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality features: length, token count, punctuation
-    ratio, stopword ratio, mean token length."""
+    ratio, stopword ratio, mean token length.
+
+    Ratios use try_divide: an empty or whitespace-only document has
+    n_chars or n_tokens of 0, and under ANSI mode a plain ``/`` kills the
+    whole job with DIVIDE_BY_ZERO (caught by the degenerate-corpus
+    differential suite).  NULL ratios match DuckDB, whose ``x / 0`` is
+    NULL — degenerate docs then gate to 'drop' in quality_score on both
+    engines."""
     toks = tokens(text_col)
     n_chars = F.length(text_col)
     n_punct = n_chars - F.length(F.regexp_replace(text_col, _PUNCT, ""))
     n_tokens = F.size(toks)
     n_stop = _hits(toks, STOPWORDS["en"])
-    mean_tok_len = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    ).cast("double") / n_tokens
+    mean_tok_len = F.try_divide(
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).cast("double"),
+        n_tokens,
+    )
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        (n_punct.cast("double") / n_chars).alias("punct_ratio"),
-        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        F.try_divide(n_punct.cast("double"), n_chars).alias("punct_ratio"),
+        F.try_divide(n_stop.cast("double"), n_tokens).alias("stopword_ratio"),
         mean_tok_len.alias("mean_token_len"),
     )
 
@@ -214,6 +224,11 @@ def hash_embedding(
     unit = F.transform(
         dense, lambda x: F.round(x.cast("double") / norm, 6)
     )
-    return assembled.select(
+    # norm > 0: a document whose signed counts cancel to the zero vector
+    # (two tokens on one dim with opposite signs) has no direction to
+    # normalize — drop it on BOTH engines rather than ANSI-crash here and
+    # emit a NULL-element list in DuckDB (the oracles carry the matching
+    # HAVING on the norm)
+    return assembled.where(norm > 0).select(
         F.col(id_col), unit.alias("embedding")
     )

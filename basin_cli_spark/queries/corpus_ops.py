@@ -1783,6 +1783,7 @@ SELECT vec_id,
          x -> CAST(ROUND(x * 1000000) AS BIGINT)), ',')
          AS unit_vec
 FROM centered
+WHERE LIST_REDUCE(LIST_TRANSFORM(cv, y -> y * y), (a, b) -> a + b) > 0
 """
 
 
@@ -1818,8 +1819,11 @@ def q_embedding_center_normalize(spark, sf_dir):
     )
     # vec_str (no-raw-container rule): the unit vector surfaces as a
     # ','-joined scaled-integer string, not an array<double> the driver's
-    # canonicalizer cannot hash
-    return centered.select(
+    # canonicalizer cannot hash.  norm > 0: a vector exactly equal to the
+    # centroid (guaranteed in a single-vector corpus) centers to zero and
+    # has no direction — dropped on both engines instead of an ANSI
+    # DIVIDE_BY_ZERO here / a NULL-element list in DuckDB.
+    return centered.where(norm > 0).select(
         "vec_id",
         vec_str(F.transform("cv", lambda x: F.round(x / norm, 6))).alias(
             "unit_vec"

@@ -768,8 +768,10 @@ def _embedding_dedup_pairs(spark, sf_dir):
         )
     )
     score = F.round(
-        S.dot_arrow(F.col("_emb_a"), F.col("_emb_b"))
-        / F.sqrt(F.col("_n2_a") * F.col("_n2_b")),
+        F.try_divide(
+            S.dot_arrow(F.col("_emb_a"), F.col("_emb_b")),
+            F.sqrt(F.col("_n2_a") * F.col("_n2_b")),
+        ),
         6,
     )
     return scored.select("vec_a", "vec_b", score.alias("score")).where(
@@ -1294,8 +1296,10 @@ def q_dedup_semantic_ivf(spark, sf_dir, max_cell=4096):
         "vec_b",
     )
     score = F.round(
-        S.dot_arrow(F.col("_emb_a"), F.col("_emb_b"))
-        / F.sqrt(F.col("_n2_a") * F.col("_n2_b")),
+        F.try_divide(
+            S.dot_arrow(F.col("_emb_a"), F.col("_emb_b")),
+            F.sqrt(F.col("_n2_a") * F.col("_n2_b")),
+        ),
         6,
     )
     return (
@@ -2559,6 +2563,7 @@ SELECT d.doc_id,
        LIST(ROUND(CAST(d.w AS DOUBLE) / n.nrm, 6) ORDER BY d.dim)
          AS embedding
 FROM dense d JOIN norms n USING (doc_id)
+WHERE n.nrm > 0
 GROUP BY d.doc_id
 """
 
