@@ -435,3 +435,40 @@ def test_dsir_select_plan_shape(spark, sf_dir, registry):
     assert "SortMergeJoin" not in body and "ShuffledHashJoin" not in body
     assert "BroadcastHashJoin" in body
     assert "MapInPandas" not in body and "ArrowEvalPython" not in body
+
+
+# Measured-good expensive-expression duplication bounds in the OPTIMIZED
+# plan.  CollapseProject inlining is the trap this pins: a token/gram/
+# segment array (or a norm fold) that gets copied into every referencing
+# expression turns a narrow per-row pass into O(tokens^2)/O(d^2) work —
+# measured 3.8-5x regressions on repetition folds (r7) and 1.8-2.2x on the
+# boilerplate-rewrite experiment (r8).  A future restructure that raises a
+# count should be a conscious decision with a new measurement, not a silent
+# optimizer side effect.
+_EXPR_DUP_BOUNDS = {
+    # name: (max split( occurrences, max aggregate( occurrences)
+    "q_text_repetition": (2, 1),
+    "q_corpus_dup_ngram_stats": (1, 4),
+    "q_text_entropy": (1, 1),
+    "q_embedding_anisotropy": (0, 2),
+    "q_corpus_boilerplate_scrub": (6, 0),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_EXPR_DUP_BOUNDS))
+def test_fold_queries_expression_duplication_bounded(
+    spark, sf_dir, registry, name
+):
+    max_split, max_agg = _EXPR_DUP_BOUNDS[name]
+    df = registry[name].fn(spark, sf_dir)
+    op = df._jdf.queryExecution().optimizedPlan().toString()
+    n_split, n_agg = op.count("split("), op.count("aggregate(")
+    assert n_split <= max_split, (
+        f"{name}: {n_split} split() calls in the optimized plan "
+        f"(measured-good bound {max_split}) — CollapseProject is likely "
+        "re-inlining the tokenization into every referencing expression"
+    )
+    assert n_agg <= max_agg, (
+        f"{name}: {n_agg} aggregate() folds in the optimized plan "
+        f"(bound {max_agg}) — a fold is being recomputed per reference"
+    )
