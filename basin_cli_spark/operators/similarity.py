@@ -608,12 +608,16 @@ def kcenter_select(
     in operators/kmeans.py); for k beyond tens, run it over cluster
     centroids (q_sample_cluster_cap's cells) instead of raw rows.
 
-    NULL-embedding rows are dropped up front (a NULL max-cos would sort
-    NULLS FIRST and win every argmin); if the table holds fewer than
+    NULL-embedding AND zero-norm rows are dropped up front: either kind
+    yields a NULL max-cos (cosine() is try_divide-guarded, so a zero
+    vector divides to NULL instead of ANSI-crashing) which would sort
+    NULLS FIRST and win every argmin.  If the table holds fewer than
     ``k`` usable rows the selection stops early and returns every row,
     in pick order — an empty table raises ValueError.
     """
-    src = df.where(F.col(vec_col).isNotNull())
+    src = df.where(
+        F.col(vec_col).isNotNull() & (norm_sq(F.col(vec_col)) > 0)
+    )
     seed_rows = (
         src.select(id_col, vec_col)
         .orderBy(F.col(id_col).asc())

@@ -156,3 +156,19 @@ def test_anisotropy_degenerate_values(spark, degen_emb_dir):
     assert rows[2]["mean_pairwise_cos"] == pytest.approx(1.0, abs=1e-6)
     assert rows[3]["mean_pairwise_cos"] is None
     assert rows[3]["n_vecs"] == 1
+
+
+def test_kcenter_degenerate_rows_and_small_corpus(spark, degen_emb_dir):
+    """kcenter_select on the degenerate embeddings: the zero vector must
+    never be picked (its NULL max-cos would otherwise win every argmin
+    under NULLS FIRST), k > usable-rows stops early with every usable row
+    picked exactly once, and far_cos stays monotone non-decreasing."""
+    from basin_cli_spark.operators.similarity import kcenter_select
+
+    e = spark.read.parquet(f"{degen_emb_dir}/embeddings.parquet")
+    picks = kcenter_select(e, k=100)
+    ids = [vid for _, vid, _ in picks]
+    assert 3 not in ids, "the zero vector was selected"
+    assert len(ids) == len(set(ids)) == 6  # 7 rows minus the zero vector
+    cos = [c for _, _, c in picks[1:]]
+    assert cos == sorted(cos)
