@@ -128,6 +128,12 @@ def degen_emb_dir(spark, tmp_path_factory):
     [
         "q_embedding_anisotropy",        # zero-norm excluded, singleton NULL
         "q_embedding_center_normalize",  # centroid-equal vector dropped
+        # zero vector's cosine is NULL on both engines (try_divide vs
+        # x/0), filtered by the >= 0.40 gate; the identical pair scores
+        # 1.0 so the result is non-vacuous.  band_bits_for(7) = 4, the
+        # same bits the static oracle replays.
+        "q_dedup_embedding",
+        "q_dedup_embedding_keep_one",
     ],
 )
 def test_degenerate_embeddings_differential(spark, degen_emb_dir, name):
