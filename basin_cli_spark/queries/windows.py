@@ -222,7 +222,7 @@ def q_window_sliding(spark, sf_dir):
     "q_session_window",
     """
 WITH gaps AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE OR
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -230,8 +230,12 @@ WITH gaps AS (
   FROM events WHERE user_id < 100
 ),
 sessions AS (
+  -- ORDER BY ts, event_id: ts alone is not a total order under duplicate
+  -- timestamps, and a ROWS cumsum over a non-total order places the
+  -- session-opening row nondeterministically among its ts-peers (caught
+  -- by tests/test_degenerate_events.py as a flaky extra session)
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM gaps
 )
