@@ -164,10 +164,25 @@ def shingle_rows(
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup by content hash: keep the smallest id per hash.
     One shuffle on the hash; at scale the hash-groupBy partial-aggregates
-    map-side so only (hash, min_id, count) rows move."""
-    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
-        F.min(id_col).alias("keep_id"),
-        F.count(F.lit(1)).alias("n_copies"),
+    map-side so only (hash, min_id, count) rows move.
+
+    The GROUP key is the 16-byte ``unhex(md5)`` binary, not the 32-char
+    hex string — on a mostly-unique corpus the shuffle carries one row
+    per distinct key per map partition, so the key is most of the row
+    and the binary form cuts shuffle bytes ~40% (the 100x smoke's exact-
+    dedup row is shuffle-bound).  The hex form is re-derived for the
+    output only (lower() — Spark's hex() is uppercase, md5() lowercase)."""
+    return (
+        df.groupBy(F.unhex(F.md5(F.col(text_col))).alias("_h"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.lower(F.hex("_h")).alias("content_hash"),
+            "keep_id",
+            "n_copies",
+        )
     )
 
 

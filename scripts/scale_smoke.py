@@ -68,8 +68,13 @@ def main() -> None:
         )
 
     def dedup():
+        # binary unhex(md5) key (operators/dedup.exact_dedup's form): on a
+        # mostly-unique corpus the key is most of the shuffled row, and the
+        # 16-byte binary cuts shuffle bytes ~40% vs the 32-char hex string
         return (
-            li10.groupBy(F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")))
+            li10.groupBy(
+                F.unhex(F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")))
+            )
             .agg(F.count(F.lit(1)).alias("c"))
             .count()
         )
@@ -628,7 +633,7 @@ def main() -> None:
     def dedup_100():
         return (
             li100.groupBy(
-                F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber"))
+                F.unhex(F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber")))
             )
             .agg(F.count(F.lit(1)).alias("c"))
             .count()
