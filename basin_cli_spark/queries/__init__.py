@@ -97,38 +97,46 @@ def register(name: str, oracle: str | None = None):
 # this row proves it under the driver).  After a green r8, cumulative
 # driver attestation is 203/203.
 #
-# r9 rotation note: with attestation complete, rotate back to a
-# representative family spread, prioritizing (a) any entry red in r8,
-# (b) entries whose code changed since their last green row, (c) the
-# longest-unattested entries (r1-r4 rows predate the hardened oracle).
+# Round-9 rotation — the stale-first freshness head: CORRECTNESS r1-r8
+# attestation is 203/203 cumulative with zero red latest rows, so r9
+# rotates the 43 entries whose latest driver row predates round 5 (they
+# predate the hardened driver-strict canonicalizer and four rounds of code
+# churn: outer-join family, 17 TPC-H shapes, rollup/cube/pivot/unpivot,
+# corr/covar/median, simhash/ngram-jaccard dedup, events at/latest_n,
+# CDC replays) plus 7 round-5 picks whose underlying code changed since
+# their last green row — q_dedup_exact (binary unhex(md5) key rework,
+# commit ab673d5), keep_one/minhash (shared dedup kernels), the three
+# similarity probes (operators/similarity.py churn), decontaminate (Bloom
+# prefilter touched in r6).  After a green r9, no registry entry's latest
+# attestation predates round 5.
 REPRESENTATIVE_HEAD = [
-    # scalar/relational families never attested
-    "q_array_funcs", "q_hash_funcs", "q_conditional_null",
-    "q_explode_posexplode", "q_map_funcs", "q_interval_arith",
-    "q_uuid_canonical", "q_json_roundtrip", "q_histogram",
-    # set ops (ALL variants)
-    "q_union_all", "q_intersect_all",
-    # window family
-    "q_window_rank", "q_window_lag_lead", "q_window_running",
-    "q_window_moving_avg", "q_window_sliding", "q_window_percent_rank",
-    # streaming tail
-    "q_stream_dedup", "q_stream_static_join", "q_stream_dsir_score",
-    # text analysis / curation never attested
-    "q_text_normalize", "q_text_pii_scrub", "q_text_entropy",
-    "q_text_hash_embedding", "q_similarity_text_hash",
-    "q_chunk_documents", "q_vocab_oov_rate", "q_corpus_split",
-    "q_corpus_source_stats", "q_corpus_quantile_prune",
-    "q_token_budget_pack", "q_sample_weighted", "q_dedup_provenance",
-    "q_llm_prep_pipeline", "q_llm_prep_pipeline_v2",
-    # late-r7 tail flagships
-    "q_corpus_unimax_apply", "q_corpus_temperature_mix",
-    "q_corpus_dup_ngram_stats", "q_sample_kcenter", "q_corpus_domain_kl",
-    "q_corpus_zipf_slope", "q_embedding_anisotropy",
-    # the five r7-red entries, fixed this round
-    "q_math_funcs", "q_regexp_extract", "q_text_repetition",
-    "q_embedding_center_normalize", "q_multimodal_features",
-    # re-attestation picks
-    "q_ecmh_digest_by_group", "q_datetime_funcs", "q_window_nth_value",
+    # outer/cross/theta join family (last attested r1)
+    "q_join_left", "q_join_right", "q_join_full", "q_join_semi",
+    "q_join_theta", "q_join_cross",
+    # events surface (r1) + token count (r3)
+    "q_events_at", "q_events_latest_n", "q_text_token_count",
+    # TPC-H shapes last attested r4
+    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+    "q8_market_share", "q10_returned_items", "q11_important_parts",
+    "q12_priority_by_returnflag", "q13_customer_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier",
+    "q16_part_supplier_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_discounted_revenue",
+    "q20_excess_shippers", "q21_waiting_suppliers", "q22_dormant_customers",
+    # aggregate family last attested r4
+    "q_agg_first_last", "q_collect_list_sorted", "q_corr_covar",
+    "q_count_distinct_multi", "q_grouping_cube", "q_grouping_rollup",
+    "q_maxby_minby", "q_median_percentile", "q_stddev_var",
+    "q_pivot", "q_unpivot",
+    # CDC replays (r4)
+    "q_cdc_replay_t", "q_cdc_replay_m",
+    # dedup family last attested r4
+    "q_dedup_exact_events", "q_dedup_ngram_jaccard", "q_dedup_simhash",
+    "q_minhash_jaccard_estimate",
+    # r5 picks with post-r5 code churn
+    "q_dedup_exact", "q_dedup_keep_one", "q_dedup_minhash",
+    "q_similarity_bruteforce", "q_similarity_ann_lsh",
+    "q_similarity_ann_multiprobe", "q_decontaminate",
 ]
 
 
