@@ -337,6 +337,7 @@ def mine_hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     round_to: int = 6,
+    require_all_anchors: bool = False,
 ) -> DataFrame:
     """Hard-negative triplet mining (Schroff et al. 2015 FaceNet, public):
     for each anchor selected by ``probe_filter``, the hardest positive
@@ -347,14 +348,19 @@ def mine_hard_negatives(
     Anchors whose label has no second member still emit their negatives —
     a LEFT join against the positives, so a singleton-label anchor is
     never silently erased from the mining output (its pos_id/pos_score/
-    margin are NULL).  The asymmetric edge is the converse: the output is
-    DRIVEN BY the negatives, so an anchor with zero different-label
-    candidates (every other vector shares its label — only possible in a
-    single-label corpus slice) emits no rows at all.  That is the
-    intended semantics for a triplet miner (no negative ⇒ no triplet),
-    and the registry oracle ranks from the same neg side, but library
-    callers who need every anchor surfaced should pre-check label
-    cardinality.
+    margin are NULL).  The asymmetric edge is the converse: by default
+    the output is DRIVEN BY the negatives, so an anchor with zero
+    different-label candidates (every other vector shares its label —
+    only possible in a single-label corpus slice) emits no rows at all.
+    That is the intended semantics for a triplet miner (no negative ⇒ no
+    triplet), and the registry oracle ranks from the same neg side.
+    Callers who need every probed anchor surfaced pass
+    ``require_all_anchors=True``: the output is then driven by the
+    anchor set (a LEFT join from probes to negatives), so a
+    zero-negative anchor emits one row with NULL neg_id/neg_score/
+    neg_rank/margin instead of vanishing — the anchor relation is
+    already broadcast-sized, so the extra join costs one more
+    anchor-sized broadcast, nothing corpus-shaped.
 
     Scale shape: the anchor set broadcasts (bounded by the probe
     predicate), the corpus is scanned once and never shuffled until the
@@ -403,7 +409,16 @@ def mine_hard_negatives(
             F.col("r").alias("neg_rank"),
         )
     )
-    return neg.join(pos, "p_id", "left").select(
+    if require_all_anchors:
+        anchors = probes.select(
+            "p_id", F.col("p_label").alias("anchor_label")
+        )
+        base = anchors.join(
+            F.broadcast(neg.drop("anchor_label")), "p_id", "left"
+        )
+    else:
+        base = neg
+    return base.join(pos, "p_id", "left").select(
         "p_id",
         "anchor_label",
         "pos_id",
@@ -600,13 +615,21 @@ def kcenter_select(
     is engine-independent; ties break on the smallest id.
 
     Scale shape: the chosen set is a model parameter (k vectors — a few
-    KB), carried as a broadcast-style array literal into k-1 narrow
-    passes; each pass is scan -> max-cos fold -> TakeOrderedAndProject,
-    so exactly ONE slim row reaches the driver per iteration and the
-    vector column never shuffles.  k sequential passes over the corpus is
-    the textbook distributed FPS trade (same altitude as the Lloyd loop
-    in operators/kmeans.py); for k beyond tens, run it over cluster
-    centroids (q_sample_cluster_cap's cells) instead of raw rows.
+    KB), carried as broadcast relations into k-1 narrow passes; each pass
+    is scan -> anti-join on the chosen-ids relation -> max-cos fold over a
+    1-row broadcast chosen-vectors state -> TakeOrderedAndProject, so
+    exactly ONE slim row reaches the driver per iteration and the vector
+    column never shuffles.  The chosen set rides as DATA (a LocalRelation
+    on the small side of a broadcast anti-join, plus a 1-row scalar
+    broadcast for scoring), NOT as literals baked into the plan — so the
+    plan text is the same size at step 2 and step 200 instead of growing
+    an `isin` list and k vector literals per step (Catalyst analysis time
+    and codegen size stay flat in k;
+    tests/test_similarity.py::test_kcenter_step_plan_size_constant pins
+    it).  k sequential passes over the corpus is the textbook distributed
+    FPS trade (same altitude as the Lloyd loop in operators/kmeans.py);
+    for k beyond tens, run it over cluster centroids
+    (q_sample_cluster_cap's cells) instead of raw rows.
 
     NULL-embedding AND zero-norm rows are dropped up front: either kind
     yields a NULL max-cos (cosine() is try_divide-guarded, so a zero
@@ -632,23 +655,8 @@ def kcenter_select(
     ]
     out: list[tuple[int, int, float | None]] = [(0, seed[0], None)]
     for step in range(1, k):
-        chosen_ids = [cid for cid, _ in chosen]
-        cands = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in vec])
-                for _, vec in chosen
-            ]
-        )
-        max_cos = F.array_max(
-            F.transform(cands, lambda c: cosine(F.col(vec_col), c))
-        )
         pick_rows = (
-            src.where(~F.col(id_col).isin(chosen_ids))
-            .select(
-                F.col(id_col),
-                F.col(vec_col),
-                F.round(max_cos, round_to).alias("_mc"),
-            )
+            _kcenter_step(src, chosen, id_col, vec_col, round_to)
             .orderBy(F.col("_mc").asc(), F.col(id_col).asc())
             .limit(1)
             .collect()
@@ -659,3 +667,42 @@ def kcenter_select(
         chosen.append((pick[0], [float(x) for x in pick[1]]))
         out.append((step, pick[0], float(pick[2])))
     return out
+
+
+def _kcenter_step(
+    src: DataFrame,
+    chosen: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    round_to: int,
+) -> DataFrame:
+    """One FPS pass: candidates (chosen ids anti-joined away) scored with
+    max cosine to the chosen set.
+
+    The chosen set enters as data, not literals: ids as a LocalRelation on
+    the broadcast side of a LEFT ANTI join (replacing a per-step-growing
+    `isin` literal), vectors as ONE row of array<array<double>> cross-
+    broadcast for the scoring fold (replacing k inline vector literals).
+    Both relations' plan text is O(1) in len(chosen).  The fold itself is
+    unchanged — transform in pick order, sequential-fold cosine, round —
+    so picks are bit-identical to the literal formulation and the DuckDB
+    oracle."""
+    spark = src.sparkSession
+    chosen_ids = spark.createDataFrame(
+        [(int(cid),) for cid, _ in chosen], f"{id_col} bigint"
+    )
+    state = spark.createDataFrame(
+        [([vec for _, vec in chosen],)], "_chosen array<array<double>>"
+    )
+    max_cos = F.array_max(
+        F.transform(F.col("_chosen"), lambda c: cosine(F.col(vec_col), c))
+    )
+    return (
+        src.join(F.broadcast(chosen_ids), id_col, "left_anti")
+        .crossJoin(F.broadcast(state))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(max_cos, round_to).alias("_mc"),
+        )
+    )

@@ -113,7 +113,15 @@ def canon_value(v):
             return "NaN"
         return repr(f)
     if isinstance(v, _decimal.Decimal):
-        return repr(float(v))
+        # Lossless: a float round-trip would collapse >2^53 decimals that
+        # differ by <1 double-ULP (HUGEINT/DECIMAL(38,0) sums) into equal
+        # strings.  normalize() strips trailing zeros so the same value at
+        # different scales (DECIMAL(18,2) 7.00 vs DECIMAL(38,12) 7.000…)
+        # canonicalizes identically; 'f' formatting keeps plain notation
+        # (str(Decimal('1E+2')) would split engines on exponent form).
+        if v.is_nan():
+            return "NaN"
+        return format(v.normalize(), "f")
     if isinstance(v, (np.integer, int)):
         return str(int(v))
     if isinstance(v, (np.bool_, bool)):

@@ -78,21 +78,32 @@ def vec_str(col: Column | str, scale: int = 6) -> Column:
     double->long cast truncates while DuckDB's rounds, so the cast must see
     an exact .0) and joined with ','.  Scaled integers also dodge the
     -0.0-vs-0.0 and shortest-repr formatting traps of stringifying doubles
-    directly."""
+    directly.
+
+    NULL elements surface as an explicit 'NULL' token (Spark's
+    null_replacement; COALESCE per element on the DuckDB side) — both
+    engines' default join DROPS null elements, which would silently lose
+    positional information and could mask an upstream bug that produced a
+    NULL vector element (a [1,NULL,3] and a [1,3] vector must not
+    canonicalize to the same string)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array_join(
         F.transform(
             c, lambda x: F.round(x * (10 ** scale), 0).cast("long").cast("string")
         ),
         ",",
+        "NULL",
     )
 
 
 def sql_vec_str(expr: str, scale: int = 6) -> str:
-    """DuckDB replay of vec_str over a DOUBLE list expression."""
+    """DuckDB replay of vec_str over a DOUBLE list expression (including
+    the per-element NULL sentinel — ARRAY_TO_STRING itself drops NULLs, so
+    the COALESCE must run inside the transform)."""
     return (
         f"ARRAY_TO_STRING(LIST_TRANSFORM({expr}, "
-        f"x -> CAST(ROUND(x * {10 ** scale}) AS BIGINT)), ',')"
+        f"x -> COALESCE(CAST(CAST(ROUND(x * {10 ** scale}) AS BIGINT) AS VARCHAR),"
+        f" 'NULL')), ',')"
     )
 
 

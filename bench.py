@@ -122,19 +122,33 @@ def main() -> None:
     # within ~3 min of true idle, so a longer wait only helps under
     # sustained external load (where it wouldn't converge anyway) and
     # risks the round driver's own bench timeout.
+    # "clean" requires TWO consecutive below-target polls: a single final
+    # sample can catch a momentary dip at the exact end of the wait budget
+    # and stamp a capture clean while the first timed queries still run
+    # against the decaying load tail.
     load_target = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "300"))
-    load_at_gate = os.getloadavg()[0]
+    samples = [os.getloadavg()[0]]
     waited = 0.0
-    while load_at_gate >= load_target and waited < wait_budget:
+
+    def _two_below() -> bool:
+        return (
+            len(samples) >= 2
+            and samples[-1] < load_target
+            and samples[-2] < load_target
+        )
+
+    while not _two_below() and waited < wait_budget:
         time.sleep(15)
         waited += 15
-        load_at_gate = os.getloadavg()[0]
+        samples.append(os.getloadavg()[0])
     load_gate = {
         "target": load_target,
         "waited_s": waited,
-        "load_at_start": round(load_at_gate, 2),
-        "clean": load_at_gate < load_target,
+        "load_at_start": round(samples[-1], 2),
+        "load_min_seen": round(min(samples), 2),
+        "load_max_seen": round(max(samples), 2),
+        "clean": _two_below(),
     }
 
     registry = load_all()
@@ -157,17 +171,20 @@ def main() -> None:
         spark.range(1000).count()
 
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry[name]
         for warm_dir in warm_dirs:
             spec.fn(spark, warm_dir).collect()
-        # min of two timed runs: a single run occasionally absorbs a
+        # min of three timed runs: a single run occasionally absorbs a
         # multi-second JVM full GC / background-load stall; the min is the
-        # standard noise-robust steady-state estimate.  The spread
-        # (max-min over the timed runs) is reported alongside so a
-        # regression can be told apart from sandbox/JVM noise: a real
-        # plan change moves the min; load noise moves the spread.
+        # standard noise-robust steady-state estimate.  The MEDIAN is
+        # reported alongside (min-of-three under variable load can hide a
+        # real regression behind one lucky capture), as is the spread
+        # (max-min over the timed runs) so a regression can be told apart
+        # from sandbox/JVM noise: a real plan change moves the min AND the
+        # median; load noise moves the spread.
         # start each query with a clean cache: orphaned persists from
         # EARLIER queries churn the LRU store and inflate later timings.
         # Within a query's three runs the cache stays — re-hitting one's
@@ -181,6 +198,7 @@ def main() -> None:
             spec.fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
         times[name] = round(min(runs), 3)
+        medians[name] = round(sorted(runs)[len(runs) // 2], 3)
         spreads[name] = round(max(runs) - min(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -203,6 +221,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "median": medians,
                 "spread": spreads,
                 "env": env,
                 "total_pre_r4_subset": round(

@@ -282,6 +282,61 @@ def test_hard_negative_mining_singleton_anchor_edges(spark):
     )
 
 
+def test_hard_negative_mining_require_all_anchors(spark):
+    """require_all_anchors=True drives the output from the anchor set: a
+    zero-negative anchor (single-label corpus slice) surfaces as one row
+    with NULL neg_id/neg_score/neg_rank/margin instead of vanishing, and
+    its hardest positive is still mined; anchors WITH negatives emit the
+    identical triplets the default (negatives-driven) variant emits."""
+    import pyspark.sql.functions as F
+
+    from basin_cli_spark.operators.similarity import mine_hard_negatives
+
+    mono = spark.createDataFrame(
+        [
+            (0, "a", [1.0, 0.0]),
+            (1, "a", [0.9, 0.1]),
+            (2, "a", [0.0, 1.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    rows = mine_hard_negatives(
+        mono, probe_filter=F.col("vec_id") == 0, k=2,
+        id_col="vec_id", vec_col="embedding", label_col="label",
+        require_all_anchors=True,
+    ).collect()
+    assert len(rows) == 1, "zero-negative anchor must surface exactly once"
+    r = rows[0]
+    assert r["p_id"] == 0 and r["anchor_label"] == "a"
+    assert r["neg_id"] is None and r["neg_score"] is None
+    assert r["neg_rank"] is None and r["margin"] is None
+    assert r["pos_id"] == 1  # hardest same-label neighbor still mined
+
+    # with negatives present, both variants agree row-for-row
+    mixed = spark.createDataFrame(
+        [
+            (0, "a", [1.0, 0.0]),
+            (1, "a", [0.9, 0.1]),
+            (2, "b", [0.0, 1.0]),
+            (3, "b", [0.5, 0.5]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    kw = dict(
+        probe_filter=F.col("vec_id") == 0, k=2,
+        id_col="vec_id", vec_col="embedding", label_col="label",
+    )
+    default = sorted(
+        mine_hard_negatives(mixed, **kw).collect(),
+        key=lambda r: (r["p_id"], r["neg_rank"]),
+    )
+    required = sorted(
+        mine_hard_negatives(mixed, require_all_anchors=True, **kw).collect(),
+        key=lambda r: (r["p_id"], r["neg_rank"]),
+    )
+    assert default == required
+
+
 def test_prototype_prune_drops_least_prototypical(spark, sf_dir):
     """Per label: ~10% of vectors are dropped, and every dropped vector
     scores at most the minimum kept similarity for that label."""
@@ -356,6 +411,32 @@ def test_kcenter_select_edge_guards(spark):
     empty = df.where("vec_id < 0")
     with pytest.raises(ValueError):
         kcenter_select(empty, k=2)
+
+
+def test_kcenter_step_plan_size_constant(spark):
+    """The per-step FPS plan must not grow with the chosen-set size: the
+    chosen ids ride as a broadcast anti-join LocalRelation and the chosen
+    vectors as a 1-row broadcast state relation, so the optimized-plan
+    text at |chosen|=20 is the same size as at |chosen|=2 (the old
+    formulation baked an `isin` list plus one vector literal per pick
+    into the plan — Catalyst analysis cost grew with every step)."""
+    from basin_cli_spark.operators.similarity import _kcenter_step
+
+    src = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    vec2 = [(i, [float(i), 1.0]) for i in range(2)]
+    vec20 = [(i, [float(i), 1.0]) for i in range(20)]
+    plan2 = _kcenter_step(
+        src, vec2, "vec_id", "embedding", 6
+    )._jdf.queryExecution().optimizedPlan().toString()
+    plan20 = _kcenter_step(
+        src, vec20, "vec_id", "embedding", 6
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "isin" not in plan2.lower()
+    # identical modulo auto-generated expression ids -> identical length
+    assert len(plan20) <= len(plan2) + 8
 
 
 def test_anisotropy_exact_on_constructed_cones(spark, tmp_path):
