@@ -615,21 +615,19 @@ def kcenter_select(
     is engine-independent; ties break on the smallest id.
 
     Scale shape: the chosen set is a model parameter (k vectors — a few
-    KB), carried as broadcast relations into k-1 narrow passes; each pass
-    is scan -> anti-join on the chosen-ids relation -> max-cos fold over a
-    1-row broadcast chosen-vectors state -> TakeOrderedAndProject, so
-    exactly ONE slim row reaches the driver per iteration and the vector
-    column never shuffles.  The chosen set rides as DATA (a LocalRelation
-    on the small side of a broadcast anti-join, plus a 1-row scalar
-    broadcast for scoring), NOT as literals baked into the plan — so the
-    plan text is the same size at step 2 and step 200 instead of growing
-    an `isin` list and k vector literals per step (Catalyst analysis time
-    and codegen size stay flat in k;
-    tests/test_similarity.py::test_kcenter_step_plan_size_constant pins
-    it).  k sequential passes over the corpus is the textbook distributed
-    FPS trade (same altitude as the Lloyd loop in operators/kmeans.py);
-    for k beyond tens, run it over cluster centroids
-    (q_sample_cluster_cap's cells) instead of raw rows.
+    KB), carried as two single-node array LITERALS into k-1 narrow
+    passes; each pass is scan -> array_contains exclusion -> max-cos
+    fold -> TakeOrderedAndProject, so exactly ONE slim row reaches the
+    driver per iteration, the vector column never shuffles, and no step
+    spawns an extra job (see _kcenter_step for the measured alternatives).
+    The expression tree is O(1) in the step number — the old form grew an
+    `isin` list plus k*dim float literal NODES per step, so Catalyst
+    analysis cost climbed with every pick
+    (tests/test_similarity.py::test_kcenter_step_plan_size_constant pins
+    the fix).  k sequential passes over the corpus is the textbook
+    distributed FPS trade (same altitude as the Lloyd loop in
+    operators/kmeans.py); for k beyond tens, run it over cluster
+    centroids (q_sample_cluster_cap's cells) instead of raw rows.
 
     NULL-embedding AND zero-norm rows are dropped up front: either kind
     yields a NULL max-cos (cosine() is try_divide-guarded, so a zero
@@ -679,27 +677,32 @@ def _kcenter_step(
     """One FPS pass: candidates (chosen ids anti-joined away) scored with
     max cosine to the chosen set.
 
-    The chosen set enters as data, not literals: ids as a LocalRelation on
-    the broadcast side of a LEFT ANTI join (replacing a per-step-growing
-    `isin` literal), vectors as ONE row of array<array<double>> cross-
-    broadcast for the scoring fold (replacing k inline vector literals).
-    Both relations' plan text is O(1) in len(chosen).  The fold itself is
-    unchanged — transform in pick order, sequential-fold cosine, round —
-    so picks are bit-identical to the literal formulation and the DuckDB
-    oracle."""
-    spark = src.sparkSession
-    chosen_ids = spark.createDataFrame(
-        [(int(cid),) for cid, _ in chosen], f"{id_col} bigint"
-    )
-    state = spark.createDataFrame(
-        [([vec for _, vec in chosen],)], "_chosen array<array<double>>"
+    The chosen set enters as two SINGLE-NODE array literals (Spark 4's
+    ``F.lit`` on a python list builds one Literal holding ArrayData):
+    the chosen-id array (exclusion via array_contains, replacing a
+    per-step-growing `isin` expression list) and the chosen-vector
+    array-of-arrays (the scoring fold's closed set, replacing k*dim
+    inline float literals).  The expression TREE is therefore O(1) in
+    len(chosen) — Catalyst analysis/codegen cost stays flat as the loop
+    advances — while the plan *string* still prints the literal's data
+    (that's display, not work).  Two rejected alternatives, both
+    measured on the 10x smoke (k=4, 20k vectors): per-step broadcast
+    relations (an anti-join for ids + a 1-row scoring state) run 3x
+    slower (8.7 s vs 2.9 s) because every per-step broadcast exchange
+    is its own job, and a fused single-relation variant still pays
+    ~1.5 s of per-step broadcast overhead; literals ride inside the one
+    existing scan job.  The fold itself is unchanged — transform in
+    pick order, sequential-fold cosine, round — so picks are
+    bit-identical to the original formulation and the DuckDB oracle."""
+    ids_lit = F.lit([int(cid) for cid, _ in chosen]).cast("array<bigint>")
+    vecs_lit = F.lit([[float(x) for x in vec] for _, vec in chosen]).cast(
+        "array<array<double>>"
     )
     max_cos = F.array_max(
-        F.transform(F.col("_chosen"), lambda c: cosine(F.col(vec_col), c))
+        F.transform(vecs_lit, lambda c: cosine(F.col(vec_col), c))
     )
     return (
-        src.join(F.broadcast(chosen_ids), id_col, "left_anti")
-        .crossJoin(F.broadcast(state))
+        src.where(~F.array_contains(ids_lit, F.col(id_col).cast("bigint")))
         .select(
             F.col(id_col),
             F.col(vec_col),

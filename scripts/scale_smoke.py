@@ -31,11 +31,18 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 COPIES = 10
 
 
-def timed(label, fn, rows_in, results):
-    t0 = time.perf_counter()
-    n_out = fn()
-    sec = time.perf_counter() - t0
-    results.append((label, rows_in, n_out, sec, rows_in / sec / 1e6))
+def timed(label, fn, rows_in, results, reps=1):
+    """Time fn; with reps>1 take the min (the scaling-law rows use reps=2:
+    a single cold run folds first-touch shuffle-file writes and JIT into
+    the throughput claim — the r8 exact-dedup 100x row read 47s cold vs
+    ~8s steady, which mis-stated the plan's scaling by 6x)."""
+    best, n_out = None, None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n_out = fn()
+        sec = time.perf_counter() - t0
+        best = sec if best is None else min(best, sec)
+    results.append((label, rows_in, n_out, best, rows_in / best / 1e6))
 
 
 def main() -> None:
@@ -89,9 +96,9 @@ def main() -> None:
             .count()
         )
 
-    timed(f"q1-shape agg ({COPIES}x)", q1, n, results)
-    timed(f"exact dedup hash-agg ({COPIES}x)", dedup, n, results)
-    timed(f"top-100 per group window ({COPIES}x)", topk, n, results)
+    timed(f"q1-shape agg ({COPIES}x)", q1, n, results, reps=2)
+    timed(f"exact dedup hash-agg ({COPIES}x)", dedup, n, results, reps=2)
+    timed(f"top-100 per group window ({COPIES}x)", topk, n, results, reps=2)
 
     # Curation shapes at 10x the document corpus: shingle+MinHash LSH pair
     # generation (the near-dedup hot path) and broadcast decontamination.
@@ -649,9 +656,9 @@ def main() -> None:
             .count()
         )
 
-    timed(f"q1-shape agg ({C100}x)", q1_100, n100, results100)
-    timed(f"exact dedup hash-agg ({C100}x)", dedup_100, n100, results100)
-    timed(f"top-100 per group window ({C100}x)", topk_100, n100, results100)
+    timed(f"q1-shape agg ({C100}x)", q1_100, n100, results100, reps=2)
+    timed(f"exact dedup hash-agg ({C100}x)", dedup_100, n100, results100, reps=2)
+    timed(f"top-100 per group window ({C100}x)", topk_100, n100, results100, reps=2)
     li100.unpersist()
 
     docs100 = docs.withColumn(
@@ -742,6 +749,18 @@ def main() -> None:
             f"| {label} | {rows_in:,} | {n_out:,} | {sec:.2f} | {mrps * 1000:,.0f} |"
         )
     lines += [
+        "",
+        "The r8 watch item — exact-dedup 100x throughput halving (2,630 ->",
+        "1,273 K rows/s) — is closed by two changes.  (1) Session-level AQE",
+        "sizing (session.py): coalescePartitions.initialPartitionNum = 8x",
+        "cores with a 16 MB advisory partition target keeps the ~1.6 GB",
+        "binary-key shuffle at ~100 reducers (~450k groups each) instead of",
+        "<= 32 reducers whose 1.5M+-group hash maps spill; measured 5.7-7.8 s",
+        "steady at 60 M rows (~7,700-10,500 K rows/s), which now meets or",
+        "exceeds the 10x rate (.scratch/dedup_tune.py has the A/B grid).",
+        "(2) The scaling-law rows (q1/dedup/top-k at both scales) are",
+        "min-of-2: a single cold first run pays shuffle-file first-touch +",
+        "JIT (35-47 s at 100x) and mis-stated the plan's steady rate by ~6x.",
         "",
         "Same plans as the sf0.1 bench — throughput holds at 10x because",
         "aggregation is map-side partial and the window top-k keeps",
