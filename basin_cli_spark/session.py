@@ -47,22 +47,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Decouple the pre-AQE shuffle width from shuffle.partitions and let
-        # AQE coalesce DOWN from a high initial count: with the initial
-        # width pinned at the core count, a high-cardinality final agg
-        # (exact dedup at 100x: 60M rows, 46M distinct 16-byte keys, 1.6 GB
-        # of shuffle) is stuck at <= 32 reducers whose 1.5M+-group hash
-        # maps spill — measured 1,273 K rows/s in SCALE.md r8.  8x cores
-        # initial + a 16 MB advisory target keeps that shuffle at ~100
-        # reducers (~450k groups each, no spill): measured 5.7-6.1 s =
-        # ~10,000 K rows/s, 4x the r8 10x-scale rate, while small shuffles
-        # still coalesce to 1-2 tasks (.scratch/dedup_tune.py, SCALE.md).
-        # On a real cluster the same pair scales the reducer count with
-        # bytes instead of freezing it at a static shuffle.partitions.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(8 * ((os.cpu_count() or 8))),
-        )
+        # 16 MB advisory partition target (default 64 MB): at the default,
+        # AQE coalesces a high-cardinality final agg's shuffle into
+        # partitions whose hash maps spill — exact dedup at 100x (60M rows,
+        # 46M distinct 16-byte keys, ~1.6 GB of shuffle) measured 1,273
+        # K rows/s in SCALE.md r8 vs ~10,000 K rows/s with the 16 MB
+        # target (.scratch/dedup_tune.py grid).  A HIGHER
+        # coalescePartitions.initialPartitionNum was measured and
+        # REJECTED: it fixes the same spill but taxes every multi-shuffle
+        # query with map-side bucket overhead and extra partial merges —
+        # 256 initial cost +60% on the LSH/Bloom bench trio
+        # (keep_one/bloom/semantic_ivf: 7.67 s vs 4.68 s at 32/16m).  On a
+        # real cluster, set initialPartitionNum per deployment so reducer
+        # counts can scale ABOVE shuffle.partitions with shuffle bytes;
+        # at local[32] the core count is already the right ceiling.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -752,15 +752,17 @@ def main() -> None:
         "",
         "The r8 watch item — exact-dedup 100x throughput halving (2,630 ->",
         "1,273 K rows/s) — is closed by two changes.  (1) Session-level AQE",
-        "sizing (session.py): coalescePartitions.initialPartitionNum = 8x",
-        "cores with a 16 MB advisory partition target keeps the ~1.6 GB",
-        "binary-key shuffle at ~100 reducers (~450k groups each) instead of",
-        "<= 32 reducers whose 1.5M+-group hash maps spill; measured 5.7-7.8 s",
-        "steady at 60 M rows (~7,700-10,500 K rows/s), which now meets or",
-        "exceeds the 10x rate (.scratch/dedup_tune.py has the A/B grid).",
+        "sizing (session.py): a 16 MB advisory partition target (default",
+        "64 MB) stops AQE coalescing the ~1.6 GB binary-key shuffle into",
+        "reducers whose 1.5M+-group hash maps spill; measured ~7.3-8 s",
+        "steady at 60 M rows (~8,000+ K rows/s), which now exceeds the 10x",
+        "rate.  Raising coalescePartitions.initialPartitionNum fixes the",
+        "same spill but was measured and REJECTED: 256 initial taxes every",
+        "multi-shuffle query with map-side bucket overhead (+60% on the",
+        "LSH/Bloom bench trio) — .scratch/dedup_tune.py has the grid.",
         "(2) The scaling-law rows (q1/dedup/top-k at both scales) are",
         "min-of-2: a single cold first run pays shuffle-file first-touch +",
-        "JIT (35-47 s at 100x) and mis-stated the plan's steady rate by ~6x.",
+        "JIT (28-47 s at 100x) and mis-stated the plan's steady rate by ~6x.",
         "",
         "Same plans as the sf0.1 bench — throughput holds at 10x because",
         "aggregation is map-side partial and the window top-k keeps",
