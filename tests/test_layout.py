@@ -173,3 +173,24 @@ def test_sorted_and_zordered_layouts_skip_row_groups(spark, tmp_path):
     assert rows[("zorder", "y")] * 2 < rows[("rand", "y")]
     # and y-skipping is something the x-sorted layout cannot do
     assert rows[("zorder", "y")] * 2 < rows[("sorted", "y")]
+
+
+def test_session_aqe_sizing_confs(spark):
+    """Pin the r9 AQE sizing decision: a 16 MB advisory partition target
+    (the default 64 MB coalesces high-cardinality final-agg shuffles into
+    reducers whose hash maps spill — exact dedup at 100x measured 6x
+    slower), and NO initialPartitionNum override (256 initial was
+    measured +60% on the multi-shuffle LSH/Bloom bench trio; it's a
+    per-deployment cluster conf, not a local default — session.py)."""
+    assert (
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        in ("16m", "16777216", "16777216b")
+    )
+    assert (
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            None,
+        )
+        is None
+    )
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -125,3 +125,44 @@ def test_compare_still_passes_on_equal_typed_frames(spark):
     ).arrow()
     ok, msg = compare(sdf, tbl)
     assert ok, msg
+
+
+def test_decimal_canonicalization_is_lossless():
+    """r9 oracle hardening: Decimal cells canonicalize losslessly.  The
+    old float round-trip collapsed >2^53 decimals differing by <1 double
+    ULP into equal strings — exactly the divergence a dtype-exact driver
+    hash over a DECIMAL(38,0)/HUGEINT sum would see."""
+    from decimal import Decimal
+
+    from basin_cli_spark.oracle import canon_value
+
+    big = 2**60
+    a, b = Decimal(big), Decimal(big + 1)
+    assert float(a) == float(b)  # sub-ULP apart as doubles...
+    assert canon_value(a) != canon_value(b)  # ...but canon distinguishes
+    # scale-insensitive: the same value at different decimal scales
+    # (DECIMAL(18,2) vs DECIMAL(38,12)) canonicalizes identically
+    assert canon_value(Decimal("7.00")) == canon_value(Decimal("7.000000"))
+    # plain notation, never exponent form
+    assert canon_value(Decimal("100")) == "100"
+    assert canon_value(Decimal("0.00")) == "0"
+
+
+def test_vec_str_null_element_sentinel(spark, oracle_con):
+    """r9: a NULL vector element must surface as an explicit 'NULL' token
+    on BOTH engines — the default array join silently drops nulls, so
+    [1,NULL,3] and [1,3] would canonicalize identically and mask an
+    upstream bug."""
+    from basin_cli_spark.queries._helpers import sql_vec_str, vec_str
+    import pyspark.sql.functions as F
+
+    sdf = spark.createDataFrame(
+        [(1, [1.0, None, 3.0]), (2, [1.0, 3.0])],
+        "k long, v array<double>",
+    ).select("k", vec_str(F.col("v")).alias("vs"))
+    rows = {r["k"]: r["vs"] for r in sdf.collect()}
+    assert rows[1] == "1000000,NULL,3000000"
+    assert rows[2] == "1000000,3000000"
+    expr = sql_vec_str("[1.0, NULL, 3.0]::DOUBLE[]")
+    (oval,) = oracle_con.execute(f"SELECT {expr}").fetchone()
+    assert oval == rows[1]
