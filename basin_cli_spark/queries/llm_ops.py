@@ -389,10 +389,32 @@ def _band_sql(v: str, band: int, band_bits: int = 4) -> str:
     return S.sign_lsh_band_sql(v, band, band_bits)
 
 
-def _any_band_sql(a: str, b: str, bands: int = 4) -> str:
+def _any_band_or(a: str, b: str, band_bits: int, bands: int = 4) -> str:
     return " OR ".join(
-        f"{_band_sql(a, i)} = {_band_sql(b, i)}" for i in range(bands)
+        f"{_band_sql(a, i, band_bits)} = {_band_sql(b, i, band_bits)}"
+        for i in range(bands)
     )
+
+
+# band_bits_for(n) thresholds replayed in SQL: bits = max(4, ceil(log2(
+# n/64))) -> 4 bits up to n=1024, 5 to 2048, 6 to 4096.  The oracle keys
+# the resolution on COUNT(*) exactly as the Spark side keys it on the
+# corpus count, so the differential holds at every fixture SF (sf0.001/
+# sf0.01 resolve to 4 bits, sf0.1's n=2000 to 5) instead of only at the
+# 4-bit oracle SFs.  Fixtures beyond n=4096 would need another arm —
+# the CASE falls through to 6 bits and the contract run would surface
+# the divergence explicitly.
+_BAND_BITS_ARMS = [(1024, 4), (2048, 5), (4096, 6)]
+
+
+def _any_band_sql(a: str, b: str, bands: int = 4) -> str:
+    n = "(SELECT COUNT(*) FROM embeddings)"
+    arms = " ".join(
+        f"WHEN {n} <= {thr} THEN ({_any_band_or(a, b, bits, bands)})"
+        for thr, bits in _BAND_BITS_ARMS[:-1]
+    )
+    last_bits = _BAND_BITS_ARMS[-1][1]
+    return f"(CASE {arms} ELSE ({_any_band_or(a, b, last_bits, bands)}) END)"
 
 
 _LSH_ANN_ORACLE = f"""
@@ -410,11 +432,11 @@ LIMIT 5
 def q_similarity_ann_lsh(spark, sf_dir):
     """Banded sign-LSH ANN (4 bands, corpus-sized band bits): probe
     vectors sharing any band with the query, exact-cosine re-rank.  The
-    oracle states the OR-of-bands predicate at the oracle SFs' 4 bits
-    (band_bits_for(500) == 4, same resolution trick as
-    q_dedup_embedding); the Spark plan is the scale form — posexplode to
-    (band, sig) and broadcast equi-join, so candidate generation is an
-    index probe, not a corpus scan."""
+    oracle replays band_bits_for via a COUNT(*)-keyed CASE (4 bits at the
+    n=500 fixture SFs, 5 at sf0.1's n=2000 — _any_band_sql), so the
+    differential holds at every fixture scale; the Spark plan is the
+    scale form — posexplode to (band, sig) and broadcast equi-join, so
+    candidate generation is an index probe, not a corpus scan."""
     e = load_table(spark, sf_dir, "embeddings")
     band_bits = S.band_bits_for(_corpus_count(e, sf_dir))
     return S.cosine_topk_lsh(e, query_vec_id=0, k=5, band_bits=band_bits)
@@ -689,10 +711,11 @@ def q_dedup_embedding(spark, sf_dir):
       eval (the round-3 2.3× regression);
     - band_bits is sized to the corpus via band_bits_for(count): expected
       bucket width n/2^bits stays ~constant as n grows, so per-bucket
-      pair generation never goes quadratic in the corpus.  At the oracle
-      SFs (n=500) the rule resolves to the 4 bits the static DuckDB
-      oracle replays; at larger SFs it widens (5 bits at sf0.1's n=2000).
-      The count() is one columnar scan of a single long column — at
+      pair generation never goes quadratic in the corpus.  The DuckDB
+      oracle replays the same rule through a COUNT(*)-keyed CASE
+      (_any_band_sql: 4 bits at the n=500 fixture SFs, 5 at sf0.1's
+      n=2000), so the differential holds at every fixture scale.  The
+      count() is one columnar scan of a single long column — at
       100 TB you would read it from table stats instead;
     - candidate generation joins *ids only* on the exploded (band, sig)
       key — |bucket|^2 per band bucket, never corpus^2, and the shuffled
