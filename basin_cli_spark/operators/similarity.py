@@ -367,14 +367,27 @@ def mine_hard_negatives(
     per-anchor top-k windows; positives and negatives rank in separate
     windows over the same scored scan, and the final join is
     anchor-sized.  Scores round before ranking so ranks are total and
-    engine-independent."""
+    engine-independent.
+
+    Scoring runs |anchors| x |corpus| pairs, so it uses the same split
+    the embedding-dedup verify stage uses: norms are HOF-folded once per
+    VECTOR (each side, before the cross join), and the per-pair dot is
+    the Arrow kernel (dot_arrow — bit-identical replay of the fold, see
+    its docstring), not the interpreted F.aggregate fold per pair.
+    Measured on the 10x smoke (20 anchors x 20k vectors): 7.8 s -> ~2 s,
+    same hashes."""
     probes = df.where(probe_filter).select(
         F.col(id_col).alias("p_id"),
         F.col(vec_col).alias("p_emb"),
         F.col(label_col).alias("p_label"),
+        norm_sq(F.col(vec_col)).alias("_p_n2"),
     )
     scored = (
-        df.crossJoin(F.broadcast(probes))
+        df.select(
+            id_col, label_col, vec_col,
+            norm_sq(F.col(vec_col)).alias("_n2"),
+        )
+        .crossJoin(F.broadcast(probes))
         .where(F.col(id_col) != F.col("p_id"))
         .select(
             "p_id",
@@ -382,7 +395,11 @@ def mine_hard_negatives(
             id_col,
             label_col,
             F.round(
-                cosine(F.col(vec_col), F.col("p_emb")), round_to
+                F.try_divide(
+                    dot_arrow(F.col(vec_col), F.col("p_emb")),
+                    F.sqrt(F.col("_n2") * F.col("_p_n2")),
+                ),
+                round_to,
             ).alias("score"),
         )
     )
