@@ -582,15 +582,29 @@ def cosine_topk_ivf(
     # carrying the vector itself with first() — no join-back to recover the
     # embedding (the naive plan's sort-merge self-join is the thing that
     # doesn't survive a 100 TB corpus).  Exact re-scoring then touches only
-    # the nprobe probed lists.
+    # the nprobe probed lists.  Assignment is corpus x codebook pairs, so
+    # the cosine splits into per-side norm folds + the bit-identical Arrow
+    # dot (the mine_hard_negatives doctrine), never the interpreted HOF
+    # fold per pair.
     par = df.sparkSession.sparkContext.defaultParallelism
-    scored = df.repartition(par).crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.struct(
-            cosine(F.col(vec_col), F.col("cvec")).alias("sim"),
-            F.col("cent_id").alias("cent_id"),
-        ).alias("sc"),
+    cents_n = cents.select(
+        "cent_id", "cvec", norm_sq(F.col("cvec")).alias("_c_n2")
+    )
+    scored = (
+        df.repartition(par)
+        .select(id_col, vec_col, norm_sq(F.col(vec_col)).alias("_v_n2"))
+        .crossJoin(F.broadcast(cents_n))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.struct(
+                F.try_divide(
+                    dot_arrow(F.col(vec_col), F.col("cvec")),
+                    F.sqrt(F.col("_v_n2") * F.col("_c_n2")),
+                ).alias("sim"),
+                F.col("cent_id").alias("cent_id"),
+            ).alias("sc"),
+        )
     )
     assign = scored.groupBy(id_col).agg(
         F.max("sc")["cent_id"].alias("cent_id"),

@@ -1757,19 +1757,32 @@ def q_similarity_knn_label(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     par = e.sparkSession.sparkContext.defaultParallelism
     probes = e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("p_id"), F.col("embedding").alias("p_emb")
+        F.col("vec_id").alias("p_id"),
+        F.col("embedding").alias("p_emb"),
+        S.norm_sq(F.col("embedding")).alias("_p_n2"),
     )
+    # probes x corpus pair scoring: per-vector norm folds + the
+    # bit-identical Arrow dot kernel, never the interpreted HOF fold per
+    # pair (the mine_hard_negatives doctrine — see its docstring)
     scored = (
         e.repartition(par)
+        .select(
+            "vec_id", "label", "embedding",
+            S.norm_sq(F.col("embedding")).alias("_n2"),
+        )
         .crossJoin(F.broadcast(probes))
         .where(F.col("vec_id") != F.col("p_id"))
         .select(
             "p_id",
             "label",
             "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("p_emb")), 6).alias(
-                "score"
-            ),
+            F.round(
+                F.try_divide(
+                    S.dot_arrow(F.col("embedding"), F.col("p_emb")),
+                    F.sqrt(F.col("_n2") * F.col("_p_n2")),
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w_rank = Window.partitionBy("p_id").orderBy(

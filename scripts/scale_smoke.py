@@ -46,6 +46,34 @@ def timed(label, fn, rows_in, results, reps=1):
 
 
 def main() -> None:
+    # Load gate (same doctrine as bench.py): the sandbox carries external
+    # load bursts that uniformly depress every row ~3x and make the
+    # scaling-law comparisons meaningless.  Poll BEFORE the Spark session
+    # exists; require two consecutive below-target 1-min samples; record
+    # the gate outcome in SCALE.md so a loaded capture is visibly marked.
+    load_target = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "300"))
+    samples = [os.getloadavg()[0]]
+    waited = 0.0
+
+    def _two_below() -> bool:
+        return (
+            len(samples) >= 2
+            and samples[-1] < load_target
+            and samples[-2] < load_target
+        )
+
+    while not _two_below() and waited < wait_budget:
+        time.sleep(15)
+        waited += 15
+        samples.append(os.getloadavg()[0])
+    load_gate = (
+        f"load gate: target {load_target}, waited {waited:.0f}s, "
+        f"start {samples[-1]:.2f}, seen [{min(samples):.2f}, "
+        f"{max(samples):.2f}], clean={_two_below()}"
+    )
+    print(load_gate)
+
     spark = get_spark(app_name="basin_cli_spark_scale")
     spark.range(1000).count()
 
@@ -721,6 +749,8 @@ def main() -> None:
         "",
         f"`scripts/scale_smoke.py` at `{SF_DIR}` x{COPIES} "
         f"({n:,} fact rows), local[{spark.sparkContext.defaultParallelism}].",
+        f"Capture environment: {load_gate}; "
+        f"load at write {os.getloadavg()[0]:.2f}.",
         "",
         "| workload | rows in | rows out | sec | K rows/s |",
         "|---|---|---|---|---|",
