@@ -55,18 +55,53 @@ def dot_arrow(a: Column, b: Column) -> Column:
     batch — so scores equal dot()'s and the DuckDB oracle's bit-for-bit.
     Use it on pair-verify hot paths; dot() stays for per-vector folds
     where an extra Python stage isn't worth it.
+
+    NULL propagation matches the fold: a NULL vector cell or a
+    ragged-length pair yields NULL (zip_with pads the shorter side with
+    NULLs, so the fold's accumulator goes NULL), never a crash and never
+    a truncated partial dot.  A NULL *element* inside a vector arrives as
+    NaN after the Arrow→pandas conversion; the NaN accumulates through
+    the products and Spark's Arrow serializer maps the returned NaN back
+    to NULL — same terminal value as the fold's NULL, so a degenerate
+    embedding can never outrank a real score in a desc sort (Spark sorts
+    NaN above every double; NULLs sort last).
     """
 
     @F.pandas_udf("double")
     def _dot_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        if len(xs) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.stack(xs.to_list()).astype(np.float64)
-        B = np.stack(ys.to_list()).astype(np.float64)
-        acc = np.zeros(A.shape[0], dtype=np.float64)
-        for i in range(A.shape[1]):
-            acc = acc + A[:, i] * B[:, i]
-        return pd.Series(acc)
+        n = len(xs)
+        out = np.full(n, np.nan, dtype=np.float64)
+        if n == 0:
+            return pd.Series(out)
+        xl, yl = xs.to_list(), ys.to_list()
+        good: list[int] = []
+        dim = -1
+        uniform = True
+        for i in range(n):
+            x, y = xl[i], yl[i]
+            if x is None or y is None or len(x) != len(y):
+                continue
+            if dim < 0:
+                dim = len(x)
+            elif len(x) != dim:
+                uniform = False
+            good.append(i)
+        if good and uniform:
+            A = np.stack([xl[i] for i in good]).astype(np.float64)
+            B = np.stack([yl[i] for i in good]).astype(np.float64)
+            acc = np.zeros(len(good), dtype=np.float64)
+            for j in range(A.shape[1]):
+                acc = acc + A[:, j] * B[:, j]
+            out[np.asarray(good)] = acc
+        elif good:
+            for i in good:
+                av = np.asarray(xl[i], dtype=np.float64)
+                bv = np.asarray(yl[i], dtype=np.float64)
+                s = 0.0
+                for j in range(av.shape[0]):
+                    s += av[j] * bv[j]
+                out[i] = s
+        return pd.Series(out)
 
     return _dot_udf(a, b)
 
@@ -375,7 +410,14 @@ def mine_hard_negatives(
     the Arrow kernel (dot_arrow — bit-identical replay of the fold, see
     its docstring), not the interpreted F.aggregate fold per pair.
     Measured on the 10x smoke (20 anchors x 20k vectors): 7.8 s -> ~2 s,
-    same hashes."""
+    same hashes.
+
+    NULL-embedding rows are dropped on BOTH sides before the cross join
+    (same guard as kcenter_select): a crawl-edge row with no vector can
+    be neither an anchor nor a candidate, and dropping it up front keeps
+    the pair relation dense instead of carrying NULL scores through the
+    rank windows."""
+    df = df.where(F.col(vec_col).isNotNull())
     probes = df.where(probe_filter).select(
         F.col(id_col).alias("p_id"),
         F.col(vec_col).alias("p_emb"),
@@ -547,17 +589,30 @@ def cosine_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stride: int = 25,
+    max_cents: int = 256,
     round_to: int = 6,
 ) -> DataFrame:
     """ANN via IVF probe: the query ranks the codebook, visits only its
     nprobe nearest inverted lists, and scores exactly inside them.  At
     100 TB the assignment's cent_id is the partition key, so a probe scans
-    nprobe/|codebook| of the corpus."""
+    nprobe/|codebook| of the corpus.
+
+    The demo codebook is a deterministic stride sample CAPPED at
+    ``max_cents`` rows (``id % stride == 0 AND id < stride * max_cents``
+    — a closed predicate both engines replay, unlike LIMIT, which is
+    order-free), so the broadcast side is constant-size no matter how
+    large the corpus grows.  Production routes to the trained frozen
+    codebook (q_similarity_ann_ivf_trained), which is k-sized by
+    construction."""
+    df = df.where(F.col(vec_col).isNotNull())
     # persisted: the probe and the assignment broadcast both consume the
     # stride codebook, and the modulo predicate cannot push down, so each
     # consumer would otherwise re-read the full vector column to filter
     cents = persist_once(
-        df.where(F.col(id_col) % stride == 0).select(
+        df.where(
+            (F.col(id_col) % stride == 0)
+            & (F.col(id_col) < stride * max_cents)
+        ).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
         )
     )

@@ -396,25 +396,34 @@ def _any_band_or(a: str, b: str, band_bits: int, bands: int = 4) -> str:
     )
 
 
-# band_bits_for(n) thresholds replayed in SQL: bits = max(4, ceil(log2(
-# n/64))) -> 4 bits up to n=1024, 5 to 2048, 6 to 4096.  The oracle keys
-# the resolution on COUNT(*) exactly as the Spark side keys it on the
-# corpus count, so the differential holds at every fixture SF (sf0.001/
-# sf0.01 resolve to 4 bits, sf0.1's n=2000 to 5) instead of only at the
-# 4-bit oracle SFs.  Fixtures beyond n=4096 would need another arm —
-# the CASE falls through to 6 bits and the contract run would surface
-# the divergence explicitly.
-_BAND_BITS_ARMS = [(1024, 4), (2048, 5), (4096, 6)]
+# band_bits_for(n) thresholds replayed in SQL.  The arms are GENERATED
+# from band_bits_for itself (single source of truth, asserted below), so
+# the SQL replay and the Python sizing rule cannot drift: bits = max(4,
+# ceil(log2(n/64))), so bits b covers n in (64*2^(b-1), 64*2^b] and each
+# arm's threshold is 64*2^b.  Arms run through n=262,144 (bits 12) —
+# well past every fixture scale on disk (sf0.1 is n=2,000; a future sf10
+# would be n=200,000).  A corpus beyond the last arm raises DuckDB
+# error() LOUDLY at oracle time instead of silently replaying stale bits
+# while the Spark side keeps growing — the exact drift class the
+# hand-written three-arm list reintroduced at every new scale decade.
+_BAND_BITS_MAX = 12
+_BAND_BITS_ARMS = [(64 * 2 ** b, b) for b in range(4, _BAND_BITS_MAX + 1)]
+for _thr, _bits in _BAND_BITS_ARMS:
+    assert S.band_bits_for(_thr) == _bits, (_thr, _bits)
+    assert S.band_bits_for(_thr + 1) == max(4, _bits + 1), (_thr, _bits)
 
 
 def _any_band_sql(a: str, b: str, bands: int = 4) -> str:
     n = "(SELECT COUNT(*) FROM embeddings)"
     arms = " ".join(
         f"WHEN {n} <= {thr} THEN ({_any_band_or(a, b, bits, bands)})"
-        for thr, bits in _BAND_BITS_ARMS[:-1]
+        for thr, bits in _BAND_BITS_ARMS
     )
-    last_bits = _BAND_BITS_ARMS[-1][1]
-    return f"(CASE {arms} ELSE ({_any_band_or(a, b, last_bits, bands)}) END)"
+    return (
+        f"(CASE {arms} ELSE error('corpus exceeds the generated "
+        f"band-bits arms (n > {_BAND_BITS_ARMS[-1][0]}): raise "
+        f"_BAND_BITS_MAX in llm_ops.py') END)"
+    )
 
 
 _LSH_ANN_ORACLE = f"""
@@ -991,7 +1000,8 @@ def q_multimodal_video_meta(spark, sf_dir):
 
 _IVF_ORACLE = f"""
 WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings WHERE vec_id % 25 = 0
+  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+  WHERE vec_id % 25 = 0 AND vec_id < 25 * 256
 ),
 assign AS (
   SELECT vec_id, cent_id FROM (

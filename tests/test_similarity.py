@@ -77,6 +77,76 @@ def test_dot_arrow_matches_hof_fold(spark):
         assert r.hof == r.arrow
 
 
+def test_dot_arrow_null_propagation_matches_fold(spark):
+    """Degenerate pairs behave like the zip_with/aggregate fold: a NULL
+    vector cell, a NULL element, or a ragged-length pair all yield NULL
+    (never a crash, never a truncated partial dot), so a crawl-edge
+    embedding can't outrank a real score in the desc rank windows."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], [3.0, 4.0]),   # clean        -> 11.0
+            (2, None, [3.0, 4.0]),          # NULL cell    -> NULL
+            (3, [1.0, 2.0], None),          # NULL cell    -> NULL
+            (4, [1.0, None], [3.0, 4.0]),   # NULL element -> NULL
+            (5, [1.0], [3.0, 4.0]),         # ragged pair  -> NULL
+            (6, [2.0, 0.5], [1.0, 8.0]),    # clean        -> 6.0
+        ],
+        "id int, x array<double>, y array<double>",
+    )
+    got = {
+        r.id: (r.hof, r.arrow)
+        for r in df.select(
+            "id",
+            S.dot(F.col("x"), F.col("y")).alias("hof"),
+            S.dot_arrow(F.col("x"), F.col("y")).alias("arrow"),
+        ).collect()
+    }
+    assert got == {
+        1: (11.0, 11.0),
+        2: (None, None),
+        3: (None, None),
+        4: (None, None),
+        5: (None, None),
+        6: (6.0, 6.0),
+    }
+
+
+def test_mine_hard_negatives_null_embedding_rows_dropped(spark):
+    """A NULL-embedding row can be neither an anchor nor a candidate —
+    the pair path must survive it (r9 regression: np.stack on a None
+    cell killed the whole job) and exclude it from the mined output."""
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [0.0, 1.0], 1),
+        (3, None, 1),        # crawl edge: no vector
+        (4, [0.1, 0.9], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = S.mine_hard_negatives(df, F.col("vec_id") == 0, k=5).collect()
+    ids = {r.neg_id for r in out} | {r.pos_id for r in out}
+    assert 3 not in ids
+    assert len(out) == 2  # negatives 2 and 4; never a crash
+
+
+def test_ivf_stub_codebook_is_constant_size(spark):
+    """The stride codebook caps at max_cents rows, so the broadcast side
+    is constant no matter the corpus size (the last grows-with-corpus
+    broadcast in the tree, bounded in r10)."""
+    n = 25 * 300  # corpus large enough that the cap binds (300 > 256)
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 11)]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = df.where(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 25 * 256)
+    )
+    assert cents.count() == 256
+    # end-to-end: the capped plan still answers
+    out = S.cosine_topk_ivf(df, query_vec_id=0, k=3)
+    assert out.count() <= 3
+
+
 def test_sign_lsh_bands_match_oracle_sql(spark):
     """The pandas_udf band signatures equal DuckDB's replay of
     sign_lsh_band_sql on the same vectors."""
