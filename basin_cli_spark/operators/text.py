@@ -47,8 +47,10 @@ def quality_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        # long, not int: DuckDB LENGTH()/LEN() are BIGINT, and registry
+        # outputs normalize widths so audit_dtypes stays at zero
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.try_divide(n_punct.cast("double"), n_chars).alias("punct_ratio"),
         F.try_divide(n_stop.cast("double"), n_tokens).alias("stopword_ratio"),
         mean_tok_len.alias("mean_token_len"),

@@ -15,15 +15,17 @@ Driver-strictness contract (hardened round 8 after five red driver rows):
   level, not the pandas level, so it cannot be masked by symmetric
   NULL-driven upcasts.
 * Class-level (not width-level) equivalence is provably sufficient for
-  the driver: `scripts/audit_dtypes.py` finds 37 registry columns whose
-  widths diverge inside a matching class (Spark int32 vs DuckDB int64 —
-  year()/length()/rank() return INT in Spark, BIGINT in DuckDB), and the
-  entries carrying them hold hash-GREEN driver CORRECTNESS rows
-  (q_datetime_funcs, q_window_rank, q_array_funcs, q_hash_funcs,
-  q_regexp_extract all green in CORRECTNESS_r08), so the driver's value
-  hash demonstrably does not distinguish integer widths.  If a future
-  driver hash turned width-sensitive, the audit's WIDTH rows are the
-  exact entries that would go red first.
+  the driver: through round 9, `scripts/audit_dtypes.py` tracked 37
+  registry columns whose widths diverged inside a matching class (Spark
+  int32 vs DuckDB int64 — year()/length()/rank() return INT in Spark,
+  BIGINT in DuckDB) while the entries carrying them held hash-GREEN
+  driver CORRECTNESS rows, the empirical proof the driver's value hash
+  does not distinguish integer widths.  Round 10 retired the gap
+  anyway: every registry output now CASTs to the oracle's width at the
+  registry surface (Spark .cast("long") on int-class functions; CAST(..
+  AS BIGINT) on the three VALUES-literal oracles), so audit_dtypes
+  reports ZERO width divergences and a future width-sensitive
+  canonicalizer tightening cannot surprise.
 * Raw container (array/map/struct) output columns are REJECTED on either
   side — the registry rule (queries/__init__.py docstring) is that array
   outputs are sorted/joined to strings; a raw list crashes the driver's

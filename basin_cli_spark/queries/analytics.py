@@ -558,7 +558,7 @@ def q7_nation_trade_volume(spark, sf_dir):
         .groupBy(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg(
             dec_sum(rev, "revenue"),

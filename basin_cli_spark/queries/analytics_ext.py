@@ -195,7 +195,7 @@ def q8_market_share(spark, sf_dir):
         .join(F.broadcast(region), F.col("nc_region") == F.col("r_regionkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             (
                 F.sum(national).cast("double") / F.sum(rev).cast("double")
@@ -254,7 +254,7 @@ def q9_product_type_profit(spark, sf_dir):
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
-            F.year("o_orderdate").alias("o_year"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
         )
         .agg(dec_sum(profit, "sum_profit"))
     )

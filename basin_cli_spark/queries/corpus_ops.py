@@ -514,9 +514,9 @@ def q_corpus_gopher_rules(spark, sf_dir):
     mwl = F.col("sum_len").cast("double") / F.col("n_words")
     return m.select(
         "doc_id",
-        "n_words",
+        F.col("n_words").cast("long").alias("n_words"),
         F.round(mwl, 6).alias("mean_word_len"),
-        "n_stop",
+        F.col("n_stop").cast("long").alias("n_stop"),
         _gopher_passes().alias("passes"),
     )
 
@@ -2226,7 +2226,7 @@ def q_corpus_dup_ngram_stats(spark, sf_dir):
     par = spark.sparkContext.defaultParallelism
     toks = d.repartition(par).select(
         "doc_id",
-        F.length("text").alias("n_chars"),
+        F.length("text").cast("long").alias("n_chars"),
         D.tokens("text").alias("__toks"),
     )
     folds = toks.select(

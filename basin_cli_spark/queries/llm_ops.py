@@ -495,7 +495,7 @@ _CR_ORACLE = (
         for k, rows in sorted(_CR_GOLD.items())
         for doc_id, ratio in rows
     )
-    + ") SELECT doc_id, compression_ratio FROM g"
+    + ") SELECT CAST(doc_id AS BIGINT) AS doc_id, compression_ratio FROM g"
     " WHERE key = (SELECT SUM(LENGTH(text)) FROM documents)"
 )
 
@@ -630,7 +630,13 @@ FROM toks
 @register("q_text_token_count", _TOKCOUNT_ORACLE)
 def q_text_token_count(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    return TX.token_count(d, "text", "doc_id")
+    out = TX.token_count(d, "text", "doc_id")
+    # registry-surface width normalization: DuckDB LEN() is BIGINT
+    return out.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("bpe_tokens").cast("long").alias("bpe_tokens"),
+    )
 
 
 _FP_ORACLE = """
@@ -674,7 +680,7 @@ def q_multimodal_meta(spark, sf_dir):
     blob = F.encode("text", "UTF-8")
     return d.select(
         "doc_id",
-        F.octet_length(blob).alias("n_bytes"),
+        F.octet_length(blob).cast("long").alias("n_bytes"),
         F.upper(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("magic_hex"),
         F.md5("text").alias("content_hash"),
     )
@@ -1548,7 +1554,7 @@ def q_llm_prep_pipeline(spark, sf_dir):
     ).select(
         "doc_id",
         "text",
-        F.size("tk").alias("n_tokens"),
+        F.size("tk").cast("long").alias("n_tokens"),
         language_pred(F.col("tk")).alias("pred_lang"),
     )
     kept = feat.where((F.col("n_tokens") >= 10) & (F.col("pred_lang") == "en"))
@@ -2040,8 +2046,11 @@ def q_similarity_hard_negatives(spark, sf_dir):
     test and the scale smoke); see its docstring for the scale plan."""
     e = load_table(spark, sf_dir, "embeddings")
     par = e.sparkSession.sparkContext.defaultParallelism
-    return S.mine_hard_negatives(
+    out = S.mine_hard_negatives(
         e.repartition(par), F.col("vec_id") < 20, k=3
+    )
+    return out.withColumn(
+        "neg_rank", F.col("neg_rank").cast("long")
     ).orderBy("p_id", "neg_rank")
 
 
@@ -2271,7 +2280,7 @@ assign AS (
     FROM embeddings e CROSS JOIN ck c
   ) WHERE rn = 1
 )
-SELECT vec_id, cent_id
+SELECT vec_id, CAST(cent_id AS BIGINT) AS cent_id
 FROM (
   SELECT vec_id, cent_id,
          ROW_NUMBER() OVER (
@@ -2764,7 +2773,10 @@ def q_llm_prep_pipeline_v2(spark, sf_dir):
         F.col("id").alias("doc_id")
     )
     return clean.join(drop_dup, "doc_id", "left_anti").select(
-        "doc_id", "source", "n_chars", F.size("_tk").alias("n_tokens")
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size("_tk").cast("long").alias("n_tokens"),
     )
 
 

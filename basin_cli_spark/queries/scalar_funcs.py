@@ -40,16 +40,16 @@ def q_string_funcs(spark, sf_dir):
         "doc_id",
         F.upper("lang").alias("lang_up"),
         F.lower("source").alias("source_lo"),
-        F.length("text").alias("text_len"),
+        F.length("text").cast("long").alias("text_len"),
         F.substring("text", 1, 20).alias("prefix"),
         F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
         F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("trimmed"),
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
         F.replace(F.col("source"), F.lit("src"), F.lit("source_")).alias("source_renamed"),
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         F.regexp_replace("text", "[aeiou]", "_").alias("devoweled_20"),
         F.col("text").contains("spark").alias("has_spark"),
-        F.instr("text", "data").alias("data_pos"),
+        F.instr("text", "data").cast("long").alias("data_pos"),
     )
 
 
@@ -81,7 +81,7 @@ def q_fuzzy_prefix_match(spark, sf_dir):
         a.join(b, (F.col("lang") == F.col("lang_b"))
                & (F.col("doc_a") < F.col("doc_b")))
         .where(dist <= 15)
-        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+        .select("doc_a", "doc_b", dist.cast("long").alias("edit_dist"))
     )
 
 
@@ -106,19 +106,19 @@ def q_datetime_funcs(spark, sf_dir):
         "event_id",
         F.date_trunc("day", "ts").alias("day_start"),
         F.date_trunc("month", "ts").alias("month_start"),
-        F.year("ts").alias("y"),
-        F.month("ts").alias("mo"),
-        F.dayofmonth("ts").alias("d"),
-        F.hour("ts").alias("h"),
-        F.minute("ts").alias("mi"),
-        F.second("ts").alias("s"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.minute("ts").cast("long").alias("mi"),
+        F.second("ts").cast("long").alias("s"),
         # dates surface as ISO strings: engines/pandas disagree on whether a
         # DATE cell is a date object or a midnight datetime64, strings don't.
         F.to_date("ts").cast("string").alias("event_date"),
         F.date_add(F.to_date("ts"), 7).cast("string").alias("week_later"),
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
-            "days_since_jan1"
-        ),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_jan1"),
     )
 
 
@@ -182,10 +182,12 @@ def q_array_funcs(spark, sf_dir):
     return d.select(
         "doc_id",
         F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("vocab"),
-        F.size(F.array_distinct(toks)).alias("vocab_size"),
+        F.size(F.array_distinct(toks)).cast("long").alias("vocab_size"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.element_at(toks, 1).alias("first_token"),
-        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4))
+        .cast("long")
+        .alias("n_long_tokens"),
     )
 
 
@@ -214,7 +216,7 @@ def q_array_hof_fold(spark, sf_dir):
         "vec_id",
         fold(as_dbl).alias("vec_sum"),
         fold(sq).alias("norm_sq"),
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.array_max("embedding").cast("double").alias("vec_max"),
         F.array_min("embedding").cast("double").alias("vec_min"),
     )
@@ -270,7 +272,7 @@ def q_hash_funcs(spark, sf_dir):
         F.sha2("text", 256).alias("text_sha256"),
         F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("text"))).alias("keyed_md5"),
         F.upper(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias("prefix_hex"),
-        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
     )
 
 
@@ -443,6 +445,8 @@ def q_regexp_extract(spark, sf_dir):
         F.array_join(
             F.regexp_extract_all("text", F.lit("[0-9]+"), 0), ","
         ).alias("numbers"),
-        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0))
+        .cast("long")
+        .alias("n_words"),
         F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
     )

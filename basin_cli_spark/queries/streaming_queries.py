@@ -381,7 +381,8 @@ assign AS (
     FROM embeddings e CROSS JOIN ck c
   ) WHERE rn = 1
 )
-SELECT cent_id, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+SELECT CAST(cent_id AS BIGINT) AS cent_id, COUNT(*) AS n_vectors,
+       MIN(vec_id) AS min_vec_id
 FROM assign GROUP BY cent_id ORDER BY cent_id
 """
 

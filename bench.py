@@ -128,6 +128,9 @@ def main() -> None:
     # against the decaying load tail.
     load_target = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "300"))
+    # Seed with TWO polls a few seconds apart so an idle machine is clean
+    # after ~3s instead of paying a mandatory 15s sleep, and so a short
+    # wait budget (< one 15s loop tick) can still ever report clean.
     samples = [os.getloadavg()[0]]
     waited = 0.0
 
@@ -138,6 +141,10 @@ def main() -> None:
             and samples[-2] < load_target
         )
 
+    if samples[0] < load_target:
+        time.sleep(min(3.0, max(wait_budget, 0.1)))
+        waited += 3.0
+        samples.append(os.getloadavg()[0])
     while not _two_below() and waited < wait_budget:
         time.sleep(15)
         waited += 15

@@ -53,6 +53,9 @@ def main() -> None:
     # the gate outcome in SCALE.md so a loaded capture is visibly marked.
     load_target = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "2.0"))
     wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "300"))
+    # Seeded with TWO polls a few seconds apart (same fix as bench.py):
+    # an idle machine is clean after ~3s, and a wait budget shorter than
+    # one 15s loop tick can still report clean.
     samples = [os.getloadavg()[0]]
     waited = 0.0
 
@@ -63,6 +66,10 @@ def main() -> None:
             and samples[-2] < load_target
         )
 
+    if samples[0] < load_target:
+        time.sleep(min(3.0, max(wait_budget, 0.1)))
+        waited += 3.0
+        samples.append(os.getloadavg()[0])
     while not _two_below() and waited < wait_budget:
         time.sleep(15)
         waited += 15
