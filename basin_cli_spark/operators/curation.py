@@ -336,15 +336,19 @@ def boilerplate_scrub(
     3-4 segmentation passes of per-row CPU, which costs more than one
     segmentation pass plus the text shuffle it was meant to remove.
 
-    Measured wash (round 9, fixture-bound): the remaining lever — a
-    left_semi probe on hot segment hashes so docs with ZERO hot segments
-    bypass the reassembly shuffle as a narrow passthrough — cannot help
-    on this fixture: ALL 5,000 sf0.1 documents own at least one hot
-    segment (dirty fraction 1.000 measured round 9), so the probe adds a
-    third segmentation pass + an ids-distinct shuffle and diverts
-    nothing.  On a real crawl where most docs are template-free the same
-    probe is the right first move (it composes with the Bloom doctrine
-    above), but benching it here would measure pure overhead."""
+    Measured wash (rounds 9-10, fixture-bound; evidence committed at
+    .scratch/boilerplate_probe.py): the remaining lever — a left_semi
+    probe on hot segment hashes so docs with ZERO hot segments bypass
+    the reassembly shuffle as a narrow passthrough — cannot help on
+    this fixture: ALL 5,000 sf0.1 documents own at least one hot
+    segment (dirty fraction 1.000; 0.724 at sf0.01), so the probe
+    diverts nothing and the full bypass variant measured 4.66 s vs
+    2.26 s baseline (row-identical output, min of 2) — a 2.1x
+    regression from the third segmentation pass + ids-distinct shuffle
+    + doc-splitting joins.  On a real crawl where most docs are
+    template-free the same probe is the right first move (it composes
+    with the Bloom doctrine above); here the thread is closed
+    permanently with the probe script as the committed evidence."""
     segs = segment_rows(docs, text_col, id_col, seg_words).withColumn(
         "_segh", F.xxhash64("seg")
     )
