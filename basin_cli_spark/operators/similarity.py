@@ -67,40 +67,41 @@ def dot_arrow(a: Column, b: Column) -> Column:
     NaN above every double; NULLs sort last).
     """
 
+    def _columns_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for j in range(A.shape[1]):
+            acc = acc + A[:, j] * B[:, j]
+        return acc
+
     @F.pandas_udf("double")
     def _dot_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
         n = len(xs)
-        out = np.full(n, np.nan, dtype=np.float64)
         if n == 0:
-            return pd.Series(out)
+            return pd.Series([], dtype="float64")
+        # Fast path (the common case — dense, rectangular batch): one
+        # vectorized isna() check, then the same zero-Python-per-row
+        # column sweep as before the null hardening.  Degenerate batches
+        # (NULL cells, ragged pairs) fall through to the per-row path.
+        if not xs.isna().any() and not ys.isna().any():
+            try:
+                A = np.stack(xs.to_list()).astype(np.float64)
+                B = np.stack(ys.to_list()).astype(np.float64)
+            except ValueError:
+                A = B = None  # ragged batch
+            if A is not None and A.ndim == 2 and A.shape == B.shape:
+                return pd.Series(_columns_dot(A, B))
+        out = np.full(n, np.nan, dtype=np.float64)
         xl, yl = xs.to_list(), ys.to_list()
-        good: list[int] = []
-        dim = -1
-        uniform = True
         for i in range(n):
             x, y = xl[i], yl[i]
             if x is None or y is None or len(x) != len(y):
                 continue
-            if dim < 0:
-                dim = len(x)
-            elif len(x) != dim:
-                uniform = False
-            good.append(i)
-        if good and uniform:
-            A = np.stack([xl[i] for i in good]).astype(np.float64)
-            B = np.stack([yl[i] for i in good]).astype(np.float64)
-            acc = np.zeros(len(good), dtype=np.float64)
-            for j in range(A.shape[1]):
-                acc = acc + A[:, j] * B[:, j]
-            out[np.asarray(good)] = acc
-        elif good:
-            for i in good:
-                av = np.asarray(xl[i], dtype=np.float64)
-                bv = np.asarray(yl[i], dtype=np.float64)
-                s = 0.0
-                for j in range(av.shape[0]):
-                    s += av[j] * bv[j]
-                out[i] = s
+            av = np.asarray(x, dtype=np.float64)
+            bv = np.asarray(y, dtype=np.float64)
+            s = 0.0
+            for j in range(av.shape[0]):
+                s += av[j] * bv[j]
+            out[i] = s
         return pd.Series(out)
 
     return _dot_udf(a, b)
