@@ -891,6 +891,19 @@ def main() -> None:
             f"k={16 * copies})",
             semantic_pairs_for(embP, 16 * copies), neP, resultsP, reps=2,
         )
+        if copies == C100:
+            # the production sizing (k ~ sqrt(n), the faiss rule):
+            # assignment n*k shrinks 3.6x vs the constant-cell-width k,
+            # cells widen to ~sqrt(n) so within-cell pairs grow — the
+            # balanced point both stages share.  Measured side by side
+            # with the k-grows-with-n row so the tradeoff is data, not
+            # narrative.
+            k_sqrt = int(neP ** 0.5)
+            timed(
+                f"semantic-IVF cell pair gen ({copies}x vectors, "
+                f"perturbed, k=sqrt(n)={k_sqrt})",
+                semantic_pairs_for(embP, k_sqrt), neP, resultsP, reps=2,
+            )
         embP.unpersist()
         docsP = perturbed_docs(docs, copies).repartition(
             spark.sparkContext.defaultParallelism
@@ -954,12 +967,12 @@ def main() -> None:
         "segment rewrite (min_docs=3, the production setting — hot",
         "density is realistic here, unlike the exact-copy 10x row above",
         "which must raise min_docs past the copy factor).  Honest limit",
-        "on the semantic-IVF row: holding cell width constant means",
+        "on the semantic-IVF rows: holding cell width constant means",
         "k grows with n, so the ASSIGNMENT stage is O(n*k) — its per-row",
         "cost rises ~10x per decade by construction.  Production picks",
         "k ~ sqrt(n) (the faiss rule), balancing assignment n*k against",
-        "within-cell pairs n*cell; the row still lands within ~2x of its",
-        "10x rate because assignment is a vectorized numpy matmul.",
+        "within-cell pairs n*cell — the 100x table carries BOTH sizings",
+        "side by side so the tradeoff is measured, not narrated.",
         "",
         "| workload | rows in | rows out | sec | K rows/s |",
         "|---|---|---|---|---|",
