@@ -132,6 +132,20 @@ _NLJ_ALLOWED = {
 }
 
 
+def test_ivf_stub_codebook_cap_reaches_scan(spark, sf_dir, registry):
+    """The stride codebook's constant bound (id < stride*max_cents) must
+    reach the parquet scan as a data filter, so the codebook relation —
+    a broadcast side — is constant-size at any corpus scale (r10: the
+    last grows-with-corpus broadcast in the tree, bounded)."""
+    df = registry["q_similarity_ann_ivf"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "(vec_id#" in plan
+    # the cap constant: 25 * 256
+    assert "< 6400" in plan.replace("L", ""), (
+        "codebook cap predicate missing from the physical plan"
+    )
+
+
 def test_no_accidental_cartesian_or_nlj(spark, sf_dir, registry):
     """Plan audit over the whole registry: no CartesianProduct anywhere,
     and BroadcastNestedLoopJoin only where the operator is by design
