@@ -112,42 +112,45 @@ def register(name: str, oracle: str | None = None):
 #
 # Round-10 rotation — the final freshness rotation (r9 verdict item #2):
 # after r9, the latest-attestation distribution is {r9: 50, r8: 50,
-# r7: 43, r6: 50, r5: 10}.  This head carries the 10 entries whose latest
-# driver row is still r5 plus the 40 OLDEST of the 50 r6 entries, ordered
-# by (first-ever attestation round, registry position) — an age sort the
-# artifacts pin exactly (computed from CORRECTNESS_r01..r09.json).  The
-# cut happens to include every entry whose underlying code changed in
-# r10 (cosine_topk_ivf codebook cap, dot_arrow NULL semantics:
-# q_similarity_ann_ivf, q_similarity_hard_negatives, the trained
-# IVF/PQ probes).  After a green r10, no registry entry's latest
-# attestation predates round 6, and every entry has been re-attested
-# under the driver-strict canonicalizer (r8+).
+# r7: 43, r6: 50, r5: 10}.  That head carried the 10 r5-latest entries
+# plus the 40 oldest r6-latest entries; CORRECTNESS_r10 attested all 50
+# green, so after r10 nothing predates round 6 and every entry has been
+# re-attested under the driver-strict canonicalizer (r8+).
+#
+# Round-11 rotation — freshness completion, leg 1 of 2 (r10 verdict item
+# #1): latest-attestation distribution after r10 is {r10: 50, r9: 50,
+# r8: 50, r7: 43, r6: 10}.  This head carries the 10 entries whose latest
+# driver row is still r6 plus the 40 OLDEST of the 43 r7-latest entries.
+# All 43 were first attested in r7, so the age sort (first-ever
+# attestation round, registry position — same key as r9/r10, computed
+# from CORRECTNESS_r01..r10.json against the r10 registry order) reduces
+# to registry position; the 3 entries left for r12 are the positional
+# tail: q_stream_session_window, q_stream_dedup_within_watermark,
+# q_stream_ivf_assign.  After a green r11, no entry's latest attestation
+# predates round 7.
 REPRESENTATIVE_HEAD = [
-    # -- the 10 r5-latest entries --
-    "q7_nation_trade_volume", "q_approx_count_distinct", "q_case_expr",
-    "q_dedup_repeated_spans", "q_hypertable_rollup", "q_join_range",
-    "q_similarity_pq_adc", "q_string_funcs", "q_text_compression_ratio",
-    "q_text_language_id",
-    # -- the 40 oldest r6-latest entries (first attested r1) --
-    "q_agg_stats", "q_grouping_sets", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q_cdc_record_stream", "q_ecmh_digest",
-    "q_text_quality_stats", "q_events_before_after",
-    "q_join_inner_broadcast", "q_join_anti", "q_join_asof",
-    # (first attested r2)
-    "q9_product_type_profit",
-    # (first attested r5)
-    "q_muhash_digest", "q_cdc_apply_upserts", "q_dedup_incremental",
-    "q_multimodal_meta", "q_dedup_embedding", "q_dedup_embedding_keep_one",
-    "q_similarity_ann_ivf", "q_dedup_semantic_ivf", "q_decontaminate_bloom",
-    "q_corpus_lm_prune", "q_corpus_delete_digest", "q1_pricing_summary",
-    "q_filter_predicates", "q_json_funcs", "q_except_all",
-    "q_csv_roundtrip", "q_stream_tumbling_agg", "q_stream_near_dedup",
-    "q_topk_per_group", "q_window_tumbling", "q_timeseries_gapfill",
-    # (first attested r6)
-    "q_cdc_scd2_history", "q_multimodal_audio_meta",
-    "q_multimodal_video_meta", "q_similarity_ann_ivf_trained",
-    "q_similarity_pq_adc_trained", "q_embedding_prototype_prune",
-    "q_similarity_hard_negatives",
+    # -- the 10 r6-latest entries --
+    "q_corpus_boilerplate_scrub", "q_corpus_gopher_rules",
+    "q_corpus_mad_prune", "q_corpus_rebalance", "q_corpus_shard_pack",
+    "q_llm_prep_pipeline_v3", "q_sample_per_source_cap", "q_split_leakage",
+    "q_stream_cdc_apply", "q_stream_quality_gate",
+    # -- the 40 oldest r7-latest entries (all first attested r7;
+    #    r10-registry positions 61..196) --
+    "q_approx_percentile", "q_muhash_digest_by_group",
+    "q_dedup_source_overlap", "q_text_quality_score", "q_text_fingerprint",
+    "q_multimodal_decode", "q_multimodal_frames",
+    "q_embedding_label_centroids", "q_similarity_knn_label",
+    "q_embedding_prototype_prune_2pass", "q_dedup_clusters",
+    "q_sample_stratified", "q_sample_cluster_cap", "q_embedding_quantize",
+    "q_contamination_score", "q_corpus_mad_prune_2pass",
+    "q_corpus_quantile_prune_2pass", "q_vocab_topk", "q_tfidf_topterms",
+    "q_text_bigram_logprob", "q_corpus_lm_prune_2pass",
+    "q_corpus_dsir_select", "q_llm_prep_pipeline_v4", "q_corpus_unimax",
+    "q_corpus_datasheet", "q_like_isnull", "q_distinct", "q_limit_offset",
+    "q_orderby_nulls", "q_fuzzy_prefix_match", "q_array_hof_fold",
+    "q_union_distinct", "q_intersect", "q_except", "q_in_memory_rows",
+    "q_orc_roundtrip", "q_stream_stream_join", "q_session_window",
+    "q_window_range_frame", "q_window_ignore_nulls",
 ]
 
 

@@ -108,6 +108,27 @@ _R7_ADDED = {
 }
 
 
+def compact_summary(times: dict, sf: str, load_gate: dict) -> str:
+    """The final stdout line: a compact single-line JSON summary.
+
+    Must stay a few hundred bytes — the driver keeps only the last ~2 KB
+    of stdout, so this line (printed last) is what its artifact parses;
+    the size bound is pinned by tests/test_bench_tooling.py.  The full
+    per-query record is the line above it and bench_out.json."""
+    return json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(times),
+            "load_gate_clean": load_gate["clean"],
+            "ambient_load": load_gate["load_at_start"],
+            "full_payload": "bench_out.json",
+        }
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -141,9 +162,15 @@ def main() -> None:
             and samples[-2] < load_target
         )
 
-    if samples[0] < load_target:
-        time.sleep(min(3.0, max(wait_budget, 0.1)))
-        waited += 3.0
+    if wait_budget <= 0:
+        # Explicit no-wait mode (SPARK_GRAFT_BENCH_LOAD_WAIT_S=0): don't
+        # sleep at all; gate on the ambient reading alone (loadavg only
+        # ticks every ~5s, so a second spaced poll needs a sleep).
+        samples.append(samples[0])
+    elif samples[0] < load_target:
+        seed_sleep = min(3.0, max(wait_budget, 0.1))
+        time.sleep(seed_sleep)
+        waited += seed_sleep
         samples.append(os.getloadavg()[0])
     while not _two_below() and waited < wait_budget:
         time.sleep(15)
@@ -262,12 +289,20 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
     )
-    # One JSON line on stdout is the driver contract; the same record is
-    # ALSO written to bench_out.json next to this script because the
-    # driver's tail-capture has truncated the (growing) stdout line
-    # before (BENCH_r06 'parsed: null') — the file is the
-    # truncation-proof artifact of record.
+    # Stdout format (two lines): the FULL payload line first, then a
+    # compact summary line.  The driver keeps only the last ~2 KB of
+    # stdout and parses what it finds there; the full payload line grew
+    # past that budget around r6, so BENCH_r06..r10 all carry
+    # 'parsed: null' (the captured tail is a cropped, unparseable
+    # fragment of the one big line).  The compact line is a few hundred
+    # bytes — small enough to always survive the tail capture whole — so
+    # the driver's artifact parses again, while bench_out.json (written
+    # next to this script) remains the truncation-proof full record and
+    # the full stdout line keeps the one-line contract for any consumer
+    # that captures stdout unclipped.  tests/test_bench_tooling.py pins
+    # this format.
     print(payload)
+    print(compact_summary(times, sf, load_gate))
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )

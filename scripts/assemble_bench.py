@@ -16,8 +16,17 @@ comparable).
 from __future__ import annotations
 
 import json
+import os
+import re
 import statistics
 import sys
+
+# bench.py lives at the repo root (one level up); its _R{N}_ADDED sets
+# are the source of truth for the total_pre_r{N}_subset memberships.
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+import bench  # noqa: E402
 
 
 def main(out_path: str, *cap_paths: str) -> int:
@@ -64,19 +73,11 @@ def main(out_path: str, *cap_paths: str) -> int:
     }
     for k in base:
         if k.startswith("total_pre_"):
-            subset = {q for q in names if q in queries}
-            # recompute subset totals from the min-of-captures times using
-            # each capture's own subset membership (identical across caps)
+            # recompute each subset total from the min-of-captures times
+            # (query-set equality across captures was asserted above)
+            excluded = _excluded_for(k)
             payload[k] = round(
-                sum(
-                    queries[q]
-                    for q in names
-                    if all(
-                        q in c["queries"] for c in caps
-                    )
-                    and _in_subset(base, k, q)
-                ),
-                3,
+                sum(v for q, v in queries.items() if q not in excluded), 3
             )
     with open(out_path, "w") as f:
         json.dump(payload, f)
@@ -86,25 +87,28 @@ def main(out_path: str, *cap_paths: str) -> int:
     return 0
 
 
-def _in_subset(base: dict, key: str, q: str) -> bool:
-    """A query is in a total_pre_rN subset iff the first capture counted
-    it there; recover membership by checking whether removing q changes
-    the recorded subset total is impossible post-hoc, so instead reuse
-    bench.py's sets."""
-    sys.path.insert(0, __import__("os").path.dirname(
-        __import__("os").path.dirname(__import__("os").path.abspath(__file__))
-    ))
-    import bench
+def _excluded_for(key: str) -> set[str]:
+    """Queries EXCLUDED from a ``total_pre_r{N}_subset`` total.
 
-    sets = {
-        "total_pre_r4_subset": bench._R4_ADDED | bench._R5_ADDED
-        | bench._R6_ADDED | bench._R7_ADDED,
-        "total_pre_r5_subset": bench._R5_ADDED | bench._R6_ADDED
-        | bench._R7_ADDED,
-        "total_pre_r6_subset": bench._R6_ADDED | bench._R7_ADDED,
-        "total_pre_r7_subset": bench._R7_ADDED,
-    }
-    return q not in sets[key]
+    A capture records only the subset totals, not their membership, so
+    membership is recovered from bench.py's own round-added sets: the
+    pre-r{N} subset excludes the union of ``bench._R{M}_ADDED`` for all
+    M >= N.  Derived generically from whatever _R*_ADDED sets bench
+    defines, so a future round's subset key works (or an unrecognized
+    key fails loudly) without editing a hard-coded map here."""
+    m = re.fullmatch(r"total_pre_r(\d+)_subset", key)
+    if m is None:
+        raise KeyError(
+            f"unrecognized subset-total key {key!r}: expected "
+            "total_pre_r<N>_subset matching a bench._R<N>_ADDED set"
+        )
+    n = int(m.group(1))
+    excluded: set[str] = set()
+    for name in dir(bench):
+        mm = re.fullmatch(r"_R(\d+)_ADDED", name)
+        if mm and int(mm.group(1)) >= n:
+            excluded |= getattr(bench, name)
+    return excluded
 
 
 if __name__ == "__main__":

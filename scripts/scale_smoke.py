@@ -135,9 +135,15 @@ def main() -> None:
             and samples[-2] < load_target
         )
 
-    if samples[0] < load_target:
-        time.sleep(min(3.0, max(wait_budget, 0.1)))
-        waited += 3.0
+    if wait_budget <= 0:
+        # Explicit no-wait mode: gate on the ambient reading alone (same
+        # accounting fix as bench.py — record the REAL sleep, skip it
+        # entirely at budget 0).
+        samples.append(samples[0])
+    elif samples[0] < load_target:
+        seed_sleep = min(3.0, max(wait_budget, 0.1))
+        time.sleep(seed_sleep)
+        waited += seed_sleep
         samples.append(os.getloadavg()[0])
     while not _two_below() and waited < wait_budget:
         time.sleep(15)

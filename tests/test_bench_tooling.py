@@ -17,6 +17,12 @@ sys.path.insert(
 
 import assemble_bench  # noqa: E402
 
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import bench  # noqa: E402
+
 
 def _capture(queries, clean=True, total=None):
     return {
@@ -81,3 +87,69 @@ def test_refuses_dirty_capture(tmp_path):
 def test_refuses_single_capture(tmp_path):
     p = _write(tmp_path, "c0.json", _capture({"qa": 1.0}))
     assert assemble_bench.main(str(tmp_path / "out.json"), p) == 1
+
+
+def test_subset_totals_recomputed_from_bench_sets(tmp_path):
+    # one query from bench's r7-added set, one pre-r4 query: the
+    # total_pre_r7_subset must count only the pre-r4 one.
+    r7_q = sorted(bench._R7_ADDED)[0]
+    caps = [
+        _capture({"q_old": 1.0, r7_q: 3.0}),
+        _capture({"q_old": 2.0, r7_q: 2.0}),
+    ]
+    for c in caps:
+        c["total_pre_r7_subset"] = c["queries"]["q_old"]
+    paths = [_write(tmp_path, f"c{i}.json", c) for i, c in enumerate(caps)]
+    out = str(tmp_path / "out.json")
+    assert assemble_bench.main(out, *paths) == 0
+    got = json.load(open(out))
+    assert got["total_pre_r7_subset"] == 1.0  # min of q_old only
+
+
+def test_excluded_for_unknown_key_fails_loudly():
+    import pytest
+
+    with pytest.raises(KeyError, match="total_pre_r<N>_subset"):
+        assemble_bench._excluded_for("total_pre_weird")
+    # a future round's key derives generically instead of KeyError-ing:
+    # pre-r99 excludes nothing bench knows about (nothing added >= r99)
+    assert assemble_bench._excluded_for("total_pre_r99_subset") == set()
+    # pre-r4 excludes every round-added set bench defines
+    r_all = set()
+    for name in dir(bench):
+        if name.startswith("_R") and name.endswith("_ADDED"):
+            r_all |= getattr(bench, name)
+    assert assemble_bench._excluded_for("total_pre_r4_subset") == r_all
+
+
+# -- bench.py stdout format pin (r11): the driver keeps only the last
+# ~2 KB of stdout, so bench prints the full payload line FIRST and a
+# compact summary line LAST; the compact line must stay well under the
+# capture budget and parse standalone.
+
+
+def test_compact_summary_is_small_and_parses():
+    times = {f"q{i:03d}": 1.234 for i in range(60)}  # full headline scale
+    gate = {"clean": True, "load_at_start": 0.42}
+    line = bench.compact_summary(times, "0.1", gate)
+    assert "\n" not in line
+    assert len(line) < 1000, "compact line must survive the ~2KB tail"
+    got = json.loads(line)
+    assert got["metric"] == "headline_queries_total"
+    assert got["unit"] == "sec"
+    assert got["sf"] == 0.1
+    assert got["n_queries"] == 60
+    assert got["value"] == round(1.234 * 60, 3)
+    assert got["load_gate_clean"] is True
+    assert got["full_payload"] == "bench_out.json"
+
+
+def test_bench_main_prints_summary_last():
+    # source-level pin: main() ends its stdout with compact_summary —
+    # print(payload) then print(compact_summary(...)), in that order.
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    i_payload = src.index("print(payload)")
+    i_summary = src.index("print(compact_summary(")
+    assert i_payload < i_summary
