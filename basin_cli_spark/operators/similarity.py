@@ -35,9 +35,20 @@ from basin_cli_spark.session import persist_once
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product in double (deterministic order)."""
+    """Sequential-fold dot product in double (deterministic order).
+
+    A genuine-NaN input element (not a NULL) is mapped to NULL via nanvl
+    so this fold and dot_arrow agree: the Arrow serializer already maps
+    dot_arrow's returned NaN to NULL, whereas a raw JVM fold would return
+    NaN — which sorts ABOVE every double in a desc window, the opposite
+    ranking.  With the guard, any degenerate input (NULL cell, NULL
+    element, ragged pair, genuine NaN) terminates as NULL in BOTH kernels
+    and sorts last.  Fixtures contain no NaNs, so DuckDB oracles (whose
+    LIST_REDUCE would yield NaN) are unaffected; on real crawl data the
+    NULL-sorts-last behavior is the one the rank windows assume."""
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    return F.nanvl(s, F.lit(None).cast("double"))
 
 
 def norm_sq(a: Column) -> Column:
@@ -62,49 +73,68 @@ def dot_arrow(a: Column, b: Column) -> Column:
     a truncated partial dot.  A NULL *element* inside a vector arrives as
     NaN after the Arrow→pandas conversion; the NaN accumulates through
     the products and Spark's Arrow serializer maps the returned NaN back
-    to NULL — same terminal value as the fold's NULL, so a degenerate
-    embedding can never outrank a real score in a desc sort (Spark sorts
-    NaN above every double; NULLs sort last).
+    to NULL — the same terminal NULL dot()'s nanvl guard produces for the
+    fold, so a degenerate embedding can never outrank a real score in a
+    desc sort (NULLs sort last).
     """
-
-    def _columns_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-        acc = np.zeros(A.shape[0], dtype=np.float64)
-        for j in range(A.shape[1]):
-            acc = acc + A[:, j] * B[:, j]
-        return acc
 
     @F.pandas_udf("double")
     def _dot_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        n = len(xs)
-        if n == 0:
-            return pd.Series([], dtype="float64")
-        # Fast path (the common case — dense, rectangular batch): one
-        # vectorized isna() check, then the same zero-Python-per-row
-        # column sweep as before the null hardening.  Degenerate batches
-        # (NULL cells, ragged pairs) fall through to the per-row path.
-        if not xs.isna().any() and not ys.isna().any():
-            try:
-                A = np.stack(xs.to_list()).astype(np.float64)
-                B = np.stack(ys.to_list()).astype(np.float64)
-            except ValueError:
-                A = B = None  # ragged batch
-            if A is not None and A.ndim == 2 and A.shape == B.shape:
-                return pd.Series(_columns_dot(A, B))
-        out = np.full(n, np.nan, dtype=np.float64)
-        xl, yl = xs.to_list(), ys.to_list()
-        for i in range(n):
-            x, y = xl[i], yl[i]
-            if x is None or y is None or len(x) != len(y):
-                continue
-            av = np.asarray(x, dtype=np.float64)
-            bv = np.asarray(y, dtype=np.float64)
-            s = 0.0
-            for j in range(av.shape[0]):
-                s += av[j] * bv[j]
-            out[i] = s
-        return pd.Series(out)
+        return _dot_batch(xs, ys)
 
     return _dot_udf(a, b)
+
+
+def _columns_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Per-row sequential IEEE adds, vectorized across the batch: each
+    row's accumulator starts at 0.0 and receives one rounded product per
+    dimension in order — the exact op sequence of the zip_with fold and
+    of DuckDB's list_reduce, so results are bit-identical."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    return acc
+
+
+def _dot_batch(xs: pd.Series, ys: pd.Series) -> pd.Series:
+    """One Arrow batch of pairs → dots (module-level so the throughput
+    contract is testable without a Spark job; tests/test_similarity.py
+    pins both the NULL semantics and the mixed-batch speed)."""
+    n = len(xs)
+    if n == 0:
+        return pd.Series([], dtype="float64")
+    # Fast path (the common case — dense, rectangular batch): one
+    # vectorized isna() check, then a zero-Python-per-row column sweep.
+    if not xs.isna().any() and not ys.isna().any():
+        try:
+            A = np.stack(xs.to_list()).astype(np.float64)
+            B = np.stack(ys.to_list()).astype(np.float64)
+        except ValueError:
+            A = B = None  # ragged batch
+        if A is not None and A.ndim == 2 and A.shape == B.shape:
+            return pd.Series(_columns_dot(A, B))
+    # Degenerate batch (NULL cells and/or ragged rows): mask the bad rows
+    # to NaN (→NULL), group the usable rows by dimension, and run the
+    # same column sweep per group — one crawl-edge row must not send the
+    # whole batch down a per-element Python loop.  Realistic batches have
+    # a single dimension, so this is one stack + one sweep over the ~99%
+    # clean subset.
+    out = np.full(n, np.nan, dtype=np.float64)
+    xl, yl = xs.to_list(), ys.to_list()
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        x, y = xl[i], yl[i]
+        if x is None or y is None or len(x) != len(y):
+            continue  # fold semantics: NULL cell / ragged pair -> NULL
+        groups.setdefault(len(x), []).append(i)
+    for d, idxs in groups.items():
+        if d == 0:
+            out[idxs] = 0.0  # empty pair: the fold returns its 0.0 seed
+            continue
+        A = np.asarray([xl[i] for i in idxs], dtype=np.float64)
+        B = np.asarray([yl[i] for i in idxs], dtype=np.float64)
+        out[np.asarray(idxs)] = _columns_dot(A, B)
+    return pd.Series(out)
 
 
 def cosine(a: Column, b: Column) -> Column:

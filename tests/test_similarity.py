@@ -9,6 +9,7 @@ kernel and the declarative HOF fold.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
@@ -90,6 +91,15 @@ def test_dot_arrow_null_propagation_matches_fold(spark):
             (4, [1.0, None], [3.0, 4.0]),   # NULL element -> NULL
             (5, [1.0], [3.0, 4.0]),         # ragged pair  -> NULL
             (6, [2.0, 0.5], [1.0, 8.0]),    # clean        -> 6.0
+            # genuine NaN double (not NULL): dot()'s nanvl guard and the
+            # Arrow serializer's NaN->NULL must agree — a raw JVM fold
+            # would return NaN, which sorts ABOVE every double desc,
+            # the opposite ranking of dot_arrow's NULL (r10 ADVICE)
+            (7, [1.0, float("nan")], [3.0, 4.0]),  # NaN element -> NULL
+            (8, [], []),                    # empty pair -> fold seed 0.0
+            # self-consistent pairs of a DIFFERENT dim in the same batch:
+            # the grouped fallback must still score them, not NULL them
+            (9, [1.0, 2.0, 3.0], [1.0, 1.0, 1.0]),  # clean d=3 -> 6.0
         ],
         "id int, x array<double>, y array<double>",
     )
@@ -108,7 +118,53 @@ def test_dot_arrow_null_propagation_matches_fold(spark):
         4: (None, None),
         5: (None, None),
         6: (6.0, 6.0),
+        7: (None, None),
+        8: (0.0, 0.0),
+        9: (6.0, 6.0),
     }
+
+
+def test_dot_batch_mixed_batch_stays_vectorized():
+    """One degenerate row must not send the whole Arrow batch down a
+    per-element Python loop (r10 verdict item #4): on a 1%-NULL batch the
+    grouped fallback stacks and column-sweeps the clean subset, so its
+    throughput stays within a small factor of the dense fast path (the
+    old per-row loop was ~100x slower on this shape)."""
+    import time
+
+    from basin_cli_spark.operators.similarity import _dot_batch
+
+    rng = np.random.default_rng(11)
+    n, d = 20_000, 64
+    A = rng.normal(size=(n, d))
+    B = rng.normal(size=(n, d))
+    clean_x = pd.Series(list(A))
+    clean_y = pd.Series(list(B))
+    mixed_x = pd.Series(list(A))
+    for i in range(0, n, 100):  # 1% NULL cells
+        mixed_x.iat[i] = None
+    mixed_y = pd.Series(list(B))
+
+    # correctness: NULL rows NULL out, clean rows bit-match the fast path
+    dense = _dot_batch(clean_x, clean_y)
+    mixed = _dot_batch(mixed_x, mixed_y)
+    assert mixed.isna().sum() == n // 100
+    keep = [i for i in range(n) if i % 100 != 0]
+    assert (mixed.iloc[keep].to_numpy() == dense.iloc[keep].to_numpy()).all()
+
+    def best_of(f, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_dense = best_of(lambda: _dot_batch(clean_x, clean_y))
+    t_mixed = best_of(lambda: _dot_batch(mixed_x, mixed_y))
+    # ~1.5x is the design target; 3x is the test bound so sandbox load
+    # noise can't flake it while the ~100x interpreted path still fails
+    assert t_mixed <= 3.0 * t_dense + 0.01, (t_mixed, t_dense)
 
 
 def test_mine_hard_negatives_null_embedding_rows_dropped(spark):
