@@ -111,10 +111,31 @@ def sql_dec(expr: str) -> str:
     return f"CAST({expr} AS DECIMAL(18,2))"
 
 
+def sql_dec2dbl(expr: str) -> str:
+    """Correctly-rounded DECIMAL -> DOUBLE for the DuckDB oracle, via a
+    string intermediate.
+
+    DuckDB's direct decimal->double cast computes (double)int128 * 10^-scale
+    — TWO roundings — while Spark's goes through BigDecimal.doubleValue
+    (one correctly-rounded conversion).  The casts agree up to ~15
+    significant digits, but a DECIMAL sum that needs 16+ (first seen at the
+    sf1 decade: q1's sum_charge = 27864178755.319390 -> DuckDB direct
+    ...319393, Spark/correct ...31939) lands 1 ULP apart and fails the
+    driver-strict repr() hash.  Both engines' string->double parses ARE
+    correctly rounded, so routing the oracle cast through VARCHAR makes it
+    bit-identical to Spark at any scale.  Post-aggregation only (per-group
+    rows), so the string hop costs nothing on the hot path.  Caveat: only
+    for values with adjusted exponent > -7 (money/measure sums — always
+    true here); tinier decimals would print in scientific notation on the
+    Spark side, though this helper never sees Spark output.
+    """
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dec_sum(expr: str, alias: str) -> str:
     """expr must already be decimal-typed (use sql_dec on raw columns)."""
-    return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+    return f"{sql_dec2dbl(f'SUM({expr})')} AS {alias}"
 
 
 def sql_dec_avg(expr: str, alias: str) -> str:
-    return f"CAST(SUM({expr}) AS DOUBLE) / COUNT(*) AS {alias}"
+    return f"{sql_dec2dbl(f'SUM({expr})')} / COUNT(*) AS {alias}"

@@ -27,7 +27,7 @@ SELECT l_returnflag,
        COUNT(DISTINCT l_orderkey) AS n_orders,
        MIN(l_quantity) AS min_qty,
        MAX(l_quantity) AS max_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
        MIN(l_shipdate) AS first_ship,
        MAX(l_shipdate) AS last_ship
 FROM lineitem
@@ -51,8 +51,8 @@ _VAR_ORACLE = """
 WITH m AS (
   SELECT event_type,
          COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s2
   FROM events GROUP BY event_type
 )
 SELECT event_type, n,
@@ -90,7 +90,7 @@ def q_stddev_var(spark, sf_dir):
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
@@ -111,7 +111,7 @@ def q_grouping_rollup(spark, sf_dir):
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """,
@@ -251,8 +251,8 @@ def q_approx_count_distinct(spark, sf_dir):
     "q_pivot",
     """
 SELECT l_returnflag,
-       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
-       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS qty_O,
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS qty_F
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -276,7 +276,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
        CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
@@ -335,7 +335,7 @@ def q_agg_first_last(spark, sf_dir):
 WITH m AS (
   SELECT c_nationkey,
          CAST(COUNT(*) AS DOUBLE) AS n_customers,
-         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+         CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_acctbal
   FROM customer GROUP BY c_nationkey
 )
 SELECT c_nationkey, metric, value
@@ -363,11 +363,11 @@ _CORR_ORACLE = """
 WITH m AS (
   SELECT l_returnflag,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_quantity AS DECIMAL(6,2))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS DOUBLE) AS sxy
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_quantity AS DECIMAL(6,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)) * CAST(l_extendedprice AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sxy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
@@ -468,7 +468,7 @@ def q_approx_percentile(spark, sf_dir):
 SELECT CAST(LEAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 10000), 9) AS BIGINT)
          AS bucket,
        COUNT(*) AS n,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
 FROM lineitem
 GROUP BY 1
 ORDER BY bucket

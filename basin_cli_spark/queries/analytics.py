@@ -252,8 +252,8 @@ def q6_forecast_revenue(spark, sf_dir):
 @register(
     "q14_promo_revenue_share",
     f"""
-SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-            / CAST(SUM({_REV}) AS DOUBLE) AS promo_share
+SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(SUM({_REV}) AS VARCHAR) AS DOUBLE) AS promo_share
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1996-06-01 00:00:00'

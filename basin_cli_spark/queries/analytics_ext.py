@@ -140,9 +140,9 @@ WITH volumes AS (
     AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
 )
 SELECT o_year,
-       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM volumes GROUP BY o_year
 """,
 )
@@ -273,7 +273,7 @@ WITH vals AS (
   WHERE r_name = 'EUROPE'
   GROUP BY l_partkey
 )
-SELECT p_partkey, CAST(val AS DOUBLE) AS part_value
+SELECT p_partkey, CAST(CAST(val AS VARCHAR) AS DOUBLE) AS part_value
 FROM vals, (SELECT SUM(val) AS total, COUNT(*) AS n_parts FROM vals) t
 WHERE val * n_parts * 2 > total * 3
 """,
@@ -364,7 +364,7 @@ WITH revenue AS (
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name, CAST(CAST(total_revenue AS VARCHAR) AS DOUBLE) AS total_revenue
 FROM supplier
 JOIN revenue ON s_suppkey = supplier_no,
      (SELECT MAX(total_revenue) AS max_rev FROM revenue) m

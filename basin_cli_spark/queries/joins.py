@@ -29,7 +29,7 @@ from basin_cli_spark.sources import load_table
     "q_join_inner_broadcast",
     """
 SELECT n_name, r_name, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -62,7 +62,7 @@ def q_join_inner_broadcast(spark, sf_dir):
     "q_join_left",
     """
 SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
-       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+       CAST(CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS VARCHAR) AS DOUBLE) AS total_spent
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
 """,
@@ -170,7 +170,7 @@ def q_join_cross(spark, sf_dir):
     "q_join_range",
     """
 SELECT b.bucket, COUNT(*) AS n,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events e
 JOIN (SELECT i AS bucket, CAST(i * 20 AS DOUBLE) AS lo,
              CAST((i + 1) * 20 AS DOUBLE) AS hi

@@ -124,7 +124,7 @@ SELECT CASE WHEN o_totalprice > 300000 THEN 'big'
             WHEN o_totalprice > 100000 THEN 'mid'
             ELSE 'small' END AS bucket,
        COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1))) AS DOUBLE) AS discounted_total,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1))) AS VARCHAR) AS DOUBLE) AS discounted_total,
        CAST(MIN(o_orderkey) AS BIGINT) AS min_key
 FROM orders
 GROUP BY 1

@@ -79,9 +79,9 @@ def q_window_lag_lead(spark, sf_dir):
     "q_window_running",
     """
 SELECT user_id, event_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
 FROM events
@@ -108,9 +108,9 @@ def q_window_running(spark, sf_dir):
     "q_window_moving_avg",
     """
 SELECT user_id, event_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
        / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg
 FROM events
@@ -164,7 +164,7 @@ def q_topk_per_group(spark, sf_dir):
 SELECT DATE_TRUNC('hour', ts) AS window_start,
        DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
        COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -266,9 +266,9 @@ def q_session_window(spark, sf_dir):
     "q_window_range_frame",
     """
 SELECT user_id, event_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
             OVER (PARTITION BY user_id ORDER BY CAST(EPOCH(ts) AS BIGINT)
-                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
          AS hour_sum,
        COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(EPOCH(ts) AS BIGINT)
                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hour_n
@@ -328,7 +328,7 @@ _GAPFILL_ORACLE = """
 WITH daily AS (
   SELECT user_id, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
          COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_v
   FROM events WHERE user_id < 20
   GROUP BY 1, 2
 ),
@@ -434,15 +434,15 @@ WITH base AS (
   FROM events
 )
 SELECT 'hour' AS grain, CAST(h AS VARCHAR) AS bucket, event_type,
-       COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value
+       COUNT(*) AS n, CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM base GROUP BY h, event_type
 UNION ALL
 SELECT 'day', CAST(CAST(DATE_TRUNC('day', h) AS TIMESTAMP) AS VARCHAR), event_type,
-       COUNT(*), CAST(SUM(v) AS DOUBLE)
+       COUNT(*), CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE)
 FROM base GROUP BY DATE_TRUNC('day', h), event_type
 UNION ALL
 SELECT 'month', CAST(CAST(DATE_TRUNC('month', h) AS TIMESTAMP) AS VARCHAR), event_type,
-       COUNT(*), CAST(SUM(v) AS DOUBLE)
+       COUNT(*), CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE)
 FROM base GROUP BY DATE_TRUNC('month', h), event_type
 """
 

@@ -14,18 +14,75 @@ import __spark_entry__ as contract  # noqa: E402
 from basin_cli_spark.oracle import compare, duckdb_connect  # noqa: E402
 from basin_cli_spark.session import get_spark  # noqa: E402
 
+# The relational/window/join core — the contract subset whose physical plans
+# change shape with row count (shuffle partitioning, AQE coalesce/skew
+# decisions, broadcast-vs-sortmerge thresholds, WindowGroupLimit spill).
+# Driven at the sf1-equivalent fixture (scripts/gen_sf1.py, ~6M lineitem)
+# as the fourth attested scale decade; the corpus/embedding shapes have
+# their own perturbed-replica 10x/100x evidence in SCALE.md instead.
+SF1_SUBSET = (
+    # TPC-H-shaped analytics (all 22)
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_trade_volume", "q8_market_share", "q9_product_type_profit",
+    "q10_returned_items", "q11_important_parts", "q12_priority_by_returnflag",
+    "q13_customer_distribution", "q14_promo_revenue_share", "q15_top_supplier",
+    "q16_part_supplier_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_discounted_revenue",
+    "q20_excess_shippers", "q21_waiting_suppliers", "q22_dormant_customers",
+    # join family (row-count-sensitive physical strategies)
+    "q_join_inner_broadcast", "q_join_semi", "q_join_anti",
+    "q_join_range", "q_join_asof",
+    # window family (partitioned sort + group-limit shapes)
+    "q_window_rank", "q_window_running", "q_window_moving_avg",
+    "q_topk_per_group",
+)
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+# Second sf1 leg: the aggregation/set-op/event-window families — every
+# remaining shuffle- or sort-shaped entry (row-wise scalar/string/corpus
+# shapes excluded: their plans are map-only and don't change with row
+# count; the corpus families carry perturbed-replica evidence instead).
+SF1_SUBSET_LEG2 = (
+    # aggregates (hash-agg, distinct, sketch-with-tolerance, pivot, corr)
+    "q_agg_stats", "q_stddev_var", "q_grouping_rollup", "q_grouping_cube",
+    "q_maxby_minby", "q_collect_list_sorted", "q_median_percentile",
+    "q_count_distinct_multi", "q_approx_count_distinct", "q_pivot",
+    "q_grouping_sets", "q_agg_first_last", "q_unpivot", "q_corr_covar",
+    "q_approx_percentile", "q_histogram",
+    # set ops (shuffle-dedup shapes)
+    "q_union_all", "q_union_distinct", "q_intersect", "q_except",
+    "q_intersect_all", "q_except_all",
+    # relational rest (scan/sort/limit shapes)
+    "q_filter_predicates", "q_like_isnull", "q_case_expr", "q_distinct",
+    "q_limit_offset", "q_orderby_nulls",
+    # event-time window family on the 1M-row events table
+    "q_window_lag_lead", "q_window_tumbling", "q_window_sliding",
+    "q_session_window", "q_window_range_frame", "q_window_percent_rank",
+    "q_timeseries_gapfill", "q_window_ignore_nulls", "q_hypertable_rollup",
+    "q_window_nth_value",
+    # events surface (pushdown filters at 1M rows)
+    "q_events_before_after", "q_events_latest_n", "q_events_at",
+)
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01", subset: str | None = None) -> int:
     spark = get_spark(app_name="drive_contract")
 
-    t0 = time.time()
-    res = contract.entry(spark)
-    rows = res.collect()
-    print(f"entry(): {len(rows)} rows, schema={res.schema.simpleString()} "
-          f"({time.time() - t0:.1f}s)")
-    assert len(rows) >= 0
+    if subset is None:
+        t0 = time.time()
+        res = contract.entry(spark)
+        rows = res.collect()
+        print(f"entry(): {len(rows)} rows, schema={res.schema.simpleString()} "
+              f"({time.time() - t0:.1f}s)")
+        assert len(rows) >= 0
 
     qs, oracles = contract.queries(), contract.oracle_sql()
+    if subset is not None:
+        presets = {"sf1": SF1_SUBSET, "sf1_leg2": SF1_SUBSET_LEG2}
+        names = presets.get(subset) or tuple(subset.split(","))
+        missing = [n for n in names if n not in qs]
+        assert not missing, f"unknown subset entries: {missing}"
+        qs = {n: qs[n] for n in names}
     con = duckdb_connect(sf_dir)
     failed = []
     for name, fn in qs.items():
