@@ -957,6 +957,44 @@ def main() -> None:
         )
     lines += [
         "",
+        "## Fourth scale decade — sf1-equivalent contract run (round 11)",
+        "",
+        "The relational/window/join core is now CORRECTNESS-attested at a",
+        "fourth decade, not just throughput-smoked: scripts/gen_sf1.py",
+        "replicates sf0.1 10x as whole-database copies (keys remapped",
+        "k*10+c so every FK edge survives — FK integrity + 2dp-grain tick",
+        "pinned by tests/test_sf1_decade.py), and",
+        "`python scripts/drive_contract.py .scratch/sf1 sf1` drives the",
+        "31-entry SF1_SUBSET (all 22 TPC-H-shaped analytics + 5 joins +",
+        "4 windows — the plans whose physical shape changes with row",
+        "count) against the DuckDB oracle on 6,000,000 lineitem /",
+        "1,500,000 orders / 1,000,000 events rows with the same",
+        "driver-strict hash as the three committed sweeps.  Result:",
+        "**31/31 OK** (CONTRACT_r11_sf1_subset.txt), ~4 min wall for both",
+        "engines together on local[32].  A second leg (SF1_SUBSET_LEG2:",
+        "16 aggregates + 6 set ops + 6 relational + 10 event-windows + 3",
+        "events-surface — every remaining shuffle- or sort-shaped entry)",
+        "is appended to the same artifact: **41/41 OK**, so 72 of the 203",
+        "registry entries are attested at the fourth decade; the excluded",
+        "families are row-wise map-only plans or corpus shapes with their",
+        "own perturbed-replica evidence below.",
+        "",
+        "The decade surfaced one real cross-engine defect the smaller",
+        "fixtures could not: DuckDB's direct DECIMAL->DOUBLE cast",
+        "double-rounds ((double)int128 * 10^-scale), while Spark's",
+        "BigDecimal.doubleValue is correctly rounded — they diverge by",
+        "1 ULP once a decimal sum needs >=16 significant digits (first",
+        "hit: q1 sum_charge 27864178755.319390 -> DuckDB ...319393 vs",
+        "Spark ...31939, which fails the exact-repr value hash).  Fix:",
+        "every oracle-side decimal-sum cast now routes through VARCHAR",
+        "(_helpers.sql_dec2dbl + all hand-rolled sites) — both engines'",
+        "string->double parses are correctly rounded, so the casts are",
+        "bit-identical at ANY scale; cost is per-group rows only.  The",
+        "Spark side is untouched, so attested values did not move.",
+        "Pinned by tests/test_sf1_decade.py::",
+        "test_duckdb_varchar_route_is_correctly_rounded, including a",
+        "22-sig-digit DECIMAL(38,6) case.",
+        "",
         "## Perturbed replicas — pair-gen / rewrite shapes at 10x AND 100x",
         "",
         "Exact replication is degenerate for bucketed shapes, so these",
