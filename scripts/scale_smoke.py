@@ -995,6 +995,13 @@ def main() -> None:
         "test_duckdb_varchar_route_is_correctly_rounded, including a",
         "22-sig-digit DECIMAL(38,6) case.",
         "",
+        "Spark-only wall-clock across the decade (scripts/sf1_scaling.py,",
+        "committed as SCALE_sf1_scaling.md): 2.31x total for 10x rows over",
+        "the 31-entry subset, worst single query 5.59x (q17), windows ~1x",
+        "(their user_id<40 slices are row-bounded) — every plan at or",
+        "below linear; no hidden quadratic, grows-with-input broadcast,",
+        "or spill appears at the fourth decade.",
+        "",
         "## Perturbed replicas — pair-gen / rewrite shapes at 10x AND 100x",
         "",
         "Exact replication is degenerate for bucketed shapes, so these",
