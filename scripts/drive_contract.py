@@ -64,6 +64,37 @@ SF1_SUBSET_LEG2 = (
     "q_events_before_after", "q_events_latest_n", "q_events_at",
 )
 
+# Third sf1 leg: the corpus/embedding families on the 10x PERTURBED corpus
+# (scripts/gen_sf1_corpus.py -> .scratch/sf1c: 50k near-dup documents /
+# 20k noised vectors over the scaled relational tables).  Every llm_ops /
+# corpus_ops entry with a plain-SQL oracle; the two corpus-fingerprint-
+# keyed entries (q_text_compression_ratio golden deflate constants,
+# q_corpus_delete_digest EC-point known answers) cannot replay on a
+# different corpus by construction, and the multimodal entries carry
+# their own synthetic binaries independent of corpus size.
+SF1_SUBSET_LEG3 = (
+    "q_dedup_exact", "q_dedup_exact_events", "q_dedup_minhash", "q_dedup_source_overlap",
+    "q_dedup_incremental", "q_dedup_simhash", "q_dedup_ngram_jaccard", "q_minhash_jaccard_estimate",
+    "q_similarity_bruteforce", "q_similarity_ann_lsh", "q_similarity_ann_multiprobe", "q_text_quality_stats",
+    "q_text_quality_score", "q_text_language_id", "q_text_token_count", "q_text_fingerprint",
+    "q_dedup_embedding", "q_dedup_embedding_keep_one", "q_similarity_ann_ivf", "q_dedup_repeated_spans",
+    "q_dedup_semantic_ivf", "q_similarity_ann_ivf_trained", "q_similarity_pq_adc_trained", "q_llm_prep_pipeline",
+    "q_text_entropy", "q_text_repetition", "q_embedding_label_centroids", "q_similarity_knn_label",
+    "q_embedding_prototype_prune", "q_embedding_prototype_prune_2pass", "q_similarity_hard_negatives", "q_corpus_source_stats",
+    "q_dedup_clusters", "q_sample_stratified", "q_sample_weighted", "q_sample_per_source_cap",
+    "q_sample_cluster_cap", "q_corpus_quantile_prune", "q_text_pii_scrub", "q_token_budget_pack",
+    "q_dedup_keep_one", "q_embedding_quantize", "q_text_hash_embedding", "q_similarity_text_hash",
+    "q_llm_prep_pipeline_v2", "q_sample_kcenter", "q_embedding_anisotropy", "q_text_normalize",
+    "q_corpus_boilerplate_scrub", "q_corpus_split", "q_contamination_score", "q_decontaminate",
+    "q_decontaminate_bloom", "q_corpus_mad_prune", "q_corpus_mad_prune_2pass", "q_corpus_quantile_prune_2pass",
+    "q_corpus_gopher_rules", "q_llm_prep_pipeline_v3", "q_split_leakage", "q_corpus_rebalance",
+    "q_corpus_shard_pack", "q_chunk_documents", "q_dedup_provenance", "q_vocab_topk",
+    "q_tfidf_topterms", "q_text_bigram_logprob", "q_corpus_lm_prune", "q_corpus_lm_prune_2pass",
+    "q_corpus_dsir_select", "q_llm_prep_pipeline_v4", "q_corpus_unimax", "q_corpus_temperature_mix",
+    "q_corpus_unimax_apply", "q_embedding_center_normalize", "q_similarity_pq_adc", "q_vocab_oov_rate",
+    "q_corpus_datasheet", "q_corpus_dup_ngram_stats", "q_corpus_domain_kl", "q_corpus_zipf_slope",
+)
+
 
 def main(sf_dir: str = "/root/testdata/sf0.01", subset: str | None = None) -> int:
     spark = get_spark(app_name="drive_contract")
@@ -78,7 +109,11 @@ def main(sf_dir: str = "/root/testdata/sf0.01", subset: str | None = None) -> in
 
     qs, oracles = contract.queries(), contract.oracle_sql()
     if subset is not None:
-        presets = {"sf1": SF1_SUBSET, "sf1_leg2": SF1_SUBSET_LEG2}
+        presets = {
+            "sf1": SF1_SUBSET,
+            "sf1_leg2": SF1_SUBSET_LEG2,
+            "sf1_leg3": SF1_SUBSET_LEG3,
+        }
         names = presets.get(subset) or tuple(subset.split(","))
         missing = [n for n in names if n not in qs]
         assert not missing, f"unknown subset entries: {missing}"
