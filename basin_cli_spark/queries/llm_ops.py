@@ -2175,11 +2175,17 @@ WITH keyed AS (
   FROM documents
   WHERE n_chars > 0
 )
-SELECT doc_id, source, n_chars, ROUND(k, 6) AS sample_key
+SELECT doc_id, source, n_chars, ROUND(k, 6) + 0.0 AS sample_key
 FROM keyed
 ORDER BY k DESC, doc_id
 LIMIT 100
 """
+# ^ the + 0.0 canonicalizes the zero sign: k <= 0 always, and at a large
+# corpus the top keys round to zero, where DuckDB's ROUND returns -0.0 but
+# Spark's returns 0.0 — numerically equal, repr()-hash distinct (surfaced
+# by the 10x-corpus decade run, CONTRACT_r11_sf1_subset.txt); IEEE x + 0.0
+# maps -0.0 to +0.0 and is the identity elsewhere, so no smaller-fixture
+# attested value moves.  Same term on the Spark side below.
 
 
 @register("q_sample_weighted", _WEIGHTED_ORACLE)
@@ -2203,7 +2209,10 @@ def q_sample_weighted(spark, sf_dir):
         d.select("doc_id", "source", "n_chars", key.alias("k"))
         .orderBy(F.col("k").desc(), "doc_id")
         .limit(100)
-        .select("doc_id", "source", "n_chars", F.round("k", 6).alias("sample_key"))
+        .select(
+            "doc_id", "source", "n_chars",
+            (F.round("k", 6) + F.lit(0.0)).alias("sample_key"),
+        )
     )
 
 
