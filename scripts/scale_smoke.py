@@ -979,6 +979,24 @@ def main() -> None:
         "families are row-wise map-only plans or corpus shapes with their",
         "own perturbed-replica evidence below.",
         "",
+        "A third leg extends the decade to the llm/corpus families on a 10x",
+        "PERTURBED corpus (scripts/gen_sf1_corpus.py: 50k near-dup documents /",
+        "20k noised vectors, same seeded noise as the throughput smokes):",
+        "**78/80** SF1_SUBSET_LEG3 entries oracle-attested (appended to the",
+        "same artifact).  The two exclusions are ORACLE-replay costs, not",
+        "engine limits: q_dedup_embedding_keep_one and q_dedup_semantic_ivf",
+        "verify millions of candidate pairs as interpreted DuckDB list",
+        "lambdas (>20 min each; during the attested q_dedup_embedding's",
+        "1159s the Spark JVM sat at ~10% CPU while the oracle pegged two",
+        "cores) — the identical Spark pair path IS attested via",
+        "q_dedup_embedding, and its 10x/100x Spark throughput is in the",
+        "perturbed-replica table.  The leg surfaced two real decade bugs,",
+        "both fixed and committed: ROUND's -0.0 vs 0.0 zero-sign hash split",
+        "in the weighted-sample key (IEEE + 0.0 canonicalization on both",
+        "engines), and the frozen-codebook lifecycle gaining additive",
+        "per-corpus training (scripts/gen_codebooks.py <dir> merges new",
+        "corpus keys instead of only regenerating the driver scales).",
+        "",
         "The decade surfaced one real cross-engine defect the smaller",
         "fixtures could not: DuckDB's direct DECIMAL->DOUBLE cast",
         "double-rounds ((double)int128 * 10^-scale), while Spark's",
