@@ -36,7 +36,12 @@ IVF_PARAMS = {"k": 16, "iters": 4, "metric": "cos"}
 PQ_PARAMS = {"m": 8, "sub_dim": 8, "k": 16, "iters": 2}
 
 
-def main() -> None:
+def main(*extra_dirs: str) -> None:
+    """Regenerate for the three driver scales; any extra fixture dirs
+    passed on the command line (e.g. the .scratch/sf1c 10x perturbed
+    corpus) are trained ADDITIVELY and merged into the existing artifact,
+    so scale-decade corpora get frozen codebooks without touching the
+    driver-scale entries."""
     import pyspark.sql.functions as F
 
     from basin_cli_spark.operators import kmeans as KM
@@ -44,8 +49,14 @@ def main() -> None:
     from basin_cli_spark.sources import load_table
 
     spark = get_spark(app_name="gen_codebooks", shuffle_partitions=8)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "codebooks.json",
+    )
     out: dict[str, dict] = {}
-    for sf_dir in SCALES:
+    if extra_dirs and os.path.exists(path):
+        out = json.load(open(path))  # additive mode keeps existing entries
+    for sf_dir in (list(extra_dirs) or SCALES):
         e = load_table(spark, sf_dir, "embeddings")
         key = e.agg(
             F.sum(F.col("vec_id") * F.col("label")).cast("long")
@@ -60,14 +71,10 @@ def main() -> None:
             "pq": pq.tolist(),
         }
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "fixtures", "codebooks.json",
-    )
     with open(path, "w") as f:
         json.dump(out, f)
     print(f"wrote {path} ({os.path.getsize(path)} bytes)")
 
 
 if __name__ == "__main__":
-    main()
+    main(*sys.argv[1:])
