@@ -128,29 +128,45 @@ def register(name: str, oracle: str | None = None):
 # tail: q_stream_session_window, q_stream_dedup_within_watermark,
 # q_stream_ivf_assign.  After a green r11, no entry's latest attestation
 # predates round 7.
+#
+# Round-12 rotation — freshness completion, leg 2 of 2 (r11 verdict item
+# #1): latest-attestation distribution after r11 is {r11: 50, r10: 50,
+# r9: 50, r8: 50, r7: 3}.  This head carries the 3 entries whose latest
+# driver row is still r7 (leg 1's positional tail) plus the 47 OLDEST of
+# the 50 r8-latest entries, under the same age key as r9/r10/r11
+# (first-ever attestation round, then registry position, computed from
+# CORRECTNESS_r01..r11.json against the r11 registry order):
+# q_ecmh_digest_by_group (first r1), the seven first-r7 entries, then
+# the first-r8 entries in position order.  The 3 r8 leftovers for a
+# hypothetical r13 leg are the positional tail: q_window_sliding,
+# q_window_percent_rank, q_stream_dsir_score.  After a green r12, no
+# entry's latest attestation predates round 8 — every entry's latest
+# green row postdates the driver-strict canonicalizer, the width-cast
+# surface, and the sql_dec2dbl oracle-cast route.
 REPRESENTATIVE_HEAD = [
-    # -- the 10 r6-latest entries --
-    "q_corpus_boilerplate_scrub", "q_corpus_gopher_rules",
-    "q_corpus_mad_prune", "q_corpus_rebalance", "q_corpus_shard_pack",
-    "q_llm_prep_pipeline_v3", "q_sample_per_source_cap", "q_split_leakage",
-    "q_stream_cdc_apply", "q_stream_quality_gate",
-    # -- the 40 oldest r7-latest entries (all first attested r7;
-    #    r10-registry positions 61..196) --
-    "q_approx_percentile", "q_muhash_digest_by_group",
-    "q_dedup_source_overlap", "q_text_quality_score", "q_text_fingerprint",
-    "q_multimodal_decode", "q_multimodal_frames",
-    "q_embedding_label_centroids", "q_similarity_knn_label",
-    "q_embedding_prototype_prune_2pass", "q_dedup_clusters",
-    "q_sample_stratified", "q_sample_cluster_cap", "q_embedding_quantize",
-    "q_contamination_score", "q_corpus_mad_prune_2pass",
-    "q_corpus_quantile_prune_2pass", "q_vocab_topk", "q_tfidf_topterms",
-    "q_text_bigram_logprob", "q_corpus_lm_prune_2pass",
-    "q_corpus_dsir_select", "q_llm_prep_pipeline_v4", "q_corpus_unimax",
-    "q_corpus_datasheet", "q_like_isnull", "q_distinct", "q_limit_offset",
-    "q_orderby_nulls", "q_fuzzy_prefix_match", "q_array_hof_fold",
-    "q_union_distinct", "q_intersect", "q_except", "q_in_memory_rows",
-    "q_orc_roundtrip", "q_stream_stream_join", "q_session_window",
-    "q_window_range_frame", "q_window_ignore_nulls",
+    # -- the 3 r7-latest entries (leg-1 positional tail) --
+    "q_stream_session_window", "q_stream_dedup_within_watermark",
+    "q_stream_ivf_assign",
+    # -- the 47 oldest r8-latest entries --
+    "q_ecmh_digest_by_group",  # first attested r1
+    # first attested r7:
+    "q_multimodal_features", "q_text_repetition",
+    "q_embedding_center_normalize", "q_datetime_funcs", "q_math_funcs",
+    "q_regexp_extract", "q_window_nth_value",
+    # first attested r8, in r11 registry-position order:
+    "q_histogram", "q_llm_prep_pipeline", "q_text_entropy",
+    "q_corpus_source_stats", "q_sample_weighted", "q_corpus_quantile_prune",
+    "q_text_pii_scrub", "q_token_budget_pack", "q_text_hash_embedding",
+    "q_similarity_text_hash", "q_llm_prep_pipeline_v2", "q_sample_kcenter",
+    "q_embedding_anisotropy", "q_text_normalize", "q_corpus_split",
+    "q_chunk_documents", "q_dedup_provenance", "q_corpus_temperature_mix",
+    "q_corpus_unimax_apply", "q_vocab_oov_rate", "q_corpus_dup_ngram_stats",
+    "q_corpus_domain_kl", "q_corpus_zipf_slope", "q_array_funcs",
+    "q_hash_funcs", "q_conditional_null", "q_explode_posexplode",
+    "q_map_funcs", "q_interval_arith", "q_uuid_canonical", "q_union_all",
+    "q_intersect_all", "q_json_roundtrip", "q_stream_dedup",
+    "q_stream_static_join", "q_window_rank", "q_window_lag_lead",
+    "q_window_running", "q_window_moving_avg",
 ]
 
 

@@ -123,8 +123,11 @@ def sql_dec2dbl(expr: str) -> str:
     ...319393, Spark/correct ...31939) lands 1 ULP apart and fails the
     driver-strict repr() hash.  Both engines' string->double parses ARE
     correctly rounded, so routing the oracle cast through VARCHAR makes it
-    bit-identical to Spark at any scale.  Post-aggregation only (per-group
-    rows), so the string hop costs nothing on the hot path.  Caveat: only
+    bit-identical to Spark at any scale.  Applied per OUTPUT row — usually
+    post-aggregation (per-group rows), but windows.py also routes per-row
+    window-frame results through it, so the oracle pays the string hop
+    once per result row; cheap at fixture scales, but do not lean on it
+    for hot-path row volumes.  Caveat: only
     for values with adjusted exponent > -7 (money/measure sums — always
     true here); tinier decimals would print in scientific notation on the
     Spark side, though this helper never sees Spark output.

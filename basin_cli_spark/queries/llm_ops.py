@@ -817,14 +817,23 @@ def _embedding_dedup_pairs(spark, sf_dir):
     )
 
 
+# MATERIALIZED hints: `pairs` (the banded self-join + interpreted-lambda
+# cosine verify, the expensive block) is referenced twice by `edges`, and
+# `edges` is re-scanned once per fixpoint iteration of `walk` — inlined,
+# DuckDB re-evaluates the whole candidate join per reference/iteration,
+# which is what made the 10x-corpus replay exceed 40 min in r11.
+# Materialized, the join runs exactly once (same cost class as the
+# attested q_dedup_embedding oracle) and the closure walks a cached edge
+# list.  Results are identical either way; this is purely evaluation
+# strategy.
 _EMB_KEEP_ONE_ORACLE = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM embeddings a JOIN embeddings b
     ON a.vec_id < b.vec_id AND ({_any_band_sql('a.embedding', 'b.embedding')})
   WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.40
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT vec_a AS u, vec_b AS v FROM pairs
   UNION ALL
   SELECT vec_b, vec_a FROM pairs

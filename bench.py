@@ -124,6 +124,12 @@ def compact_summary(times: dict, sf: str, load_gate: dict) -> str:
             "n_queries": len(times),
             "load_gate_clean": load_gate["clean"],
             "ambient_load": load_gate["load_at_start"],
+            # 1-min loadavg at the END of the run: a driver capture that
+            # ran under an external load spike reads slower than the
+            # load-gated builder pool, and this field makes that delta
+            # self-explaining in the artifact (r11: 35.97s driver vs
+            # 29.76s builder, end load 10.48).
+            "load_avg_end": round(os.getloadavg()[0], 2),
             "full_payload": "bench_out.json",
         }
     )

@@ -54,9 +54,18 @@ def main(*extra_dirs: str) -> None:
         "fixtures", "codebooks.json",
     )
     out: dict[str, dict] = {}
-    if extra_dirs and os.path.exists(path):
-        out = json.load(open(path))  # additive mode keeps existing entries
-    for sf_dir in (list(extra_dirs) or SCALES):
+    if extra_dirs:
+        # additive mode merges into the existing artifact; if it is
+        # missing, the driver-scale entries would be silently dropped —
+        # fall back to regenerating SCALES alongside the extra dirs.
+        if os.path.exists(path):
+            out = json.load(open(path))
+            dirs = list(extra_dirs)
+        else:
+            dirs = SCALES + list(extra_dirs)
+    else:
+        dirs = SCALES
+    for sf_dir in dirs:
         e = load_table(spark, sf_dir, "embeddings")
         key = e.agg(
             F.sum(F.col("vec_id") * F.col("label")).cast("long")

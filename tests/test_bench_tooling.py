@@ -141,6 +141,7 @@ def test_compact_summary_is_small_and_parses():
     assert got["n_queries"] == 60
     assert got["value"] == round(1.234 * 60, 3)
     assert got["load_gate_clean"] is True
+    assert isinstance(got["load_avg_end"], float)
     assert got["full_payload"] == "bench_out.json"
 
 

@@ -62,6 +62,20 @@ def test_sf1_subset_resolves_in_registry():
     assert sum(n.startswith(("q_window", "q_topk")) for n in SF1_SUBSET) == 4
 
 
+def test_sf1_leg2_leg3_resolve_in_registry():
+    """Legs 2/3 are validated at drive time only; pin them here too so a
+    registry rename can't silently orphan the committed leg artifacts."""
+    import __spark_entry__ as contract
+    from drive_contract import SF1_SUBSET_LEG2, SF1_SUBSET_LEG3
+
+    qs, oracles = contract.queries(), contract.oracle_sql()
+    assert len(SF1_SUBSET_LEG2) == 41
+    assert len(SF1_SUBSET_LEG3) == 80
+    for leg in (SF1_SUBSET_LEG2, SF1_SUBSET_LEG3):
+        missing = [n for n in leg if n not in qs or n not in oracles]
+        assert not missing, missing
+
+
 @pytest.mark.skipif(not os.path.isdir(SF0001), reason="testdata not mounted")
 def test_gen_sf1_preserves_fk_integrity(tmp_path):
     """2x replication of sf0.001: row counts double, every FK edge count
