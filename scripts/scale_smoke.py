@@ -1018,7 +1018,42 @@ def main() -> None:
         "the 31-entry subset, worst single query 5.59x (q17), windows ~1x",
         "(their user_id<40 slices are row-bounded) — every plan at or",
         "below linear; no hidden quadratic, grows-with-input broadcast,",
-        "or spill appears at the fourth decade.",
+        "or spill appears at the fourth decade.  The four >=4x ratios are",
+        "stage-profiled in SCALE_sf1_scaling.md's Profile notes",
+        "(scripts/profile_sf1_ratios.py): zero spill, shuffle growth",
+        "row-proportional, q17's subquery built once (no",
+        "rebuild-per-probe).",
+        "",
+        "## Streaming 10x throughput smoke (round 12)",
+        "",
+        "The streaming family's state-bound claims (quality gate state is",
+        "O(gates); near-dedup state is one row per SimHash bucket) were",
+        "tests-plus-narrative through r11; scripts/stream_scale_smoke.py",
+        "turns them into measured rows.  It re-shards the document corpus",
+        "into 8 files and drains the two headline streaming shapes with",
+        "maxFilesPerTrigger=2 (4 micro-batches, so state must survive",
+        "batch boundaries) at sf0.1 (5k docs) and the 10x perturbed corpus",
+        "(50k docs), reading rows/s and state rows/bytes from the",
+        "StreamingQueryProgress:",
+        "",
+        "| shape | corpus | rows | batches | wall s | rows/s | state rows | state MB |",
+        "|---|---|---|---|---|---|---|---|",
+        "| quality_gate | sf0.1 | 5,000 | 4 | 2.94 | 1,698 | 3 | 0.02 |",
+        "| near_dedup | sf0.1 | 5,000 | 4 | 4.57 | 1,093 | 2,173 | 0.57 |",
+        "| quality_gate | sf1c (10x) | 50,000 | 4 | 3.82 | 13,089 | 3 | 0.02 |",
+        "| near_dedup | sf1c (10x) | 50,000 | 4 | 20.0 | 2,499 | 14,334 | 4.49 |",
+        "",
+        "quality_gate's state is EXACTLY 3 rows (the gates) at both",
+        "scales — 10x the stream moves throughput 7.7x UP (per-batch fixed",
+        "costs amortize) and state not at all.  near_dedup's state is the",
+        "bucket count: 14,334 rows / 4.5 MB for 50k docs (sub-linear —",
+        "the perturbed corpus's near-dups collide into shared buckets),",
+        "wall 4.4x for 10x rows.  At production rates the watermark",
+        "expires buckets, bounding state by the window, not the corpus;",
+        "the smoke's 1-batch-visible watermark keeps everything live, so",
+        "these rows are the WORST case.  The script asserts both bounds",
+        "(gate state <= gates x shuffle partitions; bucket state <= corpus",
+        "rows) and fails loudly on regression.",
         "",
         "## Perturbed replicas — pair-gen / rewrite shapes at 10x AND 100x",
         "",

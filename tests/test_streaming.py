@@ -262,3 +262,44 @@ def test_retrieve_by_cid_and_vault_listing(spark, dirs):
     vaults = {r["vault"]: r["n_events"] for r in list_vaults(ev).collect()}
     assert vaults["t"] == 1
 
+
+
+def test_quality_gate_state_is_o_gates_across_batches(spark, tmp_path):
+    """The q_stream_quality_gate docstring claims state is O(gates), not
+    O(documents).  Pin it functionally: shard the sf0.001 documents into
+    4 files, drain the same plan shape with maxFilesPerTrigger=1 (4
+    micro-batches, so state survives batch boundaries), and assert the
+    final progress reports exactly one state row per gate.  The measured
+    10x row is in SCALE.md (scripts/stream_scale_smoke.py)."""
+    import pyspark.sql.functions as F
+
+    from basin_cli_spark.operators.text import quality_score
+
+    shard_dir = str(tmp_path / "docs")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .repartition(4)
+        .write.parquet(shard_dir)
+    )
+    docs = (
+        spark.readStream.schema(spark.read.parquet(shard_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(shard_dir)
+    )
+    agg = quality_score(docs, "text", "doc_id").groupBy("gate").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("qgate_state_pin")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p and p.get("stateOperators")]
+    assert len(progresses) >= 2, "expected a multi-batch drain"
+    last = progresses[-1]["stateOperators"]
+    n_gates = spark.table("qgate_state_pin").count()
+    assert sum(op["numRowsTotal"] for op in last) == n_gates
+    assert n_gates <= 3
