@@ -865,9 +865,13 @@ def q_dedup_embedding_keep_one(spark, sf_dir):
     30-50% of documents, making the drop-list corpus-scale — AQE
     broadcasts it while it fits and falls back to shuffle when it
     doesn't.  The
-    DuckDB oracle replays the closure as a recursive CTE; Spark runs the
-    iterative min-label propagation (operators/dedup.connected_components)
-    a 10^9-edge graph actually needs."""
+    DuckDB oracle replays the closure as a recursive CTE over MATERIALIZED
+    pair/edge CTEs (see _EMB_KEEP_ONE_ORACLE's comment: inlined, the
+    banded self-join re-evaluated per fixpoint iteration and the
+    10x-corpus replay exceeded 40 min; materialized, it is one join —
+    measured 1,668 s at 20k noised vectors); Spark runs the iterative
+    min-label propagation (operators/dedup.connected_components) a
+    10^9-edge graph actually needs."""
     pairs = _embedding_dedup_pairs(spark, sf_dir).select("vec_a", "vec_b")
     cc = D.connected_components(pairs, "vec_a", "vec_b")
     drop = cc.where(F.col("id") != F.col("lab")).select(
