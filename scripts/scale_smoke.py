@@ -982,15 +982,17 @@ def main() -> None:
         "A third leg extends the decade to the llm/corpus families on a 10x",
         "PERTURBED corpus (scripts/gen_sf1_corpus.py: 50k near-dup documents /",
         "20k noised vectors, same seeded noise as the throughput smokes):",
-        "**78/80** SF1_SUBSET_LEG3 entries oracle-attested (appended to the",
-        "same artifact).  The two exclusions are ORACLE-replay costs, not",
-        "engine limits: q_dedup_embedding_keep_one and q_dedup_semantic_ivf",
-        "verify millions of candidate pairs as interpreted DuckDB list",
-        "lambdas (>20 min each; during the attested q_dedup_embedding's",
-        "1159s the Spark JVM sat at ~10% CPU while the oracle pegged two",
-        "cores) — the identical Spark pair path IS attested via",
-        "q_dedup_embedding, and its 10x/100x Spark throughput is in the",
-        "perturbed-replica table.  The leg surfaced two real decade bugs,",
+        "**80/80** SF1_SUBSET_LEG3 entries oracle-attested",
+        "(CONTRACT_r12_sf1_subset.txt; r11 closed at 79/80).  Both onetime",
+        "exclusions were ORACLE-replay costs, not engine limits, and both",
+        "are retired: q_dedup_semantic_ivf needed the frozen IVF codebook",
+        "trained for the corpus key (additive gen_codebooks.py, green in",
+        "164 s r11), and q_dedup_embedding_keep_one's recursive-CTE oracle",
+        "re-evaluated the banded self-join per fixpoint iteration when",
+        "inlined (>40 min unfinished) — MATERIALIZED hints on its",
+        "pairs/edges CTEs make the join run once (attested OK in 1,635 s,",
+        "the same cost class as the attested q_dedup_embedding's 1,089 s;",
+        "the Spark side is untouched).  The leg surfaced two real decade bugs,",
         "both fixed and committed: ROUND's -0.0 vs 0.0 zero-sign hash split",
         "in the weighted-sample key (IEEE + 0.0 canonicalization on both",
         "engines), and the frozen-codebook lifecycle gaining additive",
