@@ -1167,7 +1167,16 @@ def main() -> None:
         "tests/test_muhash.py::test_native_backend_status_and_digest_stability).",
         "`gmpy2` does NOT ship in this container (`HAVE_GMPY2 = False` here), so",
         "the pure-CPython numbers above remain the measured floor and are",
-        "regression-guarded in tests/test_muhash.py.  `coincurve` was evaluated",
+        "regression-guarded in tests/test_muhash.py.  Install attempt (round 11,",
+        "closing the floor as evidence rather than narrative): the container has",
+        "no package-index route at all — `pip download --no-deps gmpy2` fails",
+        "with DNS resolution errors (`[Errno -2] Name or service not known`",
+        "against the configured index) and `ERROR: No matching distribution",
+        "found for gmpy2`; no wheel is present offline.  The gmpy2 fast path",
+        "therefore cannot be lit here under any policy; it remains the",
+        "deployment-time switch (install gmpy2 on the cluster image, the",
+        "try-import routes the hot ops automatically, oracles are bit-identical",
+        "either way).  `coincurve` was evaluated",
         "and rejected for the EC path: it wraps libsecp256k1's ECDSA/combine",
         "surface, not hash-to-curve, and point addition is already cheap",
         "(Jacobian, no per-add inversion) — the sqrt inside the point mapping is",
