@@ -426,6 +426,61 @@ def _any_band_sql(a: str, b: str, bands: int = 4) -> str:
     )
 
 
+def _sig_band_sql(v: str, band: int, bands: int = 4) -> str:
+    """One band's signature with the corpus-sized bits selection — the
+    single-column form of _any_band_sql's rule (same arms, same
+    sign_lsh_band_sql source of truth)."""
+    n = "(SELECT COUNT(*) FROM embeddings)"
+    arms = " ".join(
+        f"WHEN {n} <= {thr} THEN {_band_sql(v, band, bits)}"
+        for thr, bits in _BAND_BITS_ARMS
+    )
+    return (
+        f"(CASE {arms} ELSE error('corpus exceeds the generated "
+        f"band-bits arms (n > {_BAND_BITS_ARMS[-1][0]}): raise "
+        f"_BAND_BITS_MAX in llm_ops.py') END)"
+    )
+
+
+# Banded candidate pairs as a signature EQUI-join — the same rule as
+# `a.vec_id < b.vec_id AND _any_band_sql(a, b)` (pairs sharing >= 1 band;
+# DISTINCT collapses multi-band collisions), but evaluated the way the
+# banding semantics define it: signatures computed once per (vector,
+# band) row, candidates found by hash join on (band, sig).  The inline
+# predicate form evaluated 32 plane projections per PAIR — O(n^2) work
+# that dominated the 10x-corpus replay (q_dedup_embedding's oracle was
+# ~18 min of its 1,089 s entry); this form is O(n) signature work plus a
+# hash join, leaving the exact cosine verify as the only per-candidate
+# cost.  Used by the two corpus-scale self-join oracles; the n-vs-1
+# probe oracles (LSH ANN, multiprobe) keep the predicate form, where it
+# is linear anyway.
+_BANDED_PAIRS_CTES = f"""
+sigs AS MATERIALIZED (
+  {" UNION ALL ".join(
+      f"SELECT vec_id, {b} AS band, {_sig_band_sql('embedding', b)} AS sig FROM embeddings"
+      for b in range(4)
+  )}
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         {_DOT_SQL.format(a='embedding', b='embedding')} AS n2
+  FROM embeddings
+),
+scored_pairs AS MATERIALIZED (
+  SELECT vec_a, vec_b,
+         ROUND({_DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+               / SQRT(ea.n2 * eb.n2), 6) AS score
+  FROM cand
+  JOIN norms ea ON ea.vec_id = vec_a
+  JOIN norms eb ON eb.vec_id = vec_b
+)"""
+
+
 _LSH_ANN_ORACLE = f"""
 SELECT e.vec_id, ROUND({_cosine_sql('e.embedding', 'q.embedding')}, 6) AS score
 FROM embeddings e
@@ -700,11 +755,8 @@ def _corpus_count(df, sf_dir: str) -> int:
 
 
 _EMB_DEDUP_ORACLE = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) AS score
-FROM embeddings a JOIN embeddings b
-  ON a.vec_id < b.vec_id AND ({_any_band_sql('a.embedding', 'b.embedding')})
-WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.40
+WITH {_BANDED_PAIRS_CTES}
+SELECT vec_a, vec_b, score FROM scored_pairs WHERE score >= 0.40
 """
 
 
@@ -728,8 +780,9 @@ def q_dedup_embedding(spark, sf_dir):
       bucket width n/2^bits stays ~constant as n grows, so per-bucket
       pair generation never goes quadratic in the corpus.  The DuckDB
       oracle replays the same rule through a COUNT(*)-keyed CASE
-      (_any_band_sql: 4 bits at the n=500 fixture SFs, 5 at sf0.1's
-      n=2000), so the differential holds at every fixture scale.  The
+      (_sig_band_sql inside _BANDED_PAIRS_CTES: 4 bits at the n=500
+      fixture SFs, 5 at sf0.1's n=2000), so the differential holds at
+      every fixture scale.  The
       count() is one columnar scan of a single long column — at
       100 TB you would read it from table stats instead;
     - candidate generation joins *ids only* on the exploded (band, sig)
@@ -817,21 +870,17 @@ def _embedding_dedup_pairs(spark, sf_dir):
     )
 
 
-# MATERIALIZED hints: `pairs` (the banded self-join + interpreted-lambda
-# cosine verify, the expensive block) is referenced twice by `edges`, and
-# `edges` is re-scanned once per fixpoint iteration of `walk` — inlined,
-# DuckDB re-evaluates the whole candidate join per reference/iteration,
-# which is what made the 10x-corpus replay exceed 40 min in r11.
-# Materialized, the join runs exactly once (same cost class as the
-# attested q_dedup_embedding oracle) and the closure walks a cached edge
+# MATERIALIZED hints matter here beyond the shared pair CTEs: `edges` is
+# re-scanned once per fixpoint iteration of `walk` — inlined, DuckDB
+# re-evaluated the whole candidate join per reference/iteration, which is
+# what made the 10x-corpus replay exceed 40 min in r11.  Materialized,
+# the pair work runs exactly once and the closure walks a cached edge
 # list.  Results are identical either way; this is purely evaluation
 # strategy.
 _EMB_KEEP_ONE_ORACLE = f"""
-WITH RECURSIVE pairs AS MATERIALIZED (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM embeddings a JOIN embeddings b
-    ON a.vec_id < b.vec_id AND ({_any_band_sql('a.embedding', 'b.embedding')})
-  WHERE ROUND({_cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.40
+WITH RECURSIVE {_BANDED_PAIRS_CTES},
+pairs AS MATERIALIZED (
+  SELECT vec_a, vec_b FROM scored_pairs WHERE score >= 0.40
 ),
 edges AS MATERIALIZED (
   SELECT vec_a AS u, vec_b AS v FROM pairs
@@ -839,10 +888,17 @@ edges AS MATERIALIZED (
   SELECT vec_b, vec_a FROM pairs
 ),
 nodes AS (SELECT DISTINCT u AS id FROM edges),
+-- walk prune (w.lab < e.v): a label can only improve a node whose own
+-- id is larger — every node is seeded with (id, id), so a label >= v
+-- can never be v's minimum.  The component minimum m still reaches
+-- every member (all other ids exceed m), so MIN(lab) per id is
+-- unchanged; the guard just stops the walk from materializing every
+-- (node, smaller-reachable-label) pair, which is O(|component|^2) on
+-- the dense near-dup clusters the 10x perturbed corpus is built from.
 walk(id, lab) AS (
   SELECT id, id FROM nodes
   UNION
-  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id AND w.lab < e.v
 ),
 cc AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id)
 SELECT e.vec_id, e.label
@@ -865,13 +921,14 @@ def q_dedup_embedding_keep_one(spark, sf_dir):
     30-50% of documents, making the drop-list corpus-scale — AQE
     broadcasts it while it fits and falls back to shuffle when it
     doesn't.  The
-    DuckDB oracle replays the closure as a recursive CTE over MATERIALIZED
-    pair/edge CTEs (see _EMB_KEEP_ONE_ORACLE's comment: inlined, the
-    banded self-join re-evaluated per fixpoint iteration and the
-    10x-corpus replay exceeded 40 min; materialized, it is one join —
-    measured 1,668 s at 20k noised vectors); Spark runs the iterative
-    min-label propagation (operators/dedup.connected_components) a
-    10^9-edge graph actually needs."""
+    DuckDB oracle replays the closure as a recursive CTE over the shared
+    MATERIALIZED signature-join pair CTEs (_BANDED_PAIRS_CTES) with a
+    min-label walk prune — attested hash-identical in 114.9 s at 20k
+    noised vectors, vs >40 min for the original inline-predicate form
+    that re-evaluated the banded self-join per fixpoint iteration; Spark
+    runs the iterative min-label propagation
+    (operators/dedup.connected_components) a 10^9-edge graph actually
+    needs."""
     pairs = _embedding_dedup_pairs(spark, sf_dir).select("vec_a", "vec_b")
     cc = D.connected_components(pairs, "vec_a", "vec_b")
     drop = cc.where(F.col("id") != F.col("lab")).select(

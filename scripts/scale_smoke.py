@@ -989,10 +989,14 @@ def main() -> None:
         "trained for the corpus key (additive gen_codebooks.py, green in",
         "164 s r11), and q_dedup_embedding_keep_one's recursive-CTE oracle",
         "re-evaluated the banded self-join per fixpoint iteration when",
-        "inlined (>40 min unfinished) — MATERIALIZED hints on its",
-        "pairs/edges CTEs make the join run once (attested OK in 1,635 s,",
-        "the same cost class as the attested q_dedup_embedding's 1,089 s;",
-        "the Spark side is untouched).  The leg surfaced two real decade bugs,",
+        "inlined (>40 min unfinished) — MATERIALIZED hints made it",
+        "feasible (attested OK in 1,635 s), and an in-round restatement of",
+        "both embedding-dedup oracles as signature equi-joins (signatures",
+        "computed once per vector/band from the same sign_lsh_band_sql",
+        "source of truth, candidates by hash join, norms hoisted, min-label",
+        "walk pruned) re-attested them hash-identical at 21.5 s / 114.9 s",
+        "(contract addendum; the Spark side is untouched).  The leg",
+        "surfaced two real decade bugs,",
         "both fixed and committed: ROUND's -0.0 vs 0.0 zero-sign hash split",
         "in the weighted-sample key (IEEE + 0.0 canonicalization on both",
         "engines), and the frozen-codebook lifecycle gaining additive",
