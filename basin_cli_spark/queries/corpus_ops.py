@@ -794,10 +794,11 @@ edges AS (
   SELECT doc_b, doc_a FROM pairs
 ),
 nodes AS (SELECT DISTINCT u AS id FROM edges),
+-- w.lab < e.v: the min-label walk prune (see llm_ops._EMB_KEEP_ONE_ORACLE)
 walk(id, lab) AS (
   SELECT id, id FROM nodes
   UNION
-  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id AND w.lab < e.v
 ),
 cc AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id)
 SELECT c.id AS dropped_id, c.cluster_id AS kept_id, d.source

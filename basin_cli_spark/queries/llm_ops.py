@@ -2175,10 +2175,11 @@ edges AS (
   SELECT doc_b, doc_a FROM pairs
 ),
 nodes AS (SELECT DISTINCT u AS id FROM edges),
+-- w.lab < e.v: the min-label walk prune (see _EMB_KEEP_ONE_ORACLE)
 walk(id, lab) AS (
   SELECT id, id FROM nodes
   UNION
-  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id AND w.lab < e.v
 )
 SELECT id AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY id
 """
@@ -2568,10 +2569,11 @@ edges AS (
   SELECT doc_b, doc_a FROM pairs
 ),
 nodes AS (SELECT DISTINCT u AS id FROM edges),
+-- w.lab < e.v: the min-label walk prune (see _EMB_KEEP_ONE_ORACLE)
 walk(id, lab) AS (
   SELECT id, id FROM nodes
   UNION
-  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id AND w.lab < e.v
 ),
 cc AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id)
 SELECT d.doc_id, d.source, d.n_chars
@@ -2809,10 +2811,11 @@ edges AS (
   SELECT doc_b, doc_a FROM pairs
 ),
 nodes AS (SELECT DISTINCT u AS id FROM edges),
+-- w.lab < e.v: the min-label walk prune (see _EMB_KEEP_ONE_ORACLE)
 walk(id, lab) AS (
   SELECT id, id FROM nodes
   UNION
-  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id
+  SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.id AND w.lab < e.v
 ),
 cc AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id)
 SELECT d.doc_id, d.source, d.n_chars, LEN(t.tokens) AS n_tokens
