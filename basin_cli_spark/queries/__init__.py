@@ -143,30 +143,47 @@ def register(name: str, oracle: str | None = None):
 # entry's latest attestation predates round 8 — every entry's latest
 # green row postdates the driver-strict canonicalizer, the width-cast
 # surface, and the sql_dec2dbl oracle-cast route.
+#
+# Round-13 rotation — freshness completion, leg 3 (final; r12 verdict
+# item #1): latest-attestation distribution after r12 is {r12: 50,
+# r11: 50, r10: 50, r9: 50, r8: 3}.  This head carries the 3 entries
+# whose latest driver row is still r8 (leg 2's positional tail:
+# q_window_sliding, q_window_percent_rank, q_stream_dsir_score) plus the
+# 47 OLDEST of the 50 r9-latest entries under the same age key as
+# r9-r12 (first-ever attestation round, then registry position, computed
+# from CORRECTNESS_r01..r12.json against the r12 registry order): the
+# 36 first-r1 entries, the 10 first-r2 entries, then
+# q_minhash_jaccard_estimate (first r4).  The 3 r9 leftovers are the
+# positional tail: q_similarity_ann_multiprobe, q_dedup_keep_one,
+# q_decontaminate — all three first attested r4-r5 and re-attested r9,
+# i.e. already post-canonicalizer, so no further leg is required on
+# freshness grounds.  After a green r13, no entry's latest attestation
+# predates round 9.
 REPRESENTATIVE_HEAD = [
-    # -- the 3 r7-latest entries (leg-1 positional tail) --
-    "q_stream_session_window", "q_stream_dedup_within_watermark",
-    "q_stream_ivf_assign",
-    # -- the 47 oldest r8-latest entries --
-    "q_ecmh_digest_by_group",  # first attested r1
-    # first attested r7:
-    "q_multimodal_features", "q_text_repetition",
-    "q_embedding_center_normalize", "q_datetime_funcs", "q_math_funcs",
-    "q_regexp_extract", "q_window_nth_value",
-    # first attested r8, in r11 registry-position order:
-    "q_histogram", "q_llm_prep_pipeline", "q_text_entropy",
-    "q_corpus_source_stats", "q_sample_weighted", "q_corpus_quantile_prune",
-    "q_text_pii_scrub", "q_token_budget_pack", "q_text_hash_embedding",
-    "q_similarity_text_hash", "q_llm_prep_pipeline_v2", "q_sample_kcenter",
-    "q_embedding_anisotropy", "q_text_normalize", "q_corpus_split",
-    "q_chunk_documents", "q_dedup_provenance", "q_corpus_temperature_mix",
-    "q_corpus_unimax_apply", "q_vocab_oov_rate", "q_corpus_dup_ngram_stats",
-    "q_corpus_domain_kl", "q_corpus_zipf_slope", "q_array_funcs",
-    "q_hash_funcs", "q_conditional_null", "q_explode_posexplode",
-    "q_map_funcs", "q_interval_arith", "q_uuid_canonical", "q_union_all",
-    "q_intersect_all", "q_json_roundtrip", "q_stream_dedup",
-    "q_stream_static_join", "q_window_rank", "q_window_lag_lead",
-    "q_window_running", "q_window_moving_avg",
+    # -- the 3 r8-latest entries (leg-2 positional tail) --
+    "q_window_sliding", "q_window_percent_rank", "q_stream_dsir_score",
+    # -- the 47 oldest r9-latest entries --
+    # first attested r1, in r12 registry-position order:
+    "q_stddev_var", "q_grouping_rollup", "q_grouping_cube",
+    "q_maxby_minby", "q_collect_list_sorted", "q_median_percentile",
+    "q_count_distinct_multi", "q_pivot", "q_agg_first_last",
+    "q10_returned_items", "q17_small_quantity_revenue",
+    "q6_forecast_revenue", "q14_promo_revenue_share",
+    "q19_discounted_revenue", "q4_order_priority",
+    "q12_priority_by_returnflag", "q18_large_volume_customers",
+    "q22_dormant_customers", "q_cdc_replay_t", "q_cdc_replay_m",
+    "q_dedup_exact", "q_dedup_exact_events", "q_dedup_minhash",
+    "q_dedup_simhash", "q_dedup_ngram_jaccard", "q_similarity_bruteforce",
+    "q_similarity_ann_lsh", "q_events_latest_n", "q_events_at",
+    "q_join_left", "q_join_full", "q_join_semi", "q_join_theta",
+    "q_join_cross", "q_join_right",
+    # first attested r2:
+    "q_unpivot", "q_corr_covar", "q2_min_cost_supplier", "q8_market_share",
+    "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
+    "q16_part_supplier_counts", "q20_excess_shippers",
+    "q21_waiting_suppliers", "q_text_token_count",
+    # first attested r4:
+    "q_minhash_jaccard_estimate",
 ]
 
 

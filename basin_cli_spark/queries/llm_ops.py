@@ -426,7 +426,7 @@ def _any_band_sql(a: str, b: str, bands: int = 4) -> str:
     )
 
 
-def _sig_band_sql(v: str, band: int, bands: int = 4) -> str:
+def _sig_band_sql(v: str, band: int) -> str:
     """One band's signature with the corpus-sized bits selection — the
     single-column form of _any_band_sql's rule (same arms, same
     sign_lsh_band_sql source of truth)."""

@@ -95,6 +95,42 @@ SF1_SUBSET_LEG3 = (
     "q_corpus_datasheet", "q_corpus_dup_ngram_stats", "q_corpus_domain_kl", "q_corpus_zipf_slope",
 )
 
+# Fourth sf1 leg (r12 verdict item #3): everything outside legs 1-3 —
+# the scalar-function, source-roundtrip, CDC, digest, multimodal, and
+# streaming families — driven at .scratch/sf1 so that EVERY registry
+# entry is attested at the fourth decade, not just the scale-sensitive
+# ones.  These plans are narrow per-row passes or bounded-output shapes,
+# but "least scale-sensitive" was narrative until driven.  Notes on why
+# each family replays at sf1: the golden-keyed entries (ecmh/muhash
+# digests, compression ratio, delete digest) key on SUM(LENGTH(text)) of
+# documents, which gen_sf1.py copies UNSCALED from sf0.1 (key 1485576 —
+# verified identical), so the known-answer constants apply; CDC entries
+# read the committed WAL fixture and are sf_dir-independent by design;
+# streaming entries drain availableNow over the sf_dir tables (events is
+# 1M rows at this decade); multimodal entries synthesize their own
+# binary columns per-row.  Computed as registry order minus legs 1-3
+# (51 entries; tests/test_registry_contract.py pins the partition).
+SF1_SUBSET_LEG4 = (
+    "q_stream_dsir_score", "q_cdc_replay_t", "q_cdc_replay_m",
+    "q_join_left", "q_join_full", "q_join_theta", "q_join_cross",
+    "q_join_right", "q_cdc_record_stream", "q_ecmh_digest",
+    "q_ecmh_digest_by_group", "q_muhash_digest", "q_muhash_digest_by_group",
+    "q_cdc_apply_upserts", "q_cdc_scd2_history", "q_text_compression_ratio",
+    "q_multimodal_meta", "q_multimodal_decode", "q_multimodal_frames",
+    "q_multimodal_features", "q_multimodal_audio_meta",
+    "q_multimodal_video_meta", "q_corpus_delete_digest", "q_string_funcs",
+    "q_fuzzy_prefix_match", "q_datetime_funcs", "q_math_funcs",
+    "q_array_funcs", "q_array_hof_fold", "q_json_funcs", "q_hash_funcs",
+    "q_conditional_null", "q_explode_posexplode", "q_map_funcs",
+    "q_interval_arith", "q_uuid_canonical", "q_regexp_extract",
+    "q_csv_roundtrip", "q_json_roundtrip", "q_in_memory_rows",
+    "q_orc_roundtrip", "q_stream_tumbling_agg", "q_stream_dedup",
+    "q_stream_static_join", "q_stream_stream_join", "q_stream_near_dedup",
+    "q_stream_quality_gate", "q_stream_session_window",
+    "q_stream_dedup_within_watermark", "q_stream_ivf_assign",
+    "q_stream_cdc_apply",
+)
+
 
 def main(sf_dir: str = "/root/testdata/sf0.01", subset: str | None = None) -> int:
     spark = get_spark(app_name="drive_contract")
@@ -113,6 +149,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", subset: str | None = None) -> in
             "sf1": SF1_SUBSET,
             "sf1_leg2": SF1_SUBSET_LEG2,
             "sf1_leg3": SF1_SUBSET_LEG3,
+            "sf1_leg4": SF1_SUBSET_LEG4,
         }
         names = presets.get(subset) or tuple(subset.split(","))
         missing = [n for n in names if n not in qs]

@@ -149,9 +149,13 @@ def main(sf1c_dir: str = os.path.join(REPO, ".scratch", "sf1c")) -> int:
     # the docstring claims, asserted at both scales:
     for label in ("sf0.1", "sf1c(10x)"):
         gate = results[("quality_gate", label)]
+        assert "state_rows" in gate, (
+            "quality-gate drain reported no stateOperators progress", gate)
         assert gate["state_rows"] <= 3 * 32, (  # gates x max shuffle partitions
             "quality-gate state must stay O(gates), got", gate)
         nd = results[("near_dedup", label)]
+        assert "state_rows" in nd, (
+            "near-dedup drain reported no stateOperators progress", nd)
         assert nd["state_rows"] <= nd["rows_in"], ("bucket state exceeds corpus", nd)
     print("\nstate-bound assertions hold at both scales")
     return 0

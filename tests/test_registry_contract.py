@@ -166,3 +166,29 @@ def test_vec_str_null_element_sentinel(spark, oracle_con):
     expr = sql_vec_str("[1.0, NULL, 3.0]::DOUBLE[]")
     (oval,) = oracle_con.execute(f"SELECT {expr}").fetchone()
     assert oval == rows[1]
+
+
+def test_sf1_legs_partition_the_registry():
+    """r13: the four sf1 contract legs in scripts/drive_contract.py must
+    exactly partition the registry — no entry driven twice at the fourth
+    decade, and (the real risk) no entry silently left out of it.  A new
+    registry entry fails this test until it is assigned to a leg."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "drive_contract",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "drive_contract.py"),
+    )
+    dc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dc)
+    legs = [dc.SF1_SUBSET, dc.SF1_SUBSET_LEG2, dc.SF1_SUBSET_LEG3,
+            dc.SF1_SUBSET_LEG4]
+    union = [n for leg in legs for n in leg]
+    assert len(union) == len(set(union)), "an entry appears in two legs"
+    assert set(union) == set(QUERIES), (
+        "legs must cover the registry exactly",
+        sorted(set(QUERIES) - set(union)),
+        sorted(set(union) - set(QUERIES)),
+    )

@@ -57,7 +57,7 @@ def _write_tx(wal_dir, name, tx):
 
 def _drain(spark, wal_dir, sink, ckpt):
     q = run_stream(spark, wal_dir, sink, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate within 120s"
 
 
 def _manifest(sink):
@@ -167,7 +167,7 @@ def test_stateful_progress_across_restarts(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not terminate within 120s"
         return got
 
     _write_tx(wal_dir, "b1.jsonl", TX1)
@@ -214,7 +214,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not terminate within 120s"
 
     def write(name, *rows):
         with open(src / name, "w") as f:
@@ -296,7 +296,7 @@ def test_quality_gate_state_is_o_gates_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not terminate within 120s"
     progresses = [p for p in q.recentProgress if p and p.get("stateOperators")]
     assert len(progresses) >= 2, "expected a multi-batch drain"
     last = progresses[-1]["stateOperators"]
