@@ -12,6 +12,16 @@ maxFilesPerTrigger=2 (4 micro-batches): the state rows reported by the
 final progress have survived batch boundaries, which is the property the
 docstring claims actually need.
 
+The complete-mode near-dedup runs hold every bucket live by construction
+(the r12 caveat: a 1-batch-visible watermark never expires anything), so
+they measure the WORST case.  The windowed runs (r12 verdict item #4)
+measure the production shape instead: event time spread across the
+shards so each micro-batch advances the watermark by ~2 hours, dedup
+keyed on (30-minute window, simhash) in append mode — the watermark
+finalizes and EVICTS old windows as the stream progresses, and the
+per-batch state series must plateau at the active-window working set
+rather than accumulate toward the corpus-total bucket count.
+
 Plans are built from the same kernels the registry entries use
 (operators.text.quality_score, operators.dedup.simhash_expr) with the
 same aggregation shapes, so the measured plan is the attested plan.
@@ -49,6 +59,36 @@ def _shard_documents(spark, sf_dir: str, out_dir: str, n_files: int = 8) -> None
     )
 
 
+def _shard_documents_timed(
+    spark, sf_dir: str, out_dir: str, n_files: int = 8,
+    span_s: int = 8 * 3600,
+) -> None:
+    """Time-ordered shards for the watermark-expiry runs: doc_id is dense
+    0..n-1 in every fixture, so ts = base + doc_id * span/n spreads event
+    time uniformly across `span_s`, and shard i holds exactly time-slice i.
+    Shards are written SEQUENTIALLY (one append per slice, distinct file
+    mtimes) because the file source replays oldest-mtime-first — the
+    watermark must advance monotonically for expiry to be measurable."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    base = 1_700_000_000
+    timed = docs.select(
+        "doc_id", "text",
+        F.timestamp_seconds(
+            F.lit(base) + (F.col("doc_id") * span_s / n).cast("long")
+        ).alias("ts"),
+        (F.col("doc_id") * n_files / n).cast("int").alias("shard"),
+    )
+    for i in range(n_files):
+        (
+            timed.filter(F.col("shard") == i).drop("shard")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+        time.sleep(0.05)  # distinct mtimes -> deterministic replay order
+
+
 def _docs_stream(spark, shard_dir: str):
     schema = spark.read.parquet(shard_dir).schema
     return (
@@ -58,7 +98,7 @@ def _docs_stream(spark, shard_dir: str):
     )
 
 
-def _drain_measured(df, mode: str) -> dict:
+def _drain_measured(df, mode: str, spark=None) -> dict:
     name = f"mem_{uuid.uuid4().hex[:12]}"
     t0 = time.perf_counter()
     q = (
@@ -73,6 +113,15 @@ def _drain_measured(df, mode: str) -> dict:
     progresses = [p for p in q.recentProgress if p is not None]
     rows_in = sum(p["numInputRows"] for p in progresses)
     batches = sum(1 for p in progresses if p["numInputRows"] > 0)
+    # per-batch state snapshots (every progress that reports a state op,
+    # including the trailing zero-input flush batch that applies the final
+    # watermark) — the series is the expiry evidence, the last entry the
+    # headline number
+    series = [
+        sum(op["numRowsTotal"] for op in ops)
+        for p in progresses
+        if (ops := p.get("stateOperators") or [])
+    ]
     state = {}
     for p in reversed(progresses):
         ops = p.get("stateOperators") or []
@@ -82,8 +131,11 @@ def _drain_measured(df, mode: str) -> dict:
                 "state_mb": round(
                     sum(op["memoryUsedBytes"] for op in ops) / 1e6, 2
                 ),
+                "state_series": series,
             }
             break
+    if spark is not None:
+        state["rows_out"] = spark.table(name).count()
     return {
         "rows_in": rows_in,
         "batches": batches,
@@ -117,6 +169,29 @@ def near_dedup_plan(docs):
     )
 
 
+def near_dedup_windowed_plan(docs):
+    """The production near-dedup shape: dedup scoped to 30-minute
+    event-time windows with a 10-minute watermark, append mode — the
+    watermark finalizes old windows (they emit to the sink) and EVICTS
+    their buckets from the state store, so state holds only the active
+    working set.  Same simhash kernel as the registry's
+    q_stream_dedup_within_watermark; the windowed grouping key is what
+    makes append-mode eviction legal."""
+    sim = docs.select("doc_id", simhash_expr("text").alias("simhash"), "ts")
+    return (
+        sim.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 minutes").alias("w"), "simhash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_bucket"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "simhash", "keep_id",
+            "n_bucket",
+        )
+    )
+
+
 def main(sf1c_dir: str = os.path.join(REPO, ".scratch", "sf1c")) -> int:
     spark = get_spark(app_name="stream_scale_smoke")
     spark.range(1000).count()
@@ -137,13 +212,35 @@ def main(sf1c_dir: str = os.path.join(REPO, ".scratch", "sf1c")) -> int:
         finally:
             shutil.rmtree(shard_dir, ignore_errors=True)
 
-    print("\n| shape | corpus | rows | batches | wall s | rows/s | state rows | state MB |")
-    print("|---|---|---|---|---|---|---|---|")
+        # watermark-expiry run: time-ordered shards, windowed key, append
+        # mode — the only run where the watermark can actually evict
+        timed_dir = tempfile.mkdtemp(
+            prefix=f"stream_smoke_wm_{label.rstrip(')').replace('(', '_')}_"
+        )
+        try:
+            _shard_documents_timed(spark, sf_dir, timed_dir)
+            _drain_measured(
+                near_dedup_windowed_plan(_docs_stream(spark, timed_dir)),
+                "append", spark,
+            )
+            m = _drain_measured(
+                near_dedup_windowed_plan(_docs_stream(spark, timed_dir)),
+                "append", spark,
+            )
+            results[("near_dedup_wm", label)] = m
+            print(f"{'near_dedup_wm':14s} {label:10s} {m}")
+        finally:
+            shutil.rmtree(timed_dir, ignore_errors=True)
+
+    print("\n| shape | corpus | rows | batches | wall s | rows/s | state rows | state MB | state/batch |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for (shape, label), m in results.items():
+        series = "→".join(str(s) for s in m.get("state_series", [])) or "-"
         print(
             f"| {shape} | {label} | {m['rows_in']:,} | {m['batches']} "
             f"| {m['wall_s']} | {m['rows_per_s']:,} "
-            f"| {m.get('state_rows', '-')} | {m.get('state_mb', '-')} |"
+            f"| {m.get('state_rows', '-')} | {m.get('state_mb', '-')} "
+            f"| {series} |"
         )
 
     # the docstring claims, asserted at both scales:
@@ -157,6 +254,17 @@ def main(sf1c_dir: str = os.path.join(REPO, ".scratch", "sf1c")) -> int:
         assert "state_rows" in nd, (
             "near-dedup drain reported no stateOperators progress", nd)
         assert nd["state_rows"] <= nd["rows_in"], ("bucket state exceeds corpus", nd)
+        # the expiry claim: with a windowed key and an advancing watermark,
+        # state is bounded by the ACTIVE windows' working set, never by the
+        # corpus-total group count (which = rows emitted + rows still held)
+        wm = results[("near_dedup_wm", label)]
+        assert "state_rows" in wm, (
+            "windowed drain reported no stateOperators progress", wm)
+        assert wm.get("rows_out", 0) > 0, (
+            "watermark never finalized a window — expiry unmeasured", wm)
+        total_groups = wm["rows_out"] + wm["state_rows"]
+        assert max(wm["state_series"]) <= 0.6 * total_groups, (
+            "watermark failed to bound state to the active windows", wm)
     print("\nstate-bound assertions hold at both scales")
     return 0
 

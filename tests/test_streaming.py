@@ -303,3 +303,38 @@ def test_quality_gate_state_is_o_gates_across_batches(spark, tmp_path):
     n_gates = spark.table("qgate_state_pin").count()
     assert sum(op["numRowsTotal"] for op in last) == n_gates
     assert n_gates <= 3
+
+
+def test_near_dedup_watermark_expires_state(spark, tmp_path):
+    """r13: the windowed near-dedup's state must be bounded by the ACTIVE
+    event-time windows, not the corpus — i.e. the watermark actually
+    evicts finalized windows as it advances.  Uses the smoke script's own
+    plan and timed shards (event time spread across 8 files, replayed
+    oldest-first) so the pinned shape is the measured shape; the measured
+    10x rows live in SCALE.md (scripts/stream_scale_smoke.py)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_scale_smoke",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "stream_scale_smoke.py"),
+    )
+    sm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sm)
+
+    timed_dir = str(tmp_path / "timed_docs")
+    sm._shard_documents_timed(spark, "/root/testdata/sf0.001", timed_dir)
+    m = sm._drain_measured(
+        sm.near_dedup_windowed_plan(sm._docs_stream(spark, timed_dir)),
+        "append", spark,
+    )
+    assert m["batches"] >= 2, "expected a multi-batch drain"
+    assert m["rows_out"] > 0, "watermark never finalized a window"
+    total_groups = m["rows_out"] + m["state_rows"]
+    # no-expiry (complete-mode) state would be total_groups; the windowed
+    # plan's peak must plateau well below it (measured ~0.28x at sf0.001,
+    # pinned with slack)
+    assert max(m["state_series"]) <= 0.6 * total_groups, m
+    # the trailing flush batch applies the final watermark: state drops
+    assert m["state_series"][-1] < max(m["state_series"]), m
