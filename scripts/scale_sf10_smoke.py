@@ -207,7 +207,7 @@ def main(reps: int = 2) -> int:
         f"({tot5 / tot4:.2f}x wall for 10x rows across the spot set).",
         "",
         "The semantic-IVF entry serves a fifth-decade codebook trained at",
-        "k~sqrt(n) (448 cells for 200k vectors) under the per-corpus key in",
+        "k~sqrt(n) (447 cells for 200k vectors) under the per-corpus key in",
         "fixtures/codebooks.json — the same frozen-artifact lifecycle the",
         "attested scales use; the bench-scale k=16 codebook cannot serve",
         "200k vectors (every cell would exceed the max_cell=4096 hot-cell",
