@@ -957,6 +957,24 @@ def main() -> None:
         )
     lines += [
         "",
+        "## Fifth decade — registry-query spot check (round 13)",
+        "",
+        "The 100x rows above measure SHAPES; round 13 adds the registry",
+        "queries themselves one decade past the oracle-attested range:",
+        "scripts/scale_sf10_smoke.py times the 8 most scale-sensitive",
+        "REGISTRY entries at the 4th decade (.scratch/sf1/sf1c) and a",
+        "full sf10-equivalent (60M lineitem via 100x replication; 500k",
+        "perturbed docs / 200k noised vectors via the leg-3 generators)",
+        "in one session, sink-timed, with static-plan drift reported per",
+        "query.  Full table + per-ratio analysis: SCALE_sf10_spot.md.",
+        "Headline: 7.21x total wall for 10x rows, no plan regressions —",
+        "the only drift is q_dedup_minhash's broadcast->SMJ flip (correct",
+        "at a no-longer-broadcastable signature table), and the only",
+        ">10x ratios are output-density effects of the dup-dense corpus",
+        "(48x / 135x more emitted pairs), not input-super-linearity.  The",
+        "semantic-IVF fifth-decade codebook is trained at k~sqrt(n)=447",
+        "and frozen under its per-corpus key in fixtures/codebooks.json.",
+        "",
         "## Fourth scale decade — sf1-equivalent contract run (round 11)",
         "",
         "The relational/window/join core is now CORRECTNESS-attested at a",
@@ -1030,7 +1048,7 @@ def main() -> None:
         "row-proportional, q17's subquery built once (no",
         "rebuild-per-probe).",
         "",
-        "## Streaming 10x throughput smoke (round 12)",
+        "## Streaming 10x throughput smoke (round 12; watermark expiry measured round 13)",
         "",
         "The streaming family's state-bound claims (quality gate state is",
         "O(gates); near-dedup state is one row per SimHash bucket) were",
@@ -1054,12 +1072,35 @@ def main() -> None:
         "costs amortize) and state not at all.  near_dedup's state is the",
         "bucket count: 14,334 rows / 4.5 MB for 50k docs (sub-linear —",
         "the perturbed corpus's near-dups collide into shared buckets),",
-        "wall 4.4x for 10x rows.  At production rates the watermark",
-        "expires buckets, bounding state by the window, not the corpus;",
-        "the smoke's 1-batch-visible watermark keeps everything live, so",
-        "these rows are the WORST case.  The script asserts both bounds",
-        "(gate state <= gates x shuffle partitions; bucket state <= corpus",
-        "rows) and fails loudly on regression.",
+        "wall 4.4x for 10x rows.  The complete-mode rows hold every",
+        "bucket live by construction (1-batch-visible watermark), so they",
+        "are the WORST case.",
+        "",
+        "Round 13 measures the watermark-expiry claim instead of",
+        "narrating it: the `near_dedup_wm` runs spread event time across",
+        "the 8 shards (each micro-batch advances the watermark ~2 hours),",
+        "key the dedup on (30-minute window, simhash), and drain in",
+        "append mode — the production shape, where the watermark",
+        "finalizes old windows (they emit to the sink) and EVICTS their",
+        "buckets from the state store:",
+        "",
+        "| shape | corpus | rows in | groups emitted | peak state | final state | state/batch series |",
+        "|---|---|---|---|---|---|---|",
+        "| near_dedup_wm | sf0.1 | 5,000 | 4,238 | 1,231 | 128 | 1086→1218→1231→1220→128 |",
+        "| near_dedup_wm | sf1c (10x) | 50,000 | 36,916 | 10,710 | 1,201 | 9666→10689→10650→10710→1201 |",
+        "",
+        "State PLATEAUS at the active-window working set — peak state is",
+        "0.282x of the corpus-total group count (emitted + held) at sf0.1",
+        "and 0.281x at 10x, i.e. the same fraction at both scales (the",
+        "~2.2 h of event time visible to an unexpired window at any",
+        "moment, out of the 8 h span), and the trailing flush batch that",
+        "applies the final watermark evicts down to the last open",
+        "windows.  State is window-bounded, not corpus-bounded.  The",
+        "script asserts all three bounds (gate state <= gates x shuffle",
+        "partitions; complete-mode bucket state <= corpus rows; windowed",
+        "peak state <= 0.6x total groups) and",
+        "tests/test_streaming.py::test_near_dedup_watermark_expires_state",
+        "pins the expiry behavior on the same plan at fixture scale.",
         "",
         "## Perturbed replicas — pair-gen / rewrite shapes at 10x AND 100x",
         "",
