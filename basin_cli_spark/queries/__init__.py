@@ -152,7 +152,7 @@ def register(name: str, oracle: str | None = None):
 # 47 OLDEST of the 50 r9-latest entries under the same age key as
 # r9-r12 (first-ever attestation round, then registry position, computed
 # from CORRECTNESS_r01..r12.json against the r12 registry order): the
-# 36 first-r1 entries, the 10 first-r2 entries, then
+# 35 first-r1 entries, the 11 first-r2 entries, then
 # q_minhash_jaccard_estimate (first r4).  The 3 r9 leftovers are the
 # positional tail: q_similarity_ann_multiprobe, q_dedup_keep_one,
 # q_decontaminate — all three first attested r4-r5 and re-attested r9,
