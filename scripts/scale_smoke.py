@@ -975,6 +975,15 @@ def main() -> None:
         "semantic-IVF fifth-decade codebook is trained at k~sqrt(n)=447",
         "and frozen under its per-corpus key in fixtures/codebooks.json.",
         "",
+        "A SIXTH decade extends the relational core two decades past the",
+        "oracle range (scripts/scale_sf100_spot.py: 600M lineitem / 100M",
+        "events via 1000x replication): q1 7.31x, q6 6.05x, top-k per",
+        "group 7.46x, as-of join 5.42x for 10x rows, every static plan",
+        "identical — full table in SCALE_sf100_spot.md.  The corpus",
+        "families' decade story intentionally ends at the 5th (their",
+        "perturbed-replica near-dup density, and hence pair-verify",
+        "output, grows by design faster than rows).",
+        "",
         "## Fourth scale decade — sf1-equivalent contract run (round 11)",
         "",
         "The relational/window/join core is now CORRECTNESS-attested at a",
