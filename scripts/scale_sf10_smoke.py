@@ -20,7 +20,7 @@ Arrow-collect-proportional, and at 500k-row outputs a collect would
 measure the driver, not the plan.  Row counts are taken once, untimed.
 
 The semantic-IVF entry trains a fifth-decade codebook at k≈sqrt(n)
-(~448 cells for 200k vectors) and merges it ADDITIVELY into
+(447 cells for 200k vectors) and merges it ADDITIVELY into
 fixtures/codebooks.json under the new corpus key — the documented
 faiss-style per-corpus lifecycle (train once, freeze, serve).  The
 driver-scale and sf1c entries are untouched; k=16 at 200k vectors would

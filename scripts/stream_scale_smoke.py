@@ -79,6 +79,7 @@ def _shard_documents_timed(
         ).alias("ts"),
         (F.col("doc_id") * n_files / n).cast("int").alias("shard"),
     )
+    seen: set = set()
     for i in range(n_files):
         (
             timed.filter(F.col("shard") == i).drop("shard")
@@ -86,7 +87,13 @@ def _shard_documents_timed(
             .write.mode("append")
             .parquet(out_dir)
         )
-        time.sleep(0.05)  # distinct mtimes -> deterministic replay order
+        # Stamp the slice's part files explicitly: a coarse-mtime
+        # filesystem could tie two appends, letting the file source
+        # replay a later time-slice first and stall the watermark.
+        for name in os.listdir(out_dir):
+            if name.startswith("part-") and name not in seen:
+                seen.add(name)
+                os.utime(os.path.join(out_dir, name), (base + i, base + i))
 
 
 def _docs_stream(spark, shard_dir: str):
