@@ -159,31 +159,46 @@ def register(name: str, oracle: str | None = None):
 # i.e. already post-canonicalizer, so no further leg is required on
 # freshness grounds.  After a green r13, no entry's latest attestation
 # predates round 9.
+#
+# Round-14 rotation — STEADY-STATE POLICY (r13 verdict item #2): the
+# freshness program is complete (post-r13 distribution {r13: 50, r12: 50,
+# r11: 50, r10: 50, r9: 3}; nothing predates the r8 driver-strict
+# canonicalizer).  From r14 on, every head is simply the 50 entries with
+# the OLDEST latest-attestation under the standing age key — (latest
+# driver-green round, first-ever attestation round, registry position),
+# computed from all CORRECTNESS_r*.json against the previous round's
+# registry order — so attestations never re-age past ~4 rounds and no
+# bespoke leg design is needed.  For r14 that is the 3 r9-latest
+# positional leftovers (q_similarity_ann_multiprobe, q_dedup_keep_one,
+# q_decontaminate) plus the 47 oldest r10-latest entries; the 3 r10
+# leftovers for r15 are the positional tail (q_similarity_pq_adc_trained,
+# q_embedding_prototype_prune, q_similarity_hard_negatives).
 REPRESENTATIVE_HEAD = [
-    # -- the 3 r8-latest entries (leg-2 positional tail) --
-    "q_window_sliding", "q_window_percent_rank", "q_stream_dsir_score",
-    # -- the 47 oldest r9-latest entries --
-    # first attested r1, in r12 registry-position order:
-    "q_stddev_var", "q_grouping_rollup", "q_grouping_cube",
-    "q_maxby_minby", "q_collect_list_sorted", "q_median_percentile",
-    "q_count_distinct_multi", "q_pivot", "q_agg_first_last",
-    "q10_returned_items", "q17_small_quantity_revenue",
-    "q6_forecast_revenue", "q14_promo_revenue_share",
-    "q19_discounted_revenue", "q4_order_priority",
-    "q12_priority_by_returnflag", "q18_large_volume_customers",
-    "q22_dormant_customers", "q_cdc_replay_t", "q_cdc_replay_m",
-    "q_dedup_exact", "q_dedup_exact_events", "q_dedup_minhash",
-    "q_dedup_simhash", "q_dedup_ngram_jaccard", "q_similarity_bruteforce",
-    "q_similarity_ann_lsh", "q_events_latest_n", "q_events_at",
-    "q_join_left", "q_join_full", "q_join_semi", "q_join_theta",
-    "q_join_cross", "q_join_right",
+    # -- the 3 r9-latest entries (leg-3 positional tail) --
+    "q_similarity_ann_multiprobe", "q_dedup_keep_one", "q_decontaminate",
+    # -- the 47 oldest r10-latest entries --
+    # first attested r1, in r13 registry-position order:
+    "q_agg_stats", "q_grouping_sets", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q7_nation_trade_volume",
+    "q_cdc_record_stream", "q_text_quality_stats", "q_events_before_after",
+    "q_join_inner_broadcast", "q_join_anti", "q_join_range", "q_join_asof",
     # first attested r2:
-    "q_unpivot", "q_corr_covar", "q2_min_cost_supplier", "q8_market_share",
-    "q11_important_parts", "q13_customer_distribution", "q15_top_supplier",
-    "q16_part_supplier_counts", "q20_excess_shippers",
-    "q21_waiting_suppliers", "q_text_token_count",
-    # first attested r4:
-    "q_minhash_jaccard_estimate",
+    "q9_product_type_profit", "q_text_language_id",
+    # first attested r5:
+    "q_approx_count_distinct", "q_ecmh_digest", "q_muhash_digest",
+    "q_cdc_apply_upserts", "q_dedup_incremental",
+    "q_text_compression_ratio", "q_multimodal_meta", "q_dedup_embedding",
+    "q_dedup_embedding_keep_one", "q_similarity_ann_ivf",
+    "q_dedup_repeated_spans", "q_dedup_semantic_ivf",
+    "q_decontaminate_bloom", "q_corpus_lm_prune", "q_similarity_pq_adc",
+    "q_corpus_delete_digest", "q1_pricing_summary", "q_filter_predicates",
+    "q_case_expr", "q_string_funcs", "q_json_funcs", "q_except_all",
+    "q_csv_roundtrip", "q_stream_tumbling_agg", "q_stream_near_dedup",
+    "q_topk_per_group", "q_window_tumbling", "q_timeseries_gapfill",
+    "q_hypertable_rollup",
+    # first attested r6:
+    "q_cdc_scd2_history", "q_multimodal_audio_meta",
+    "q_multimodal_video_meta", "q_similarity_ann_ivf_trained",
 ]
 
 
