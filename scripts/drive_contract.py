@@ -132,6 +132,19 @@ SF1_SUBSET_LEG4 = (
 )
 
 
+# Fifth-decade ORACLE spot (r13 verdict item #4): the corpus entries whose
+# DuckDB replay is seconds-scale at the 500k-doc / 200k-vector sf10c
+# fixture (scripts/scale_sf10_smoke.py generates it).  The r12
+# signature-equi-join oracle restatement made these replays feasible one
+# decade past sf1, so the differential (hash-attested) evidence extends to
+# the fifth decade for the dedup archetypes — not just Spark-only wall.
+# Run: python scripts/drive_contract.py .scratch/sf10c sf10_spot
+SF10_SPOT = (
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_embedding",
+    "q_corpus_shard_pack",
+)
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01", subset: str | None = None) -> int:
     spark = get_spark(app_name="drive_contract")
 
@@ -150,6 +163,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", subset: str | None = None) -> in
             "sf1_leg2": SF1_SUBSET_LEG2,
             "sf1_leg3": SF1_SUBSET_LEG3,
             "sf1_leg4": SF1_SUBSET_LEG4,
+            "sf10_spot": SF10_SPOT,
         }
         names = presets.get(subset) or tuple(subset.split(","))
         missing = [n for n in names if n not in qs]
