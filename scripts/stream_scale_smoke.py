@@ -199,6 +199,48 @@ def near_dedup_windowed_plan(docs):
     )
 
 
+def _wm_run(spark, sf_dir: str, label: str) -> dict:
+    """One watermark-expiry measurement: time-ordered shards, windowed
+    key, append mode (warm-up drain then the measured one)."""
+    timed_dir = tempfile.mkdtemp(
+        prefix=f"stream_smoke_wm_{label.rstrip(')').replace('(', '_')}_"
+    )
+    try:
+        _shard_documents_timed(spark, sf_dir, timed_dir)
+        _drain_measured(
+            near_dedup_windowed_plan(_docs_stream(spark, timed_dir)),
+            "append", spark,
+        )
+        return _drain_measured(
+            near_dedup_windowed_plan(_docs_stream(spark, timed_dir)),
+            "append", spark,
+        )
+    finally:
+        shutil.rmtree(timed_dir, ignore_errors=True)
+
+
+def wm_only(sf_dir: str, label: str) -> int:
+    """Watermark-expiry run at one extra corpus decade (r13 verdict item
+    #5: confirm the state-plateau fraction is corpus-size-independent at
+    the 500k-doc sf10c fixture, where state pressure is real).
+
+        python scripts/stream_scale_smoke.py wm .scratch/sf10c sf10c(100x)
+    """
+    spark = get_spark(app_name="stream_scale_smoke_wm")
+    spark.range(1000).count()
+    m = _wm_run(spark, sf_dir, label)
+    print(f"{'near_dedup_wm':14s} {label:10s} {m}")
+    assert m.get("rows_out", 0) > 0, (
+        "watermark never finalized a window — expiry unmeasured", m)
+    total_groups = m["rows_out"] + m["state_rows"]
+    peak = max(m["state_series"])
+    assert peak <= 0.6 * total_groups, (
+        "watermark failed to bound state to the active windows", m)
+    print(f"peak state {peak:,} / total groups {total_groups:,} "
+          f"= {peak / total_groups:.3f}x — state-bound assertion holds")
+    return 0
+
+
 def main(sf1c_dir: str = os.path.join(REPO, ".scratch", "sf1c")) -> int:
     spark = get_spark(app_name="stream_scale_smoke")
     spark.range(1000).count()
@@ -221,23 +263,9 @@ def main(sf1c_dir: str = os.path.join(REPO, ".scratch", "sf1c")) -> int:
 
         # watermark-expiry run: time-ordered shards, windowed key, append
         # mode — the only run where the watermark can actually evict
-        timed_dir = tempfile.mkdtemp(
-            prefix=f"stream_smoke_wm_{label.rstrip(')').replace('(', '_')}_"
-        )
-        try:
-            _shard_documents_timed(spark, sf_dir, timed_dir)
-            _drain_measured(
-                near_dedup_windowed_plan(_docs_stream(spark, timed_dir)),
-                "append", spark,
-            )
-            m = _drain_measured(
-                near_dedup_windowed_plan(_docs_stream(spark, timed_dir)),
-                "append", spark,
-            )
-            results[("near_dedup_wm", label)] = m
-            print(f"{'near_dedup_wm':14s} {label:10s} {m}")
-        finally:
-            shutil.rmtree(timed_dir, ignore_errors=True)
+        m = _wm_run(spark, sf_dir, label)
+        results[("near_dedup_wm", label)] = m
+        print(f"{'near_dedup_wm':14s} {label:10s} {m}")
 
     print("\n| shape | corpus | rows | batches | wall s | rows/s | state rows | state MB | state/batch |")
     print("|---|---|---|---|---|---|---|---|---|")
@@ -277,4 +305,6 @@ def main(sf1c_dir: str = os.path.join(REPO, ".scratch", "sf1c")) -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "wm":
+        raise SystemExit(wm_only(*sys.argv[2:]))
     raise SystemExit(main(*sys.argv[1:]))
