@@ -1097,10 +1097,14 @@ def main() -> None:
         "|---|---|---|---|---|---|---|",
         "| near_dedup_wm | sf0.1 | 5,000 | 4,238 | 1,231 | 128 | 1086→1218→1231→1220→128 |",
         "| near_dedup_wm | sf1c (10x) | 50,000 | 36,916 | 10,710 | 1,201 | 9666→10689→10650→10710→1201 |",
+        "| near_dedup_wm | sf10c (100x, round 14) | 500,000 | 210,766 | 62,294 | 8,187 | 57830→62109→62294→61606→8187 |",
         "",
         "State PLATEAUS at the active-window working set — peak state is",
-        "0.282x of the corpus-total group count (emitted + held) at sf0.1",
-        "and 0.281x at 10x, i.e. the same fraction at both scales (the",
+        "0.282x of the corpus-total group count (emitted + held) at sf0.1,",
+        "0.281x at 10x, and 0.285x at the 500k-doc sf10c corpus (round 14,",
+        "`python scripts/stream_scale_smoke.py wm .scratch/sf10c 'sf10c(100x)'`",
+        "— the decade where state pressure is real: 62k live groups, 13.9 MB",
+        "store), i.e. the same fraction at all three scales (the",
         "~2.2 h of event time visible to an unexpired window at any",
         "moment, out of the 8 h span), and the trailing flush batch that",
         "applies the final watermark evicts down to the last open",
@@ -1226,7 +1230,10 @@ def main() -> None:
         "no package-index route at all — `pip download --no-deps gmpy2` fails",
         "with DNS resolution errors (`[Errno -2] Name or service not known`",
         "against the configured index) and `ERROR: No matching distribution",
-        "found for gmpy2`; no wheel is present offline.  The gmpy2 fast path",
+        "found for gmpy2`; no wheel is present offline.  Retried round 14 per",
+        "the r13 verdict: identical result (DNS `[Errno -2]` against the",
+        "configured index, `No matching distribution found`) — the environment",
+        "has not gained a package-index route.  The gmpy2 fast path",
         "therefore cannot be lit here under any policy; it remains the",
         "deployment-time switch (install gmpy2 on the cluster image, the",
         "try-import routes the hot ops automatically, oracles are bit-identical",
