@@ -141,7 +141,8 @@ SF1_SUBSET_LEG4 = (
 # Run: python scripts/drive_contract.py .scratch/sf10c sf10_spot
 SF10_SPOT = (
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_embedding",
-    "q_corpus_shard_pack",
+    "q_corpus_shard_pack", "q_dedup_simhash", "q_text_token_count",
+    "q_corpus_gopher_rules", "q_sample_per_source_cap",
 )
 
 
