@@ -145,6 +145,18 @@ SF10_SPOT = (
     "q_corpus_gopher_rules", "q_sample_per_source_cap",
 )
 
+# The four relational cost archetypes (wide-scan hash-agg, pushdown-filter
+# scan-agg, per-group window limit, one-shuffle as-of union/window) — the
+# same set scale_sf100_spot.py times Spark-only.  Their DuckDB replays stay
+# feasible through the SIXTH decade (q1 49s / topk 100s / asof 21s at 600M
+# lineitem), so the differential evidence can follow the Spark-only wall:
+#   python scripts/drive_contract.py .scratch/sf10  rel_archetypes
+#   python scripts/drive_contract.py .scratch/sf100 rel_archetypes
+REL_ARCHETYPES = (
+    "q1_pricing_summary", "q6_forecast_revenue", "q_topk_per_group",
+    "q_join_asof",
+)
+
 
 def main(sf_dir: str = "/root/testdata/sf0.01", subset: str | None = None) -> int:
     spark = get_spark(app_name="drive_contract")
@@ -165,6 +177,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", subset: str | None = None) -> in
             "sf1_leg3": SF1_SUBSET_LEG3,
             "sf1_leg4": SF1_SUBSET_LEG4,
             "sf10_spot": SF10_SPOT,
+            "rel_archetypes": REL_ARCHETYPES,
         }
         names = presets.get(subset) or tuple(subset.split(","))
         missing = [n for n in names if n not in qs]
