@@ -157,6 +157,23 @@ REL_ARCHETYPES = (
     "q_join_asof",
 )
 
+# The full TPC-H-shaped family, attestable at any relational fixture the
+# disk can hold — the 22 oracles replay in 22s TOTAL at 60M lineitem
+# (.scratch/sf10) and ~8 min at 600M (.scratch/sf100; q2's correlated
+# min-cost subquery is the worst at 154s):
+#   python scripts/drive_contract.py .scratch/sf10 tpch
+TPCH = (
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_nation_trade_volume", "q8_market_share", "q9_product_type_profit",
+    "q10_returned_items", "q11_important_parts",
+    "q12_priority_by_returnflag", "q13_customer_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier",
+    "q16_part_supplier_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_discounted_revenue",
+    "q20_excess_shippers", "q21_waiting_suppliers", "q22_dormant_customers",
+)
+
 
 def main(sf_dir: str = "/root/testdata/sf0.01", subset: str | None = None) -> int:
     spark = get_spark(app_name="drive_contract")
@@ -178,6 +195,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01", subset: str | None = None) -> in
             "sf1_leg4": SF1_SUBSET_LEG4,
             "sf10_spot": SF10_SPOT,
             "rel_archetypes": REL_ARCHETYPES,
+            "tpch": TPCH,
         }
         names = presets.get(subset) or tuple(subset.split(","))
         missing = [n for n in names if n not in qs]
