@@ -20,6 +20,8 @@ from basin_cli_spark.session import get_spark  # noqa: E402
 # Driven at the sf1-equivalent fixture (scripts/gen_sf1.py, ~6M lineitem)
 # as the fourth attested scale decade; the corpus/embedding shapes have
 # their own perturbed-replica 10x/100x evidence in SCALE.md instead.
+# The same preset also replays at the FIFTH decade (.scratch/sf10, 60M
+# lineitem): CONTRACT_r14_sf10_leg1.txt, 31/31 OK in 328s total.
 SF1_SUBSET = (
     # TPC-H-shaped analytics (all 22)
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
@@ -42,6 +44,10 @@ SF1_SUBSET = (
 # remaining shuffle- or sort-shaped entry (row-wise scalar/string/corpus
 # shapes excluded: their plans are map-only and don't change with row
 # count; the corpus families carry perturbed-replica evidence instead).
+# Also replayed at the fifth decade: CONTRACT_r14_sf10_leg2.txt, 41/41 OK
+# in 849s total (the two slow rows are DuckDB's exact sides of the
+# tolerance checks at 60M rows: q_approx_count_distinct 423s exact
+# COUNT(DISTINCT), q_approx_percentile 134s exact PERCENTILE_CONT).
 SF1_SUBSET_LEG2 = (
     # aggregates (hash-agg, distinct, sketch-with-tolerance, pivot, corr)
     "q_agg_stats", "q_stddev_var", "q_grouping_rollup", "q_grouping_cube",
