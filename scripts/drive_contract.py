@@ -116,6 +116,10 @@ SF1_SUBSET_LEG3 = (
 # 1M rows at this decade); multimodal entries synthesize their own
 # binary columns per-row.  Computed as registry order minus legs 1-3
 # (51 entries; tests/test_registry_contract.py pins the partition).
+# Also replayed at the fifth decade (.scratch/sf10, whose documents table
+# is the unscaled golden-key copy): CONTRACT_r14_sf10_leg4.txt, 51/51 OK
+# in 668s — the one slow row is q_json_roundtrip (493s: a 60M-row
+# orders JSON round-trip is I/O-bound by design).
 SF1_SUBSET_LEG4 = (
     "q_stream_dsir_score", "q_cdc_replay_t", "q_cdc_replay_m",
     "q_join_left", "q_join_full", "q_join_theta", "q_join_cross",
