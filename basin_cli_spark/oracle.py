@@ -49,8 +49,23 @@ from basin_cli_spark.sources import TABLES
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Fresh in-memory DuckDB with the fixture tables registered as views —
-    the same contract the driver gives oracle_sql()."""
+    the same contract the driver gives oracle_sql().
+
+    ``SPARK_GRAFT_DUCKDB_MEM`` (e.g. ``100GB``) optionally caps DuckDB's
+    memory and points its spill at ``SPARK_GRAFT_DUCKDB_TMP`` (default
+    ``/tmp/duckdb_spill``) so decade-scale oracle replays (.scratch/sf10c)
+    spill to disk instead of taking the whole box to the kernel
+    OOM-killer — unset, behavior is exactly the driver's (unlimited
+    in-memory), so the sf0.01 gate is unaffected."""
+    import os
+
     con = duckdb.connect()
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if mem:
+        tmp = os.environ.get("SPARK_GRAFT_DUCKDB_TMP", "/tmp/duckdb_spill")
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET temp_directory='{tmp}'")
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"

@@ -783,12 +783,12 @@ mh AS (
 bands AS (
   {_MINHASH_BANDS}
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs

@@ -876,7 +876,11 @@ def _embedding_dedup_pairs(spark, sf_dir):
 # what made the 10x-corpus replay exceed 40 min in r11.  Materialized,
 # the pair work runs exactly once and the closure walks a cached edge
 # list.  Results are identical either way; this is purely evaluation
-# strategy.
+# strategy.  Round 14 extended the same pairs/edges hints to every other
+# walk oracle (_CLUSTER_ORACLE, _KEEP_ONE_ORACLE, _PIPELINE_V2_ORACLE,
+# corpus_ops._PROVENANCE_ORACLE) after the 500k-doc sf10c replay of the
+# un-hinted v2 form re-evaluated its full shingle->decontaminate->minhash
+# chain per iteration and exhausted the box (>95 GB + >50 GB spill).
 _EMB_KEEP_ONE_ORACLE = f"""
 WITH RECURSIVE {_BANDED_PAIRS_CTES},
 pairs AS MATERIALIZED (
@@ -2164,12 +2168,12 @@ mh AS (
 bands AS (
   {_MINHASH_BANDS}
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs
@@ -2558,12 +2562,12 @@ mh AS (
 bands AS (
   {_MINHASH_BANDS}
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs
@@ -2800,12 +2804,12 @@ mh AS (
 bands AS (
   {_MINHASH_BANDS}
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a
   JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a AS u, doc_b AS v FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs
