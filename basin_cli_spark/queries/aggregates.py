@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from basin_cli_spark.queries import register
 from basin_cli_spark.queries._helpers import dec, dec_sum
-from basin_cli_spark.sources import load_table
+from basin_cli_spark.sources import load_table, spread_cpu
 
 
 @register(
@@ -35,7 +35,10 @@ GROUP BY l_returnflag
 """,
 )
 def q_agg_stats(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
+    # count_distinct forces a two-phase agg whose first (l_returnflag,
+    # l_orderkey) dedup is map-side CPU; spread the under-split scan
+    # (see sources/tables.py spread_cpu — no-op on well-split layouts).
+    li = spread_cpu(load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("l_orderkey").alias("n_orders"),
@@ -96,7 +99,9 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
 )
 def q_grouping_rollup(spark, sf_dir):
-    li = load_table(spark, sf_dir, "lineitem")
+    # rollup expand multiplies partial-agg rows 3x — same map-side CPU
+    # shape as q_grouping_sets; spread the under-split scan.
+    li = spread_cpu(load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem")
     gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         gid.alias("gid"),
@@ -285,7 +290,10 @@ def q_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS with GROUPING() disambiguation (SURVEY.md
     §2.B aggregations) — subtotal rows computed in one shuffle, not one
     pass per set."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # GROUPING SETS expand triples the partial-agg rows, so the map side is
+    # CPU-bound; spread the under-split scan (measured 0.99 s -> 0.60 s at
+    # sf0.1/local[32]; no-op on well-split layouts — see sources/tables.py).
+    li = spread_cpu(load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem")
     li.createOrReplaceTempView("gs_lineitem")
     return spark.sql(
         """

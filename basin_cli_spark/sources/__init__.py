@@ -1,1 +1,6 @@
-from basin_cli_spark.sources.tables import TABLES, load_table, register_views  # noqa: F401
+from basin_cli_spark.sources.tables import (  # noqa: F401
+    TABLES,
+    load_table,
+    register_views,
+    spread_cpu,
+)
