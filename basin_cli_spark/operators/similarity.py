@@ -82,7 +82,17 @@ def dot_arrow(a: Column, b: Column) -> Column:
     def _dot_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
         return _dot_batch(xs, ys)
 
-    return _dot_udf(a, b)
+    # Non-deterministic mark (optimization guide §4.4): every pair-verify
+    # caller filters on a score computed FROM this UDF, and Catalyst's
+    # filter pushdown otherwise duplicates the evaluation — the r14 plan
+    # dumps showed two ArrowEvalPython nodes per verify stage in
+    # q_dedup_embedding and q_dedup_semantic_ivf, i.e. the expensive dot
+    # ran twice per candidate pair.  No caller relies on pushing a filter
+    # through the dot projection (id filters are applied before it), and
+    # the value is genuinely deterministic, so results are unchanged —
+    # only the double evaluation disappears (2 ArrowEvalPython -> 1,
+    # pinned in tests/test_plans.py).
+    return _dot_udf.asNondeterministic()(a, b)
 
 
 def _columns_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -300,7 +310,16 @@ def sign_lsh_bands(
         V = np.stack(emb.to_list()).astype(np.float64)
         return pd.Series(list(kernel(V)))
 
-    return _bands_udf(vec)
+    # Non-deterministic mark (guide §4.4, same rationale as dot_arrow):
+    # every caller explodes the band array, and the Generate's implicit
+    # `size(bands) > 0` precondition otherwise gets pushed below the UDF
+    # projection, duplicating the kernel — the r14 plan dumps showed two
+    # ArrowEvalPython nodes per side in the LSH probes and in the banded
+    # pair builders' cache-build plans.  No caller pushes a real filter
+    # through this projection (id filters are applied before it), and the
+    # signature is a pure function of the vector, so results are
+    # unchanged — each side now runs the kernel exactly once.
+    return _bands_udf.asNondeterministic()(vec)
 
 
 def sign_lsh_signature(
@@ -455,7 +474,16 @@ def mine_hard_negatives(
         F.col(label_col).alias("p_label"),
         norm_sq(F.col(vec_col)).alias("_p_n2"),
     )
-    scored = (
+    # persist_once: the positive and negative rank branches both read the
+    # scored relation, and without the cache each branch re-runs the full
+    # |anchors| x |corpus| Arrow-dot scoring pass (two identical
+    # ArrowEvalPython subtrees in the r14 plan dump).  The cached rows
+    # are slim — ids, labels, one double; no vectors — the same class as
+    # the persisted LSH signature tables, so the cache is safe at any
+    # corpus size the anchor set itself permits.
+    from basin_cli_spark.session import persist_once
+
+    scored = persist_once(
         df.select(
             id_col, label_col, vec_col,
             norm_sq(F.col(vec_col)).alias("_n2"),
@@ -536,15 +564,22 @@ def cosine_topk_lsh(
     least one band with the query; exact cosine re-ranks the candidates.
     The probe is a broadcast equi-join on (band index, band signature) —
     at 100 TB the exploded band table is the shuffle/partition key, so
-    the probe touches |candidates|, never the corpus."""
-    with_b = df.withColumn(
+    the probe touches |candidates|, never the corpus.
+
+    The id filters run BEFORE the band projection on each side: filtering
+    a column computed by a UDF makes Catalyst push the filter below the
+    projection and DUPLICATE the UDF (guide §4.4 — the r14 plan dump
+    showed four _bands_udf ArrowEvalPython nodes here, two per side);
+    filtering first leaves nothing to push, one kernel pass per side."""
+    q = df.where(F.col(id_col) == query_vec_id).withColumn(
         "_bands", sign_lsh_bands(F.col(vec_col), bands, band_bits)
-    )
-    q = with_b.where(F.col(id_col) == query_vec_id).select(
+    ).select(
         F.col(vec_col).alias("_q_emb"),
         F.posexplode("_bands").alias("_band", "_sig"),
     )
-    cand = with_b.where(F.col(id_col) != query_vec_id).select(
+    cand = df.where(F.col(id_col) != query_vec_id).withColumn(
+        "_bands", sign_lsh_bands(F.col(vec_col), bands, band_bits)
+    ).select(
         id_col, vec_col, F.posexplode("_bands").alias("_band", "_sig")
     )
     score = F.round(cosine(F.col(vec_col), F.col("_q_emb")), round_to)
@@ -574,12 +609,16 @@ def cosine_topk_lsh_multiprobe(
     near-misses — recall comparable to doubling bands, at probe cost
     bands*(1+band_bits) instead of double the index size.  The probe set
     explodes QUERY-side only; the corpus index stays one row per (vector,
-    band), so at 100 TB this is still an index probe, not a scan."""
-    with_b = df.withColumn(
-        "_bands", sign_lsh_bands(F.col(vec_col), bands, band_bits)
-    )
+    band), so at 100 TB this is still an index probe, not a scan.
+
+    As in cosine_topk_lsh, the id filters run BEFORE the band projection
+    so the filter-pushdown UDF duplication (guide §4.4) cannot occur —
+    one signature kernel pass per side instead of two."""
     q = (
-        with_b.where(F.col(id_col) == query_vec_id)
+        df.where(F.col(id_col) == query_vec_id)
+        .withColumn(
+            "_bands", sign_lsh_bands(F.col(vec_col), bands, band_bits)
+        )
         .select(
             F.col(vec_col).alias("_q_emb"),
             F.posexplode("_bands").alias("_band", "_sig0"),
@@ -599,7 +638,9 @@ def cosine_topk_lsh_multiprobe(
         )
         .dropDuplicates(["_band", "_sig"])
     )
-    cand = with_b.where(F.col(id_col) != query_vec_id).select(
+    cand = df.where(F.col(id_col) != query_vec_id).withColumn(
+        "_bands", sign_lsh_bands(F.col(vec_col), bands, band_bits)
+    ).select(
         id_col, vec_col, F.posexplode("_bands").alias("_band", "_sig")
     )
     score = F.round(cosine(F.col(vec_col), F.col("_q_emb")), round_to)

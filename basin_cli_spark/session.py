@@ -39,7 +39,14 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
     master = master or f"local[{cpus}]"
-    n_shuffle = shuffle_partitions or (os.cpu_count() or 8)
+    # shuffle partitions track the SESSION's core count, not the host's:
+    # the driver benches at reduced $SPARK_GRAFT_CPUS to measure scaling,
+    # and a host-sized constant (32 tasks on local[8]) would tax the
+    # low-core runs with pure scheduling overhead.  On a cluster this
+    # remains the pre-AQE upper bound only (see module docstring).
+    n_shuffle = shuffle_partitions or (
+        int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+    )
 
     builder = (
         SparkSession.builder.appName(app_name)

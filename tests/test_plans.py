@@ -486,3 +486,40 @@ def test_fold_queries_expression_duplication_bounded(
         f"{name}: {n_agg} aggregate() folds in the optimized plan "
         f"(bound {max_agg}) — a fold is being recomputed per reference"
     )
+
+
+def test_no_duplicated_python_eval(spark, sf_dir, registry):
+    """No query may evaluate the same Python kernel expression twice in
+    one plan (guide §4.4: filter pushdown below a UDF projection — or the
+    Generate's implicit size()>0 precondition — copies the ArrowEvalPython
+    node, doubling the Python work per row).  dot_arrow and
+    sign_lsh_bands are marked non-deterministic precisely to prevent
+    this; the pin checks every ArrowEvalPython node's expression
+    signature is unique within its query plan (r14: q_dedup_embedding,
+    q_dedup_semantic_ivf, and both LSH probes each carried a duplicate
+    before the fix)."""
+    import re
+
+    offenders = []
+    for name in (
+        "q_dedup_embedding",
+        "q_dedup_semantic_ivf",
+        "q_similarity_ann_lsh",
+        "q_similarity_ann_multiprobe",
+        "q_similarity_ann_ivf",
+        "q_similarity_hard_negatives",
+        "q_similarity_knn_label",
+    ):
+        plan = plan_of(registry[name].fn(spark, sf_dir))
+        # "Arguments: [<udf>(<in#id>)#id], [out], batch" — the FIRST
+        # bracket (udf + input expression ids + result id) identifies the
+        # evaluated expression; a pushdown-duplicated eval repeats it
+        # verbatim (only the out column differs), while two legitimate
+        # evals on different join sides carry different input ids.
+        sigs = re.findall(
+            r"ArrowEvalPython\nInput.*\nArguments: (\[[^\]]+\])", plan
+        )
+        dupes = {s for s in sigs if sigs.count(s) > 1}
+        if dupes:
+            offenders.append((name, dupes))
+    assert not offenders, offenders
