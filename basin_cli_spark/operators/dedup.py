@@ -340,14 +340,28 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     tok = src_df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
+    # Project the md5 nibble VALUES once per token before the aggregate:
+    # the 16 vote sums otherwise each re-derive their nibble from the
+    # hash inside the partial-agg update expressions, where codegen's
+    # subexpression elimination only partially applies (measured 0.69 s
+    # -> 0.54 s at sf0.1; bit votes are identical integers either way).
     h = F.md5(F.col("tok"))
+    nibs = tok.select(
+        F.col(id_col),
+        *[
+            (
+                F.instr(F.lit("0123456789abcdef"), F.substring(h, j + 1, 1))
+                - 1
+            ).alias(f"_n{j}")
+            for j in range(bits // 4)
+        ],
+    )
     vote_sums = []
     for i in range(bits):
-        nibble = F.substring(h, i // 4 + 1, 1)
-        v = F.instr(F.lit("0123456789abcdef"), nibble) - 1
+        v = F.col(f"_n{i // 4}")
         bit = F.shiftright(v, i % 4).bitwiseAND(F.lit(1))
         vote_sums.append(F.sum(bit * 2 - 1).alias(f"s_{i}"))
-    votes = tok.groupBy(id_col).agg(*vote_sums)
+    votes = nibs.groupBy(id_col).agg(*vote_sums)
     fp = None
     for i in range(bits):
         term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
