@@ -209,28 +209,35 @@ def hash_embedding(
         .groupBy(id_col, "_dim")
         .agg(F.sum("_s").alias("_w"))
     )
+    # The squared norm is computed HERE, in the same hash-agg that
+    # assembles the cell map, as the exact integer sum of w^2 over the
+    # populated cells.  It is the same value as folding x^2 over the
+    # dense vector (missing dims contribute 0, every partial sum is an
+    # integer well under 2^53 so the double fold was exact), but the fold
+    # form re-evaluated the whole 64-element map-lookup reconstruction
+    # inside BOTH the filter and the per-element normalize lambda —
+    # higher-order functions run interpreted, so the norm fold (itself a
+    # pass over the dense array) executed once per ELEMENT: measured
+    # 9.75 s -> ~1 s noop at sf0.1 for q_text_hash_embedding.
     assembled = cells.groupBy(id_col).agg(
         F.map_from_entries(
             F.collect_list(F.struct("_dim", "_w"))
-        ).alias("_m")
+        ).alias("_m"),
+        F.sum(F.col("_w") * F.col("_w")).alias("_n2"),
     )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0)),
     )
-    norm = F.sqrt(
-        F.aggregate(
-            dense, F.lit(0.0), lambda a, x: a + (x * x).cast("double")
-        )
-    )
+    norm = F.sqrt(F.col("_n2").cast("double"))
     unit = F.transform(
         dense, lambda x: F.round(x.cast("double") / norm, 6)
     )
-    # norm > 0: a document whose signed counts cancel to the zero vector
+    # _n2 > 0: a document whose signed counts cancel to the zero vector
     # (two tokens on one dim with opposite signs) has no direction to
     # normalize — drop it on BOTH engines rather than ANSI-crash here and
     # emit a NULL-element list in DuckDB (the oracles carry the matching
     # HAVING on the norm)
-    return assembled.where(norm > 0).select(
+    return assembled.where(F.col("_n2") > 0).select(
         F.col(id_col), unit.alias("embedding")
     )

@@ -200,6 +200,32 @@ def test_pq_codebook_vectors_code_to_themselves(spark, sf_dir):
     assert all(d >= 0 for d in dists)
 
 
+# -- feature-hashed embedding norm --------------------------------------------
+
+def test_hash_embedding_aggregated_norm_matches_dense_vector(spark):
+    """r14: the L2 norm moved from an interpreted fold over the dense
+    vector into an exact integer sum of w^2 inside the assembly hash-agg.
+    Pin the equivalence on a corpus with repeated tokens (multi-count
+    cells) and the mined sign-cancelling pair: every emitted embedding is
+    unit-norm under the sum-of-squares of its own components, and the
+    zero-vector doc is still dropped by the _n2 > 0 guard."""
+    from basin_cli_spark.operators.text import hash_embedding
+
+    rows = [
+        (1, "alpha beta gamma delta alpha alpha beta"),
+        (2, "one two three four five six seven eight nine ten " * 5),
+        (3, "w3 w12"),  # cancels to the exact zero vector (mined pair)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.embedding
+           for r in hash_embedding(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    for vec in out.values():
+        assert len(vec) == 64
+        norm = math.sqrt(sum(x * x for x in vec))
+        assert abs(norm - 1.0) < 1e-3  # rounded components, loose bound
+
+
 # -- center/normalize ---------------------------------------------------------
 
 def test_center_normalize_unit_norm(spark, sf_dir):
