@@ -235,13 +235,29 @@ def q_approx_count_distinct(spark, sf_dir):
     a boolean and the booleans (plus the exact counts, which must agree
     bit-for-bit) hash-match.  Exactness itself is covered by
     q_count_distinct_multi."""
+    # Fused, Spark's multi-distinct rewrite plants the partial HLL
+    # sketches INSIDE the Expand-dedup aggregate, so two rsd-0.02
+    # register arrays (~3 KB each) are allocated and updated per
+    # (returnflag, orderkey/partkey) dedup key — ~350k keys at sf0.1 —
+    # instead of per output group (3).  Splitting the sketches into
+    # their own 3-group aggregation over the raw input computes the
+    # identical registers (HLL merge is per-register max over the same
+    # value set, same rsd) with 3 buffers, and the 3-row join is a
+    # broadcast.  Measured 5.7 s -> 1.25 s noop at sf0.1 (interleaved
+    # A/B); fused-vs-split bit-equality is pinned in
+    # tests/test_oracle_diff.py.  NOT spread: with the buffer churn
+    # gone the map sides are light and the A/B measured the extra
+    # exchanges a net loss (1.25 s -> 1.65 s).
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-    ).select(
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+    )
+    return exact.join(approx, "l_returnflag").select(
         "l_returnflag",
         "exact_orders",
         "exact_parts",
@@ -393,7 +409,11 @@ def q_corr_covar(spark, sf_dir):
     final double formula is order-independent and bit-identical across
     engines; the built-in CORR/COVAR accumulate in floats and are not.
     One hash-agg pass, map-side partials, same shuffle as any groupBy."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # five wide-decimal product sums per row are the map cost; spread the
+    # under-split scan.  Partitioning-safe by this query's own design:
+    # the moment sums are exact decimals (order-independent), doubles
+    # only appear in the final per-group formula.
+    li = spread_cpu(load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem")
     qty, price = dec("l_quantity"), dec("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -447,7 +467,14 @@ def q_approx_percentile(spark, sf_dir):
     emits the bit-identical group counts plus its own
     approx-within-5%-of-its-own-exact booleans.  Exact percentile values
     are separately hash-verified by q_median_percentile."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # map-side CPU: the exact percentiles accumulate a per-group
+    # value->count map and the GK sketches (accuracy 10000) compress per
+    # row, all before the one exchange.  Spread the under-split scan;
+    # safe because the exact percentile is a function of the value
+    # multiset (order-free counts map) and GK merge-order wobble is
+    # bounded by the 1e-4 rank accuracy — two orders inside the 5%
+    # tolerance the booleans state.
+    li = spread_cpu(load_table(spark, sf_dir, "lineitem"), sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("double")
     g = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -44,3 +44,38 @@ def test_rows_only_query_runs(spark, sf_dir, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, sf_dir)
     assert sdf.count() >= 0
+
+
+def test_approx_count_distinct_split_equals_fused(spark, sf_dir):
+    """r14: q_approx_count_distinct computes its HLL sketches in a
+    separate 3-group aggregation instead of fused with the exact
+    distincts (where the multi-distinct rewrite allocates the rsd-0.02
+    register arrays per dedup key).  The registers are per-register max
+    over the same value set, so the split estimates must be
+    BIT-identical to the fused form's — not merely within tolerance."""
+    from pyspark.sql import functions as F
+
+    from basin_cli_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fused = {
+        r["l_returnflag"]: (r["_ao"], r["_ap"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+            F.countDistinct("l_orderkey").alias("eo"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+            F.countDistinct("l_partkey").alias("ep"),
+        )
+        .collect()
+    }
+    split = {
+        r["l_returnflag"]: (r["_ao"], r["_ap"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("_ao"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_ap"),
+        )
+        .collect()
+    }
+    assert split == fused
