@@ -107,10 +107,17 @@ def language_pred(toks: Column) -> Column:
     return pred
 
 
-def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Stopword-hit language heuristic as a (id, pred_lang) table."""
+def language_id(
+    df: DataFrame, text_col: str, id_col: str, extra_cols: tuple = ()
+) -> DataFrame:
+    """Stopword-hit language heuristic as a (id, *extra, pred_lang)
+    table.  extra_cols lets a caller carry grouping columns through the
+    scoring projection instead of joining the prediction table back to
+    the source (which re-scans it and builds a corpus-sized broadcast)."""
     return df.select(
-        F.col(id_col), language_pred(tokens(text_col)).alias("pred_lang")
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        language_pred(tokens(text_col)).alias("pred_lang"),
     )
 
 

@@ -669,11 +669,18 @@ SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY lang, pred_lang
 def q_text_language_id(spark, sf_dir):
     """Stopword-heuristic language ID, reported as a lang x predicted
     confusion table."""
-    d = load_table(spark, sf_dir, "documents")
-    pred = TX.language_id(d, "text", "doc_id")
+    # carry lang through the scoring projection (extra_cols) instead of
+    # joining the prediction table back to documents: the join re-scanned
+    # the corpus and broadcast-built the corpus-sized prediction side —
+    # measured 2.44 s -> 1.21 s noop at sf0.1 (plan 2 scans + BHJ ->
+    # 1 scan); the five stopword-hit HOF folds are then the map cost, so
+    # spread the under-split scan (1.21 s -> 0.60 s interleaved A/B)
+    d = spread_cpu(
+        load_table(spark, sf_dir, "documents"), sf_dir, "documents"
+    )
+    pred = TX.language_id(d, "text", "doc_id", extra_cols=("lang",))
     return (
-        d.join(pred, "doc_id")
-        .groupBy("lang", "pred_lang")
+        pred.groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -718,8 +725,12 @@ FROM cleaned
 
 @register("q_text_fingerprint", _FP_ORACLE)
 def q_text_fingerprint(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "en")
-    return TX.fingerprint(d, "text", "doc_id")
+    # the per-char rolling-hash fold is pure interpreted map CPU; spread
+    # the under-split scan (0.96 s -> 0.35 s noop min, interleaved A/B;
+    # spread_cpu no-ops on well-split layouts).  The lang filter still
+    # pushes below the repartition to the scan.
+    d = spread_cpu(load_table(spark, sf_dir, "documents"), sf_dir, "documents")
+    return TX.fingerprint(d.where(F.col("lang") == "en"), "text", "doc_id")
 
 
 @register(
@@ -1629,6 +1640,11 @@ def q_llm_prep_pipeline(spark, sf_dir):
     from basin_cli_spark.operators.dedup import tokens as _tokens
     from basin_cli_spark.operators.text import language_pred
 
+    # NOT spread: an interleaved r14 A/B (5 reps, noop) measured the
+    # spread a net loss here (1.16 s -> 1.59 s min at sf0.1) — this
+    # pipeline's tokenize+gate map side is light enough that the added
+    # exchange dominates, unlike the HOF-fold stacks in the quality/
+    # gopher family.
     d = load_table(spark, sf_dir, "documents")
     feat = d.select(
         "doc_id", "text", _tokens("text").alias("tk")
