@@ -70,6 +70,15 @@ HEADLINE = [
     "q_corpus_domain_kl",  # added r7 (per-source KL domain-shift audit)
     "q_corpus_zipf_slope",  # added r7 (rank-frequency corpus health)
     "q_embedding_anisotropy",  # added r7 (closed-form all-pairs cosine)
+    # r14 (optimization round): the registry-wide sweep's biggest finds —
+    # all optimized this round, all previously OUTSIDE the headline set,
+    # added so the driver's own bench tracks them from now on
+    "q_text_hash_embedding",  # added r14 (interpreted-fold norm fix)
+    "q_approx_count_distinct",  # added r14 (per-key HLL buffer fix)
+    "q_approx_percentile",  # added r14 (spread map-side percentile)
+    "q_corr_covar",  # added r14 (spread decimal-moment partials)
+    "q_text_language_id",  # added r14 (de-joined confusion table)
+    "q_text_fingerprint",  # added r14 (spread per-char hash fold)
 ]
 
 # queries added to the headline per round — summed out of the
@@ -105,6 +114,14 @@ _R7_ADDED = {
     "q_corpus_mad_prune_2pass",
     "q_corpus_dsir_select",
     "q_llm_prep_pipeline_v4",
+}
+_R14_ADDED = {
+    "q_text_hash_embedding",
+    "q_approx_count_distinct",
+    "q_approx_percentile",
+    "q_corr_covar",
+    "q_text_language_id",
+    "q_text_fingerprint",
 }
 
 
@@ -269,7 +286,7 @@ def main() -> None:
                         v
                         for k, v in times.items()
                         if k not in _R4_ADDED | _R5_ADDED | _R6_ADDED
-                        | _R7_ADDED
+                        | _R7_ADDED | _R14_ADDED
                     ),
                     3,
                 ),
@@ -278,6 +295,7 @@ def main() -> None:
                         v
                         for k, v in times.items()
                         if k not in _R5_ADDED | _R6_ADDED | _R7_ADDED
+                        | _R14_ADDED
                     ),
                     3,
                 ),
@@ -285,12 +303,22 @@ def main() -> None:
                     sum(
                         v
                         for k, v in times.items()
-                        if k not in _R6_ADDED | _R7_ADDED
+                        if k not in _R6_ADDED | _R7_ADDED | _R14_ADDED
                     ),
                     3,
                 ),
                 "total_pre_r7_subset": round(
-                    sum(v for k, v in times.items() if k not in _R7_ADDED), 3
+                    sum(
+                        v
+                        for k, v in times.items()
+                        if k not in _R7_ADDED | _R14_ADDED
+                    ),
+                    3,
+                ),
+                # the 44-query set every round r7-r13 totals over — THE
+                # cross-round comparison key now that r14 adds entries
+                "total_pre_r14_subset": round(
+                    sum(v for k, v in times.items() if k not in _R14_ADDED), 3
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

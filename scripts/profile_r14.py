@@ -64,7 +64,13 @@ def main() -> None:
         if os.path.isdir(d) and d != sf_dir
     ]
 
+    path = os.path.join(PLANS_DIR, f"profile_{tag}.json")
     out = {}
+    if len(sys.argv) > 2 and os.path.exists(path):
+        # subset re-run: merge into the standing capture instead of
+        # clobbering the other queries' numbers
+        with open(path) as f:
+            out = json.load(f).get("queries", {})
     for name in names:
         spec = registry[name]
         spark.sparkContext.setJobDescription(f"{name}: warm")
@@ -115,7 +121,6 @@ def main() -> None:
             flush=True,
         )
 
-    path = os.path.join(PLANS_DIR, f"profile_{tag}.json")
     with open(path, "w") as f:
         json.dump({"sf_dir": sf_dir, "queries": out}, f, indent=1)
     print(f"\nwrote {path}")
