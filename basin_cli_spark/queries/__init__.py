@@ -168,37 +168,42 @@ def register(name: str, oracle: str | None = None):
 # driver-green round, first-ever attestation round, registry position),
 # computed from all CORRECTNESS_r*.json against the previous round's
 # registry order — so attestations never re-age past ~4 rounds and no
-# bespoke leg design is needed.  For r14 that is the 3 r9-latest
-# positional leftovers (q_similarity_ann_multiprobe, q_dedup_keep_one,
-# q_decontaminate) plus the 47 oldest r10-latest entries; the 3 r10
-# leftovers for r15 are the positional tail (q_similarity_pq_adc_trained,
-# q_embedding_prototype_prune, q_similarity_hard_negatives).
+# bespoke leg design is needed.  For r14 that was the 3 r9-latest
+# positional leftovers plus the 47 oldest r10-latest entries.
+#
+# Round-15 rotation — steady-state leg 2: post-r14 distribution is
+# {r14: 50, r13: 50, r12: 50, r11: 50, r10: 3}.  This head is the 3
+# r10-latest positional leftovers (q_similarity_pq_adc_trained,
+# q_embedding_prototype_prune, q_similarity_hard_negatives) plus the 47
+# oldest r11-latest entries under the standing age key — recomputed this
+# round from CORRECTNESS_r01..r14.json against the r14 registry order.
+# The 3 r11 leftovers for r16 are the positional tail:
+# q_session_window, q_window_range_frame, q_window_ignore_nulls.
 REPRESENTATIVE_HEAD = [
-    # -- the 3 r9-latest entries (leg-3 positional tail) --
-    "q_similarity_ann_multiprobe", "q_dedup_keep_one", "q_decontaminate",
-    # -- the 47 oldest r10-latest entries --
-    # first attested r1, in r13 registry-position order:
-    "q_agg_stats", "q_grouping_sets", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q7_nation_trade_volume",
-    "q_cdc_record_stream", "q_text_quality_stats", "q_events_before_after",
-    "q_join_inner_broadcast", "q_join_anti", "q_join_range", "q_join_asof",
-    # first attested r2:
-    "q9_product_type_profit", "q_text_language_id",
-    # first attested r5:
-    "q_approx_count_distinct", "q_ecmh_digest", "q_muhash_digest",
-    "q_cdc_apply_upserts", "q_dedup_incremental",
-    "q_text_compression_ratio", "q_multimodal_meta", "q_dedup_embedding",
-    "q_dedup_embedding_keep_one", "q_similarity_ann_ivf",
-    "q_dedup_repeated_spans", "q_dedup_semantic_ivf",
-    "q_decontaminate_bloom", "q_corpus_lm_prune", "q_similarity_pq_adc",
-    "q_corpus_delete_digest", "q1_pricing_summary", "q_filter_predicates",
-    "q_case_expr", "q_string_funcs", "q_json_funcs", "q_except_all",
-    "q_csv_roundtrip", "q_stream_tumbling_agg", "q_stream_near_dedup",
-    "q_topk_per_group", "q_window_tumbling", "q_timeseries_gapfill",
-    "q_hypertable_rollup",
-    # first attested r6:
-    "q_cdc_scd2_history", "q_multimodal_audio_meta",
-    "q_multimodal_video_meta", "q_similarity_ann_ivf_trained",
+    # -- the 3 r10-latest entries (r14 leg's positional tail) --
+    "q_similarity_pq_adc_trained", "q_embedding_prototype_prune",
+    "q_similarity_hard_negatives",
+    # -- the 47 oldest r11-latest entries --
+    # first attested r6, in r14 registry-position order:
+    "q_sample_per_source_cap", "q_corpus_boilerplate_scrub",
+    "q_corpus_mad_prune", "q_corpus_gopher_rules", "q_llm_prep_pipeline_v3",
+    "q_split_leakage", "q_corpus_rebalance", "q_corpus_shard_pack",
+    "q_stream_quality_gate", "q_stream_cdc_apply",
+    # first attested r7:
+    "q_approx_percentile", "q_muhash_digest_by_group",
+    "q_dedup_source_overlap", "q_text_quality_score", "q_text_fingerprint",
+    "q_multimodal_decode", "q_multimodal_frames",
+    "q_embedding_label_centroids", "q_similarity_knn_label",
+    "q_embedding_prototype_prune_2pass", "q_dedup_clusters",
+    "q_sample_stratified", "q_sample_cluster_cap", "q_embedding_quantize",
+    "q_contamination_score", "q_corpus_mad_prune_2pass",
+    "q_corpus_quantile_prune_2pass", "q_vocab_topk", "q_tfidf_topterms",
+    "q_text_bigram_logprob", "q_corpus_lm_prune_2pass",
+    "q_corpus_dsir_select", "q_llm_prep_pipeline_v4", "q_corpus_unimax",
+    "q_corpus_datasheet", "q_like_isnull", "q_distinct", "q_limit_offset",
+    "q_orderby_nulls", "q_fuzzy_prefix_match", "q_array_hof_fold",
+    "q_union_distinct", "q_intersect", "q_except", "q_in_memory_rows",
+    "q_orc_roundtrip", "q_stream_stream_join",
 ]
 
 

@@ -129,17 +129,26 @@ def test_excluded_for_unknown_key_fails_loudly():
 
 
 def test_compact_summary_is_small_and_parses():
-    times = {f"q{i:03d}": 1.234 for i in range(60)}  # full headline scale
+    # REAL headline names at double-digit seconds: the worst-case size
+    # the driver's ~2KB stdout tail must swallow whole.  r15 adds the
+    # per-query dict + the cross-round subset total to this line (the
+    # r14 verdict's top item: the driver's PERF parsed n_common=0 both
+    # rounds because per-query times never survived the tail crop).
+    times = {q: 12.345 for q in bench.HEADLINE}
     gate = {"clean": True, "load_at_start": 0.42}
     line = bench.compact_summary(times, "0.1", gate)
     assert "\n" not in line
-    assert len(line) < 1000, "compact line must survive the ~2KB tail"
+    assert len(line) < 1900, "compact line must survive the ~2KB tail"
     got = json.loads(line)
     assert got["metric"] == "headline_queries_total"
     assert got["unit"] == "sec"
     assert got["sf"] == 0.1
-    assert got["n_queries"] == 60
-    assert got["value"] == round(1.234 * 60, 3)
+    assert got["n_queries"] == len(bench.HEADLINE)
+    assert got["value"] == round(12.345 * len(bench.HEADLINE), 3)
+    assert got["queries"] == times
+    assert got["total_pre_r14_subset"] == round(
+        12.345 * (len(bench.HEADLINE) - len(bench._R14_ADDED)), 3
+    )
     assert got["load_gate_clean"] is True
     assert isinstance(got["load_avg_end"], float)
     assert got["full_payload"] == "bench_out.json"
