@@ -241,6 +241,20 @@ class MultisetHash:
         return isinstance(other, MultisetHash) and self._point == other._point
 
 
+def _spread_rows(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Spread the per-row EC work across the session's cores (guide §2.5
+    input skew): the fixture tables are single-row-group parquet, so a
+    bare mapInPandas fold runs at the SCAN's parallelism — one task.  The
+    digest is partitioning-independent (commutative point addition,
+    pinned by tests/test_ecmh.py), so a deterministic hash repartition
+    is free of correctness risk; xxhash64 of the data itself is stable
+    under task retry (guide §2.5's rand() warning).  On a well-split
+    warehouse table the exchange is the only cost — ~16 bytes + text per
+    row, trivially amortized by the ~130 us/row point mapping."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, F.xxhash64(*cols))
+
+
 def ecmh_digest(df: DataFrame, col: str) -> str:
     """Distributed multiset digest of a column.
 
@@ -264,7 +278,11 @@ def ecmh_digest(df: DataFrame, col: str) -> str:
             x, y = acc._point
             yield pd.DataFrame({"x": [hex(x)], "y": [hex(y)]})
 
-    partials = df.select(col).mapInPandas(_partial, schema="x string, y string").collect()
+    partials = (
+        _spread_rows(df.select(col), [col])
+        .mapInPandas(_partial, schema="x string, y string")
+        .collect()
+    )
     total = MultisetHash()
     for row in partials:
         total.union(MultisetHash((int(row.x, 16), int(row.y, 16))))
@@ -276,23 +294,52 @@ def ecmh_digest_by_group(df: DataFrame, key_col: str, col: str) -> DataFrame:
     per vault/window, so two datasets can be diffed per key by point
     subtraction (the reference's Difference, ecmh.go:45-48).
 
-    applyInPandas groups on the key (one shuffle); each group folds to a
-    single point executor-side — only |groups| digest rows return.
-    """
+    Two-level fold (guide §2.3 "aggregate before you shuffle", §2.5):
+    the r14-shape applyInPandas-on-the-group-key ran the ~170 us/row
+    point mapping in |groups| tasks — 5 language tasks for the fixture,
+    the biggest owning 41% of all rows, i.e. the EC work was serialized
+    onto a handful of cores with the rest idle.  Now ONE mapInPandas
+    pass folds per-(partition, group) partial POINTS at full scan
+    parallelism, and only the tiny (<= partitions x groups) partial
+    relation shuffles to the per-group point-sum + digest.  Point
+    addition is commutative/associative, so the digest is identical
+    under any regrouping (partition-independence is a pinned property,
+    tests/test_ecmh.py)."""
     import pandas as pd
 
-    def _group_digest(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _partials(batches):
+        accs: dict = {}
+        for pdf in batches:
+            for k, v in zip(pdf[key_col], pdf[col]):
+                # track the group even when every value is NULL, so an
+                # all-NULL group still surfaces with digest 'empty'
+                # (exactly what the one-level group fold produced)
+                acc = accs.setdefault(k, MultisetHash())
+                if v is not None:
+                    acc.insert(str(v).encode())
+        if accs:
+            pts = {k: acc._point for k, acc in accs.items()}
+            yield pd.DataFrame(
+                {
+                    key_col: list(pts),
+                    "x": [hex(p[0]) if p else None for p in pts.values()],
+                    "y": [hex(p[1]) if p else None for p in pts.values()],
+                }
+            )
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = MultisetHash()
-        for v in pdf[col]:
-            if v is not None:
-                acc.insert(str(v).encode())
+        for x, y in zip(pdf["x"], pdf["y"]):
+            if x is not None:  # identity partial (all-NULL slice)
+                acc.union(MultisetHash((int(x, 16), int(y, 16))))
         return pd.DataFrame(
             {key_col: [pdf[key_col].iloc[0]], "digest": [acc.digest()]}
         )
 
-    out_schema = f"{key_col} string, digest string"
-    return (
-        df.select(F.col(key_col).cast("string").alias(key_col), col)
-        .groupBy(key_col)
-        .applyInPandas(_group_digest, schema=out_schema)
+    rows = df.select(F.col(key_col).cast("string").alias(key_col), col)
+    partials = _spread_rows(rows, [key_col, col]).mapInPandas(
+        _partials, schema=f"{key_col} string, x string, y string"
+    )
+    return partials.groupBy(key_col).applyInPandas(
+        _merge, schema=f"{key_col} string, digest string"
     )

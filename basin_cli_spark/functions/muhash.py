@@ -160,7 +160,13 @@ def muhash_accumulate(df: DataFrame, col: str) -> MulMultisetHash:
         if n:
             yield pd.DataFrame({"num": [f"{int(acc):x}"]})
 
-    partials = df.select(col).mapInPandas(_partial, schema="num string").collect()
+    from basin_cli_spark.functions.ecmh import _spread_rows
+
+    partials = (
+        _spread_rows(df.select(col), [col])
+        .mapInPandas(_partial, schema="num string")
+        .collect()
+    )
     total = MulMultisetHash()
     for row in partials:
         total.union(MulMultisetHash(num=int(row.num, 16)))
@@ -176,21 +182,49 @@ def muhash_digest(df: DataFrame, col: str) -> str:
 
 
 def muhash_digest_by_group(df: DataFrame, key_col: str, col: str) -> DataFrame:
-    """Per-group MuHash digests: (key, digest) — one shuffle on the key,
-    each group folds to a single 32-byte digest executor-side."""
+    """Per-group MuHash digests: (key, digest).
+
+    Two-level fold, same restructure as ecmh_digest_by_group (guide §2.3
+    / §2.5): the old one-shuffle applyInPandas ran the per-row SHAKE-256
+    + 3072-bit mulmod in |groups| tasks, serializing the bignum work onto
+    a handful of cores.  Now one mapInPandas pass folds per-(partition,
+    group) partial PRODUCTS at full parallelism and only the tiny
+    (<= partitions x groups) partial relation shuffles to the per-group
+    product + digest.  Multiplication commutes, so the digest is
+    identical under any regrouping (tests/test_muhash.py pins
+    partition-independence); an all-NULL group's partial is the identity
+    (1), so it still surfaces with digest 'empty'."""
     import pandas as pd
 
-    def _group_digest(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict = {}
+        for pdf in batches:
+            for k, v in zip(pdf[key_col], pdf[col]):
+                acc = accs.setdefault(k, _g(1))
+                if v is not None:
+                    accs[k] = (acc * hash_to_group(str(v).encode())) % _MOD
+        if accs:
+            yield pd.DataFrame(
+                {
+                    key_col: list(accs),
+                    "num": [f"{int(a):x}" for a in accs.values()],
+                }
+            )
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = MulMultisetHash()
-        for v in pdf[col]:
-            if v is not None:
-                acc.insert(str(v).encode())
+        for num in pdf["num"]:
+            acc.union(MulMultisetHash(num=int(num, 16)))
         return pd.DataFrame(
             {key_col: [pdf[key_col].iloc[0]], "digest": [acc.digest()]}
         )
 
-    return (
-        df.select(F.col(key_col).cast("string").alias(key_col), col)
-        .groupBy(key_col)
-        .applyInPandas(_group_digest, schema=f"{key_col} string, digest string")
+    from basin_cli_spark.functions.ecmh import _spread_rows
+
+    rows = df.select(F.col(key_col).cast("string").alias(key_col), col)
+    partials = _spread_rows(rows, [key_col, col]).mapInPandas(
+        _partials, schema=f"{key_col} string, num string"
+    )
+    return partials.groupBy(key_col).applyInPandas(
+        _merge, schema=f"{key_col} string, digest string"
     )

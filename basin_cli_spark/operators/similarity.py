@@ -76,6 +76,16 @@ def dot_arrow(a: Column, b: Column) -> Column:
     to NULL — the same terminal NULL dot()'s nanvl guard produces for the
     fold, so a degenerate embedding can never outrank a real score in a
     desc sort (NULLs sort last).
+
+    CALLER CONTRACT: the returned expression is marked
+    ``asNondeterministic()`` (despite being a pure function) to stop
+    Catalyst duplicating the kernel under pushed-down filters — see the
+    inline note.  Consequences for callers: Spark forbids nondeterministic
+    expressions in join conditions and some sort/generator contexts
+    (AnalysisException), and a selective filter written ABOVE this
+    projection will NOT push below it — apply id filters BEFORE the dot
+    projection and filter on the score only after it (every in-repo
+    caller does).
     """
 
     @F.pandas_udf("double")
@@ -299,6 +309,15 @@ def sign_lsh_bands(
     Corpus sizing: pass band_bits=band_bits_for(n) so bucket width tracks
     the corpus instead of staying fixed at bench scale.  seed/dim make the
     planes deterministic for the DuckDB oracle (sign_lsh_band_sql).
+
+    CALLER CONTRACT: the returned expression is marked
+    ``asNondeterministic()`` (despite being a pure function) to stop
+    Catalyst duplicating the kernel under pushed-down filters — see the
+    inline note.  Consequences for callers: Spark forbids nondeterministic
+    expressions in join conditions and some sort/generator contexts
+    (AnalysisException), and a selective filter written ABOVE this
+    projection will NOT push below it — apply id/metadata filters BEFORE
+    projecting the bands (every in-repo caller does).
     """
     planes = random_planes(dim, bands * band_bits, seed)
     kernel = _band_sigs_kernel(planes, bands, band_bits)
@@ -478,9 +497,14 @@ def mine_hard_negatives(
     # scored relation, and without the cache each branch re-runs the full
     # |anchors| x |corpus| Arrow-dot scoring pass (two identical
     # ArrowEvalPython subtrees in the r14 plan dump).  The cached rows
-    # are slim — ids, labels, one double; no vectors — the same class as
-    # the persisted LSH signature tables, so the cache is safe at any
-    # corpus size the anchor set itself permits.
+    # are slim — ids, labels, one double; no vectors — but the cache is
+    # O(|anchors| x |corpus|) ROWS (~40 B each): fine for the
+    # tens-of-anchors probe sets this miner documents (~N-scale, the
+    # cost of one extra corpus column), and MEMORY_AND_DISK spills
+    # rather than OOMs past that, but a caller mining thousands of
+    # anchors over a billion-vector corpus should expect a multi-TB
+    # spill footprint and prefer recompute (drop the persist) — the
+    # anchor broadcast itself caps |anchors| well before that.
     from basin_cli_spark.session import persist_once
 
     scored = persist_once(

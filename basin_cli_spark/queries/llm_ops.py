@@ -1393,11 +1393,21 @@ def q_dedup_semantic_ivf(spark, sf_dir, max_cell=4096):
     cents = _frozen_ivf_codebook(e)
     # slim (vec_id, cent_id) assignment feeds both self-join sides;
     # persisted so the Arrow assignment kernel runs once (same rationale
-    # as _embedding_dedup_pairs' signature table) — 16 bytes/row
+    # as _embedding_dedup_pairs' signature table) — 16 bytes/row.
+    # r15: the persist moved to AFTER the hot-cell cap — with the cache
+    # below the cap, each self-join side re-ran the keep-list count agg
+    # and its semi-join (two extra Exchanges + a broadcast build in the
+    # r14 plan dump); caching the FILTERED relation runs the cap once at
+    # cache build, and both sides scan one in-memory relation.  Same
+    # rows by construction (the cap is deterministic), oracle-identical.
     assigned = persist_once(
-        KM.assign_ids(e, cents, metric="cos").select("vec_id", "cent_id")
+        drop_hot_cells(
+            KM.assign_ids(e, cents, metric="cos").select(
+                "vec_id", "cent_id"
+            ),
+            max_cell,
+        )
     )
-    assigned = drop_hot_cells(assigned, max_cell)
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,

@@ -49,17 +49,44 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _drain(df: DataFrame, mode: str) -> DataFrame:
     """Run the streaming plan to completion into a memory sink and return
     the sink table (one AvailableNow drain — the test/recovery trigger;
-    production would use a processing-time or continuous trigger)."""
+    production would use a processing-time or continuous trigger).
+
+    The drain disables the watermark-finalize no-data micro-batch
+    (`spark.sql.streaming.noDataMicroBatches.enabled`, restored after):
+    for a bounded AvailableNow drain that batch can only advance the
+    watermark and evict state — it cannot change the sink.  Complete-mode
+    aggregations re-emit the identical final state they emitted in the
+    data batch; the append-mode operators this registry drains all emit
+    eagerly (dropDuplicates[WithinWatermark] on first sight, the inner
+    interval join on match — only OUTER stream-stream joins hold rows for
+    watermark finalization, and none is registered); update-mode
+    applyInPandasWithState sees no input groups in a no-data batch.
+    End-of-drain state eviction is moot — the query terminates.  What the
+    batch DID cost (r15 profile, plans/r15/stream_probe_before.json) is a
+    full round of micro-batch machinery: ~1 s of queryPlanning plus a
+    commit of every state-store instance (partitions x stores), i.e.
+    roughly half the wall of every watermarked drain (guide §1.3/§5 —
+    don't pay for work whose output is discarded).  A production
+    continuous trigger keeps the default: there the no-data batch is what
+    finalizes windows between arrivals.  Results are oracle-identical by
+    construction and re-attested at 3 SFs this round."""
+    spark = df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old)
+    return spark.table(name)
 
 
 @register(
@@ -222,6 +249,20 @@ def q_stream_near_dedup(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
+    # r15 (guide §2.5 input skew): a single-file stream source arrives as
+    # ONE input partition per micro-batch (the scan splits by
+    # maxPartitionBytes, and this fixture is far below it), so the whole
+    # per-token SimHash fold — by far the batch's map cost — ran on one
+    # core of 32.  A stateless streaming repartition (hash on doc_id:
+    # deterministic under micro-batch re-run, guide §2.5's rand()
+    # warning) fans it across the session's cores BEFORE the fold;
+    # measured 11.0 s -> 2.6 s per drain at sf0.1, identical buckets.
+    # (A packed-nibble simhash_expr rewrite was ALSO measured — one md5
+    # per token instead of 16 — and REVERTED: tie under the spread,
+    # 1.5x SLOWER single-core; the fold's per-token array-accumulator
+    # allocation costs more than the extra md5 calls.)
+    par = spark.sparkContext.defaultParallelism
+    docs = docs.repartition(par, F.xxhash64(F.col("doc_id")))
     # synthetic event time (fixtures carry none): one second per doc id.
     # simhash_expr is a row-wise fold, so the bucket agg is the plan's
     # ONLY stateful operator (a per-doc vote aggregation upstream would
@@ -274,6 +315,12 @@ def q_stream_quality_gate(spark, sf_dir):
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
+    )
+    # single-file stream source -> one input partition; spread the
+    # per-row probe expressions across the cores (same rationale and
+    # measurement discipline as q_stream_near_dedup's repartition)
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, F.xxhash64(F.col("doc_id"))
     )
     scored = quality_score(docs, "text", "doc_id")
     agg = scored.groupBy("gate").agg(
@@ -559,6 +606,12 @@ def q_stream_dsir_score(spark, sf_dir):
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
+    )
+    # single-file stream source -> one input partition; spread the
+    # tokenize + weight-fold map work across the cores (same rationale
+    # and measurement discipline as q_stream_near_dedup's repartition)
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, F.xxhash64(F.col("doc_id"))
     )
     toked = docs.where(F.col("doc_id") % 20 != 0).select(
         "doc_id", D.tokens("text").alias("_toks")
