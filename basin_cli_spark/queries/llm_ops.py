@@ -840,7 +840,17 @@ def _embedding_dedup_pairs(spark, sf_dir):
     # read it, and without the cache Spark runs the Arrow signature
     # kernel twice.  ~24 bytes/row x bands — safe at any corpus size
     # (same rationale as operators/dedup.minhash_lsh_pairs).
-    expl = persist_once(expl)
+    # r15 (guide §2.5, the q_dedup_semantic_ivf finding): spread the
+    # cache — the band self-join is a BROADCAST join (r14 plan), so its
+    # probe side inherits this cached relation's layout, which on a
+    # single-row-group embeddings file is ONE partition; the per-row
+    # bucket-pair expansion then runs on one core at any session size
+    # (the downstream dropDuplicates exchange only spreads the verify,
+    # not the expansion).  Deterministic hash keys; rows unchanged.
+    par = spark.sparkContext.defaultParallelism
+    expl = persist_once(
+        expl.repartition(par, F.xxhash64(F.col("vec_id"), F.col("band")))
+    )
     a, b = expl.alias("a"), expl.alias("b")
     pairs = (
         a.join(
@@ -1400,12 +1410,32 @@ def q_dedup_semantic_ivf(spark, sf_dir, max_cell=4096):
     # r14 plan dump); caching the FILTERED relation runs the cap once at
     # cache build, and both sides scan one in-memory relation.  Same
     # rows by construction (the cap is deterministic), oracle-identical.
+    #
+    # r15, the big one (guide §2.5): the cache also REPARTITIONS first.
+    # Without it the cached relation inherits the embeddings SCAN's
+    # layout — ONE partition on a single-row-group file — and because
+    # the pair self-join and both verify joins are broadcast joins, the
+    # probe side keeps that layout end to end: the entire quadratic
+    # pair expansion + Arrow dot verify ran on ONE core at any session
+    # size (sf1c leg: c8 ≈ c32 ≈ 90 s, the smoking gun).  A
+    # deterministic hash spread of the 16-byte assignment rows is
+    # O(rows) exchange for O(rows * cell_width) parallelized work.
+    # Two-level persist: the RAW assignment caches first so the Arrow
+    # assign kernel runs exactly once — building the filtered cache
+    # directly from the kernel lets the semi-join's isnotnull(cent_id)
+    # null-guard push below the UDF projection and DUPLICATE the kernel
+    # (guide §4.4; seen in the intermediate plan: two stacked
+    # ArrowEvalPython per semi-join side).  Marking assign_ids
+    # nondeterministic instead would break its callers that JOIN on the
+    # live cent_id expression (nondeterministic join keys are an
+    # AnalysisException — the dot_arrow caller contract).
+    par = spark.sparkContext.defaultParallelism
+    raw_assigned = persist_once(
+        KM.assign_ids(e, cents, metric="cos").select("vec_id", "cent_id")
+    )
     assigned = persist_once(
-        drop_hot_cells(
-            KM.assign_ids(e, cents, metric="cos").select(
-                "vec_id", "cent_id"
-            ),
-            max_cell,
+        drop_hot_cells(raw_assigned, max_cell).repartition(
+            par, F.xxhash64(F.col("vec_id"))
         )
     )
     a, b = assigned.alias("a"), assigned.alias("b")

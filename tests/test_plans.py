@@ -235,11 +235,13 @@ _HINTED_BX = {
     "q_sample_per_source_cap": 0,
     # r6: the hot-cell cap broadcasts its keep-list — a table bounded by
     # the trained codebook width k (constant-size by construction, the
-    # same class as the codebook broadcast); both self-join sides carry
-    # the hinted semi-join, hence 4 in the sweep's plan string.  The
-    # capped `assigned` is never shuffled for the cap itself, so a
-    # degenerate hot cell is dropped map-side before any exchange.
-    "q_dedup_semantic_ivf": 4,
+    # same class as the codebook broadcast).  r6-r14 both self-join
+    # sides carried the hinted semi-join (4 in the sweep's plan string);
+    # r15 caches the FILTERED assignment, so the cap's semi-join builds
+    # once inside the cache lineage and the count drops to 3 (one
+    # keep-list build + the two verify-side builds).  The capped
+    # `assigned` is still never shuffled for the cap itself.
+    "q_dedup_semantic_ivf": 3,
     "q_llm_prep_pipeline_v3": 0,     # all joins AQE-sized, none hinted
 }
 # Scalar 1-row broadcast singletons plan as BroadcastNestedLoopJoin even
@@ -500,6 +502,15 @@ def test_no_duplicated_python_eval(spark, sf_dir, registry):
     before the fix)."""
     import re
 
+    # Analyze-time check: drop caches materialized by earlier tests in
+    # this session — a MATERIALIZED InMemoryRelation's formatted explain
+    # prints its cached AQE plan twice (initial + final), so the same
+    # eval node appears as two detail blocks with identical expression
+    # ids even though it ran exactly once at cache build (r15: surfaced
+    # when the cached pair relations gained a repartition).  The
+    # duplication this pin exists to catch — Catalyst copying a kernel
+    # below a pushed filter — is visible in the UNmaterialized plan.
+    spark.catalog.clearCache()
     offenders = []
     for name in (
         "q_dedup_embedding",
