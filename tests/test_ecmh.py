@@ -116,3 +116,18 @@ def test_window_digest_stamps_manifest_and_composes(spark, tmp_path):
     canon = both.select(F.to_json(F.struct(*sorted(both.columns))).alias("j"))
     whole = MultisetHash().insert_all(r.j.encode() for r in canon.collect())
     assert whole.digest() == combined.digest()
+
+
+def test_group_digest_all_null_group_surfaces_empty(spark):
+    """r15 two-level fold edge pin: a group whose every value is NULL
+    must still surface with digest 'empty' (the one-level applyInPandas
+    fold emitted it; the partial fold must not drop identity partials)."""
+    from basin_cli_spark.functions.ecmh import ecmh_digest_by_group
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", None), ("b", None)],
+        ["k", "v"],
+    )
+    got = {r["k"]: r["digest"] for r in ecmh_digest_by_group(df, "k", "v").collect()}
+    assert got["b"] == "empty"
+    assert got["a"] == MultisetHash().insert(b"x").digest()

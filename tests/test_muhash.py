@@ -179,3 +179,19 @@ def test_native_backend_status_and_digest_stability():
     eh = E.MultisetHash()
     eh.insert(b"alpha").insert(b"beta").remove(b"alpha")
     assert eh.digest() == E.MultisetHash().insert(b"beta").digest()
+
+
+def test_group_digest_all_null_group_surfaces_empty(spark):
+    """r15 two-level fold edge pin (see the ECMH twin): an all-NULL
+    group's partial is the multiplicative identity and must still
+    surface as digest 'empty'."""
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", None), ("b", None)],
+        ["k", "v"],
+    )
+    got = {
+        r["k"]: r["digest"]
+        for r in muhash_digest_by_group(df, "k", "v").collect()
+    }
+    assert got["b"] == "empty"
+    assert got["a"] == _h(["x"]).digest()

@@ -338,3 +338,27 @@ def test_near_dedup_watermark_expires_state(spark, tmp_path):
     assert max(m["state_series"]) <= 0.6 * total_groups, m
     # the trailing flush batch applies the final watermark: state drops
     assert m["state_series"][-1] < max(m["state_series"]), m
+
+
+def test_drain_restores_no_data_batch_conf(spark):
+    """r15: streaming_queries._drain disables the watermark-finalize
+    no-data micro-batch for the bounded drain (it cannot change the
+    sink) and must restore the session conf afterwards — including when
+    the caller had overridden it."""
+    from pyspark.sql import functions as F
+
+    from basin_cli_spark.queries.streaming_queries import _drain
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    for preset in ("true", "false"):
+        spark.conf.set(key, preset)
+        stream = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", "1")
+            .load()
+            .select(F.col("value"))
+        )
+        out = _drain(stream, "append")
+        assert spark.conf.get(key) == preset
+        out.count()  # sink table is readable
+    spark.conf.set(key, "true")
